@@ -1,0 +1,221 @@
+"""Crawl rounds: pop → politeness repartition → fetch → extract →
+link discovery → seen update → frontier update → atomic commit.
+
+Each round is one deterministic batch job (north_rule: batch-incremental,
+checkpoint-resumable). State tables are versioned per round in the
+Warehouse; a round only becomes visible at the ledger commit, so a kill
+at any point resumes cleanly from the previous round.
+
+Determinism contract (pinned by tests):
+* pop order is a total order (priority DESC, depth ASC, url ASC);
+* fetch is a pure function of url (synth corpus);
+* all dedups/joins are key-based — nothing depends on partition count,
+  so local[8] and local[32] produce byte-identical crawl ledgers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from jsonextract_spark.crawl import seen as seen_mod
+from jsonextract_spark.crawl import synth
+from jsonextract_spark.crawl.scheduler import pop_batch, priority_of
+from jsonextract_spark.crawl.tables import Warehouse
+from jsonextract_spark.functions.udfs import (
+    canonicalize_url_udf,
+    extract_links_udf,
+    extract_objects_udf,
+    murmur3_64_udf,
+    url_host_udf,
+)
+
+DEFAULT_HOST_BUDGET = 5
+DEFAULT_BATCH_SIZE = 512
+
+
+def make_robots(spark: SparkSession) -> DataFrame:
+    """Synthetic robots table: host -> allowed (tiny; broadcast)."""
+    rows = [(f"host{h}.example", not synth.robots_disallowed_host(h))
+            for h in range(synth.HOSTS)]
+    return spark.createDataFrame(rows, "host string, allowed boolean")
+
+
+def _with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return (df
+            .withColumn("url", canonicalize_url_udf(F.col(url_col)))
+            .filter(F.col("url").isNotNull())
+            .withColumn("url_hash", murmur3_64_udf("url"))
+            .withColumn("host", url_host_udf("url")))
+
+
+def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int):
+    seeds = spark.createDataFrame([(u,) for u in synth.seed_urls(n_seeds)],
+                                  "url string")
+    frontier = (_with_url_identity(seeds)
+                .dropDuplicates(["url_hash"])
+                .withColumn("depth", F.lit(0))
+                .withColumn("priority", priority_of(F.lit(0))))
+    wh.save(frontier, "frontier", 0)
+    wh.save(frontier.select("url_hash"), "seen", 0)
+    wh.save(seen_mod.build_filters(frontier.select("url_hash")),
+            "seen_filter", 0)
+    wh.commit_round(0, {"phase": "init", "seeds": n_seeds})
+
+
+def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
+              host_budget: int = DEFAULT_HOST_BUDGET,
+              batch_size: int = DEFAULT_BATCH_SIZE,
+              use_bloom: bool = True) -> dict:
+    """Execute round ``round_no`` (requires round_no-1 committed)."""
+    t0 = time.time()
+    prev = round_no - 1
+    frontier = wh.load(spark, "frontier", prev)
+    seen = wh.load(spark, "seen", prev)
+    filters = wh.load(spark, "seen_filter", prev) if use_bloom else None
+    robots = make_robots(spark)
+
+    # 1. pop (robots gate + salted per-host top-k + global cap)
+    batch = pop_batch(frontier, robots, host_budget, batch_size)
+    batch = batch.withColumn("batch_id", F.lit(round_no)).cache()
+    n_batch = batch.count()
+    if n_batch == 0:
+        wh.save(frontier, "frontier", round_no)
+        wh.save(seen, "seen", round_no)
+        if filters is not None:
+            wh.save(filters, "seen_filter", round_no)
+        wh.commit_round(round_no, {"fetched": 0, "new": 0, "empty": True})
+        return {"fetched": 0, "new": 0, "sec": time.time() - t0}
+
+    # 2. politeness repartition: salted host key spreads a hot host over
+    #    slots while keeping slot assignment deterministic.
+    fetch_input = batch.repartition(
+        max(spark.sparkContext.defaultParallelism, 4),
+        F.col("host"), F.pmod(F.col("url_hash"), F.lit(8)))
+
+    # 3. synthetic fetch (pure) -> pages shape + lineage
+    pages = fetch_input.mapInPandas(synth.fetch_partition,
+                                    synth.FETCH_OUTPUT_SCHEMA)
+
+    # 4. extract payload + discover links in one pass over `text`
+    enriched = (pages
+                .withColumn("objs", extract_objects_udf("text"))
+                .withColumn("links", extract_links_udf("text"))
+                .withColumn("partition_id", F.spark_partition_id())
+                .cache())
+
+    fetched = enriched.select(
+        "batch_id", "rank", "url", "depth",
+        F.size("objs").alias("n_objects"),
+        F.size("links").alias("n_links"),
+        F.length("text").alias("bytes"),
+        "partition_id")
+    wh.save(fetched, "fetched", round_no)
+    n_objects = enriched.agg(F.sum(F.size("objs"))).collect()[0][0] or 0
+
+    # 5. link discovery -> candidate identity
+    discovered = (enriched
+                  .select("depth", F.explode("links").alias("raw_url")))
+    cand = (_with_url_identity(discovered, "raw_url")
+            .drop("raw_url")
+            .groupBy("url_hash")
+            .agg(F.min("url").alias("url"),
+                 F.min("host").alias("host"),
+                 (F.min("depth") + 1).alias("depth")))
+
+    # 6. seen-set gate: bloom prune + exact anti-join backstop;
+    #    also exclude urls already pending in the frontier.
+    fresh = seen_mod.new_urls(cand, seen, filters)
+    fresh = fresh.join(frontier.select("url_hash"), "url_hash", "left_anti")
+    fresh = (fresh.withColumn("priority", priority_of(F.col("depth")))
+                  .select("url", "url_hash", "host", "depth", "priority")
+                  .cache())
+    n_new = fresh.count()
+
+    # 7. state update: frontier = (frontier - fetched) ∪ fresh
+    remaining = frontier.join(batch.select("url_hash"), "url_hash",
+                              "left_anti")
+    next_frontier = remaining.unionByName(fresh)
+    next_seen = seen.unionByName(fresh.select("url_hash"))
+
+    wh.save(next_frontier, "frontier", round_no)
+    wh.save(next_seen, "seen", round_no)
+    if filters is not None:
+        # Rebuild only buckets that gained keys; tiny table locally, and
+        # per-bucket incremental merge at scale.
+        wh.save(seen_mod.build_filters(next_seen), "seen_filter", round_no)
+
+    sec = time.time() - t0
+    metrics = [(round_no, "fetched", float(n_batch)),
+               (round_no, "objects", float(n_objects)),
+               (round_no, "new_urls", float(n_new)),
+               (round_no, "sec", sec)]
+    wh.save(spark.createDataFrame(
+        metrics, "batch_id int, key string, value double"),
+        "metrics", round_no)
+    wh.commit_round(round_no, {"fetched": n_batch, "new": n_new,
+                               "sec": round(sec, 3)})
+    batch.unpersist()
+    enriched.unpersist()
+    fresh.unpersist()
+    return {"fetched": n_batch, "new": n_new, "objects": n_objects,
+            "sec": sec}
+
+
+def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
+              n_seeds: int = 100, host_budget: int = DEFAULT_HOST_BUDGET,
+              batch_size: int = DEFAULT_BATCH_SIZE,
+              use_bloom: bool = True, resume: bool = False) -> list[dict]:
+    """Run (or resume) a crawl to ``rounds`` committed rounds."""
+    wh = Warehouse(warehouse)
+    if not resume:
+        wh.destroy()
+        wh = Warehouse(warehouse)
+    start = wh.last_committed_round()
+    if start < 0:
+        init_state(spark, wh, n_seeds)
+        start = 0
+    stats = []
+    for r in range(start + 1, rounds + 1):
+        s = run_round(spark, wh, r, host_budget, batch_size, use_bloom)
+        stats.append({"round": r, **s})
+    return stats
+
+
+def crawl_order(spark: SparkSession, warehouse: str) -> DataFrame:
+    """The reproducible crawl ledger: (batch_id, rank, url)."""
+    wh = Warehouse(warehouse)
+    last = wh.last_committed_round()
+    parts = [wh.load(spark, "fetched", r) for r in range(1, last + 1)
+             if wh.exists("fetched", r)]
+    if not parts:
+        return spark.createDataFrame([], "batch_id int, rank long, url string")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.select("batch_id", "rank", "url").orderBy("batch_id", "rank")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--warehouse", default="/tmp/jsx_warehouse")
+    ap.add_argument("--seeds", type=int, default=100)
+    ap.add_argument("--host-budget", type=int, default=DEFAULT_HOST_BUDGET)
+    ap.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from jsonextract_spark.session import build_session
+    spark = build_session("jsx-crawl", master=args.master)
+    stats = run_crawl(spark, args.warehouse, args.rounds, args.seeds,
+                      args.host_budget, args.batch_size, resume=args.resume)
+    for s in stats:
+        print(s)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Frontier pop: robots gate, priority scoring, per-host politeness top-k.
+
+Scale notes
+-----------
+* robots is a tiny per-host table → **broadcast join**.
+* per-host budget is a top-k per group. A naive window over ``host``
+  sorts each host's rows inside one task — with 10^9 URLs on one hot
+  host that task is the straggler. We use a **salted two-phase top-k**:
+  phase 1 takes top-k within (host, salt) over S salts (bounded work per
+  task), phase 2 re-ranks the ≤ k·S survivors per host. Same result,
+  skew-proof. (north_star: "salted repartitioning to defeat host skew")
+* all orderings have total tie-breaks (priority DESC, depth ASC, url ASC)
+  so the pop is identical at any parallelism — required for reproducible
+  crawl ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SALT_PARTS = 16
+
+
+def salted_top_k_per_group(df: DataFrame, group_cols: list[str],
+                           order_cols: list, k: int,
+                           salts: int = SALT_PARTS,
+                           salt_on: str = "url") -> DataFrame:
+    """Deterministic top-k per group that survives heavy group skew.
+
+    ``order_cols`` must define a total order (include a unique tie-break);
+    ``salt_on`` is any column that spreads rows inside a group.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salts)))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
+    phase1 = (salted.withColumn("_r1", F.row_number().over(w1))
+                    .filter(F.col("_r1") <= k)
+                    .drop("_salt", "_r1"))
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (phase1.withColumn("rank_in_group", F.row_number().over(w2))
+                  .filter(F.col("rank_in_group") <= k))
+
+
+def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
+              batch_size: int, salts: int = SALT_PARTS) -> DataFrame:
+    """Select this round's fetch set.
+
+    frontier: url, url_hash, host, depth, priority
+    robots:   host, allowed (small; broadcast)
+    Returns the batch with a deterministic global ``rank``.
+    """
+    allowed = (frontier
+               .join(F.broadcast(robots), "host", "left")
+               .filter(F.coalesce(F.col("allowed"), F.lit(True)))
+               .drop("allowed"))
+
+    order = [F.col("priority").desc(), F.col("depth").asc(),
+             F.col("url").asc()]
+    per_host = salted_top_k_per_group(
+        allowed, ["host"], order, host_budget, salts)
+
+    # Global cap with the same total order; rank is the crawl order the
+    # determinism tests pin across parallelism levels.
+    w = Window.orderBy(F.col("priority").desc(), F.col("depth").asc(),
+                       F.col("url").asc())
+    return (per_host
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= batch_size)
+            .drop("rank_in_group"))
+
+
+def priority_of(depth_col, host_crawled_col=None):
+    """Scoring per north_star: BFS-flavored depth decay, discounted by how
+    much of the host's budget has been consumed historically."""
+    if isinstance(depth_col, str):
+        depth_col = F.col(depth_col)
+    p = F.lit(1.0) / (F.lit(1.0) + depth_col)
+    if host_crawled_col is not None:
+        p = p / (F.lit(1.0) + F.log1p(host_crawled_col))
+    return p

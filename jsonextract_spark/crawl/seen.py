@@ -1,0 +1,125 @@
+"""Partitioned URL-seen set: exact hash table + per-bucket Bloom filters.
+
+Scale design (10^10 URLs):
+
+* ``seen`` is the exact set of murmur3-64 URL hashes, hash-bucket
+  partitioned (Iceberg ``bucket(url_hash)`` in prod). Exactness backstop:
+  the final dedup is ALWAYS a left-anti join on ``url_hash`` — the filter
+  layer only prunes the probe side.
+* ``seen_filter`` holds one Bloom bitset per bucket, built and merged
+  with ``applyInPandas`` (our "UDAF"): each bucket's rows are hashed into
+  an ``m``-bit numpy array with ``k`` double-hashing probes. At 10^10
+  URLs / 4096 buckets / 10 bits-per-key this is ~1.2 GB per bucket of
+  *keys*, but the bitsets are ~3 GB total — droppable to executors as a
+  co-partitioned join (NOT a broadcast), which is why the filter table is
+  keyed by the same bucket function as the candidate stream.
+* Probe: candidates → bucket → join filters on bucket → vectorized
+  membership test → only ``maybe_seen`` rows take the expensive anti-join
+  shuffle; definitely-new rows bypass it. The false-positive rate (~1%)
+  is the only extra anti-join traffic.
+
+Local scale uses 64 buckets / 2^17 bits; both are knobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+N_BUCKETS = 64
+M_BITS = 1 << 17     # bits per bucket bloom
+K_PROBES = 7
+
+_FILTER_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("bits", T.BinaryType()),
+    T.StructField("m", T.IntegerType()),
+    T.StructField("k", T.IntegerType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def bucket_col(hash_col):
+    return F.pmod(hash_col, F.lit(N_BUCKETS)).cast("int")
+
+
+def _probe_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing of the 64-bit key."""
+    h = hashes.astype(np.uint64)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+    ks = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + ks[None, :] * h2[:, None]) %
+            np.uint64(m)).astype(np.int64)
+
+
+def _build_bits(hashes: np.ndarray, m: int, k: int) -> bytes:
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    pos = _probe_positions(hashes, m, k).ravel()
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits.tobytes()
+
+
+def _test_bits(bits: np.ndarray, hashes: np.ndarray, m: int,
+               k: int) -> np.ndarray:
+    pos = _probe_positions(hashes, m, k)
+    hit = (bits[pos >> 3] >> (pos & 7)) & 1
+    return hit.all(axis=1)
+
+
+def build_filters(seen: DataFrame, m: int = M_BITS,
+                  k: int = K_PROBES) -> DataFrame:
+    """seen(url_hash) -> seen_filter(bucket, bits, m, k, n) via grouped-map."""
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf["url_hash"].to_numpy()
+        return pd.DataFrame({
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "bits": [_build_bits(hashes, m, k)],
+            "m": [m], "k": [k], "n": [len(hashes)],
+        })
+
+    return (seen.withColumn("bucket", bucket_col(F.col("url_hash")))
+                .groupBy("bucket").applyInPandas(build, _FILTER_SCHEMA))
+
+
+def prune_candidates(candidates: DataFrame,
+                     filters: DataFrame) -> DataFrame:
+    """Add ``maybe_seen`` to candidates(url_hash, ...) using the bloom
+    layer. Co-partitioned join on bucket (no broadcast at scale); rows in
+    buckets with no filter yet are definitely new."""
+    cand = candidates.withColumn("bucket", bucket_col(F.col("url_hash")))
+    joined = cand.join(filters, "bucket", "left")
+
+    fields = [f for f in joined.schema.fields
+              if f.name not in ("bits", "m", "k", "n", "bucket")]
+    out_schema = T.StructType(fields + [T.StructField("maybe_seen",
+                                                      T.BooleanType())])
+    keep = [f.name for f in fields]
+
+    def test(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[keep].copy()
+        if len(pdf) == 0 or pdf["bits"].iloc[0] is None:
+            out["maybe_seen"] = False
+            return out
+        bits = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8)
+        out["maybe_seen"] = _test_bits(
+            bits, pdf["url_hash"].to_numpy(),
+            int(pdf["m"].iloc[0]), int(pdf["k"].iloc[0]))
+        return out
+
+    return joined.groupBy("bucket").applyInPandas(test, out_schema)
+
+
+def new_urls(candidates: DataFrame, seen: DataFrame,
+             filters: DataFrame | None) -> DataFrame:
+    """Exact set of candidates not in ``seen``: bloom prune (optional) +
+    anti-join backstop on only the maybe-seen slice."""
+    if filters is None:
+        return candidates.join(seen, "url_hash", "left_anti")
+    flagged = prune_candidates(candidates, filters)
+    fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    survived = maybe.join(seen, "url_hash", "left_anti")
+    return fresh.unionByName(survived)

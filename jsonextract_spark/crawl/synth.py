@@ -1,0 +1,110 @@
+"""Deterministic synthetic web universe (the sandbox "fetcher").
+
+The driver rule forbids external data, so the fetch stage is a pure
+function of the URL: page ``i`` always has the same bytes, the same
+outlinks and the same embedded JS objects. That makes the whole crawl a
+deterministic function of (seed list, politeness budget) — which is what
+lets the tests assert identical crawl ordering and seen-sets across runs,
+across local[8]/local[32], and across kill/resume.
+
+The link graph is intentionally SQL-expressible (affine maps mod U) so a
+DuckDB ``WITH RECURSIVE`` oracle can independently compute reachable
+sets — see __spark_entry__.q_crawl_reachable.
+
+In production this module is replaced by an HTTP fetch stage
+(``mapInPandas`` batch fetcher per politeness bucket, like the reference
+CLI's browser-header GET — cmd/jsonx/main.go:64-87); everything else in
+the pipeline is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+UNIVERSE = 100_000          # pages in the synthetic web
+HOSTS = 50                  # synthetic hosts
+HOT_SHARE_MOD = 5           # i % 5 < 2 -> host 0  (40% of pages: heavy skew)
+LINK_COEFFS = ((7, 1), (7, 2), (13, 5), (31, 11))
+EPOCH = 1_600_000_000       # fixed base timestamp
+
+_KNUTH = 2654435761
+_2_32 = 1 << 32
+
+
+def host_of(i: int) -> int:
+    if i % HOT_SHARE_MOD < 2:
+        return 0
+    return ((i * _KNUTH) % _2_32) % HOSTS
+
+
+def url_of(i: int) -> str:
+    return f"https://host{host_of(i)}.example/p/{i}"
+
+
+def page_id_from_url(url: str) -> int:
+    return int(url.rsplit("/", 1)[1])
+
+
+def links_of(i: int) -> list[int]:
+    return [(a * i + b) % UNIVERSE for a, b in LINK_COEFFS]
+
+
+def robots_disallowed_host(h: int) -> bool:
+    return h % 7 == 3
+
+
+def page_text(i: int) -> str:
+    """Page body embedding JS objects: one mixed-notation object carrying
+    the outlinks (exercises unquoted keys, single quotes, trailing comma,
+    hex numbers), one strict ld+json block, and one non-extractable decoy
+    (arithmetic expression, must be rejected like reader_test.go:700)."""
+    links = ", ".join(f"'{url_of(l)}'" for l in links_of(i))
+    return (
+        "<!doctype html><html><head>"
+        f"<title>Page {i}</title>"
+        '<script type="application/ld+json">'
+        f'{{"@type": "WebPage", "pid": {i}, "host": {host_of(i)}}}'
+        "</script></head><body>"
+        "<script>\n"
+        "// navigation payload\n"
+        f"var page = {{id: {i}, flags: 0x{i % 256:x}, "
+        f"title: 'Page {i} &amp; friends', links: [{links}], }};\n"
+        f"var broken = {{oops: {i}+{i} }};\n"
+        "</script>"
+        f"<p>{'word%d ' % (i % 97) * 12}</p>"
+        "</body></html>"
+    )
+
+
+def fetch_partition(rows: Iterable[pd.DataFrame]):
+    """mapInPandas kernel: frontier rows -> pages rows. Pure function of
+    url; yields the input_hint page shape (url, warc_ts, html, text, lang)
+    plus the lineage columns carried through."""
+    for pdf in rows:
+        ids = pdf["url"].map(page_id_from_url)
+        texts = ids.map(page_text)
+        out = pd.DataFrame({
+            "url": pdf["url"],
+            "warc_ts": pd.to_datetime(EPOCH + ids, unit="s"),
+            "html": texts.map(lambda t: t.encode("utf-8")),
+            "text": texts,
+            "lang": "en",
+            "depth": pdf["depth"],
+            "batch_id": pdf["batch_id"],
+            "rank": pdf["rank"],
+        })
+        yield out
+
+
+FETCH_OUTPUT_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string,"
+    " depth int, batch_id int, rank long"
+)
+
+
+def seed_urls(n_seeds: int) -> list[str]:
+    """Deterministic seed list: every k-th page of the universe."""
+    step = max(UNIVERSE // max(n_seeds, 1), 1)
+    return [url_of((i * step + 3) % UNIVERSE) for i in range(n_seeds)]

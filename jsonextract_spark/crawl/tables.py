@@ -1,0 +1,114 @@
+"""Warehouse: versioned, atomically-committed state tables.
+
+Production target is Iceberg (atomic snapshot commits, partition pruning
+on ``bucket(url_hash)`` / ``batch_id``). This sandbox has no Iceberg jars,
+so the same contract is implemented over plain parquet with an atomic
+ledger file — "IcebergLite":
+
+* every crawl round writes its outputs under ``<table>/round=<n>/``;
+* a round becomes visible only when the ledger JSON is atomically
+  replaced (``os.replace``) with the round marked committed;
+* resume = read the ledger, load state at the last committed round.
+
+On a real cluster, swap ``save``/``load`` for
+``df.writeTo("cat.db.tbl").overwritePartitions()`` /
+``spark.read.table(...)`` — the pipeline code only talks to this class.
+
+Schemas
+-------
+frontier   url, url_hash, host, depth, priority, state ('pending')
+seen       url_hash (exact set; bloom side-structure in seen_filter)
+seen_filter bucket, bits (binary), m, k, n
+fetched    batch_id, rank, url, url_hash, host, depth, n_objects, n_links,
+           bytes, partition_id (lineage)
+metrics    batch_id, key, value
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("priority", T.DoubleType()),
+])
+
+SEEN_SCHEMA = T.StructType([T.StructField("url_hash", T.LongType())])
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+class Warehouse:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._ledger_path = os.path.join(root, "_ledger.json")
+
+    # -- ledger ----------------------------------------------------------
+    def ledger(self) -> dict:
+        if not os.path.exists(self._ledger_path):
+            return {"rounds": []}
+        with open(self._ledger_path) as f:
+            return json.load(f)
+
+    def last_committed_round(self) -> int:
+        rounds = [r["round"] for r in self.ledger()["rounds"]
+                  if r.get("status") == "committed"]
+        return max(rounds) if rounds else -1
+
+    def commit_round(self, round_no: int, info: dict | None = None):
+        led = self.ledger()
+        led["rounds"] = [r for r in led["rounds"] if r["round"] != round_no]
+        led["rounds"].append({"round": round_no, "status": "committed",
+                              "ts": time.time(), **(info or {})})
+        led["rounds"].sort(key=lambda r: r["round"])
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".ledger")
+        with os.fdopen(fd, "w") as f:
+            json.dump(led, f, indent=1)
+        os.replace(tmp, self._ledger_path)  # atomic commit point
+
+    # -- table IO ----------------------------------------------------------
+    def _path(self, table: str, round_no: int | None = None) -> str:
+        p = os.path.join(self.root, table)
+        if round_no is not None:
+            p = os.path.join(p, f"round={round_no}")
+        return p
+
+    def save(self, df: DataFrame, table: str, round_no: int | None = None,
+             partitions: int | None = None):
+        """Write to a temp dir then atomically rename into place, so a
+        killed job never leaves a half-visible partition (Iceberg gives
+        this for free; parquet needs the rename dance)."""
+        final = self._path(table, round_no)
+        tmp = final + ".tmp-" + next(tempfile._get_candidate_names())
+        w = df if partitions is None else df.repartition(partitions)
+        w.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    def load(self, spark: SparkSession, table: str,
+             round_no: int | None = None) -> DataFrame:
+        return spark.read.parquet(self._path(table, round_no))
+
+    def exists(self, table: str, round_no: int | None = None) -> bool:
+        return os.path.exists(self._path(table, round_no))
+
+    def destroy(self):
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,170 @@
+"""Arrow-batched pandas UDFs — the only Python↔JVM crossing points.
+
+Everything here is vectorized at the DataFrame API level (input_hint:
+"vectorized pandas/Arrow UDFs, no per-row Python"): Spark hands us Arrow
+record batches, we loop inside the batch in CPython over the extraction
+kernel, and hand Arrow back. The extraction kernel itself is pure
+computation per document — embarrassingly parallel, no shuffle.
+
+Plan shape (flagship query):
+  Scan parquet/Iceberg → Project(url, text) → ArrowEvalPython(extract)
+  → Generate(posexplode) → Filter(json predicates) → Window top-k → sink
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from jsonextract_spark.kernel.scanner import extract_objects, extract_objects_str
+from jsonextract_spark.kernel.objects import (
+    ObjectOption,
+    CallbackNeverCalled,
+    match_objects,
+)
+from jsonextract_spark.functions.urlhash import (
+    canonicalize_url,
+    murmur3_64,
+    url_host,
+)
+
+# Safety valve for the documented O(n²) unclosed-bracket pathology
+# (reference README.md:95): bound total tokenized bytes per document.
+# 64x the document length, floor 1 MiB — unreachable for normal pages.
+WORK_BUDGET_FACTOR = 64
+WORK_BUDGET_FLOOR = 1 << 20
+
+
+def _budget(n: int) -> int:
+    return max(n * WORK_BUDGET_FACTOR, WORK_BUDGET_FLOOR)
+
+
+# -- extraction ------------------------------------------------------------
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_objects_udf(texts: pd.Series) -> pd.Series:
+    """text -> array of normalized JSON strings (callback order)."""
+    return texts.map(
+        lambda s: None if s is None
+        else extract_objects_str(s, work_budget=_budget(len(s))))
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_objects_bin_udf(blobs: pd.Series) -> pd.Series:
+    """html binary -> array of JSON strings (UTF-8 bytes in, like Go)."""
+    def one(b):
+        if b is None:
+            return None
+        data = bytes(b)
+        return [m.decode("utf-8", "replace")
+                for m in extract_objects(data, work_budget=_budget(len(data)))]
+    return blobs.map(one)
+
+
+def make_match_objects_udf(options: list[dict]):
+    """Build a UDF applying Objects() dispatch with data-only options.
+
+    ``options`` example: ``[{"keys": ["videoId","title"], "limit": None,
+    "required": False}, ...]``. Returns array<struct<opt int, obj string>>
+    in callback order — the exact call sequence the reference would make.
+    """
+    spec = [(tuple(o.get("keys", ())), o.get("limit"), bool(o.get("required")))
+            for o in options]
+    out_type = ArrayType(StructType([
+        StructField("opt", LongType()),
+        StructField("obj", StringType()),
+    ]))
+
+    @F.pandas_udf(out_type)
+    def match_udf(objects: pd.Series) -> pd.Series:
+        def one(vals):
+            if vals is None:
+                return None
+            opts = [ObjectOption(keys=list(k), limit=lim, required=req)
+                    for (k, lim, req) in spec]
+            calls: list[tuple[int, str]] = []
+            for idx, o in enumerate(opts):
+                o.callback = _collector(calls, idx, o)
+            try:
+                match_objects(list(vals), opts)
+            except CallbackNeverCalled:
+                pass  # surfaced via the required_missing helper instead
+            return calls
+        return objects.map(one)
+
+    def _collector(calls, idx, opt):
+        from jsonextract_spark.kernel.objects import ERR_STOP
+
+        def cb(raw):
+            calls.append((idx, raw))
+            opt.matches.append(raw)
+            if opt.limit is not None and len(opt.matches) >= opt.limit:
+                return ERR_STOP
+            return None
+        return cb
+
+    return match_udf
+
+
+# -- URL functions ----------------------------------------------------------
+
+@F.pandas_udf(StringType())
+def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: None if u is None else canonicalize_url(u))
+
+
+@F.pandas_udf(LongType())
+def murmur3_64_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda s: None if s is None else murmur3_64(s))
+
+
+@F.pandas_udf(StringType())
+def url_host_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: None if u is None else url_host(u))
+
+
+# -- link discovery ----------------------------------------------------------
+
+def _links_from_text(text: str) -> list[str]:
+    """Discover outlinks: every extracted object contributes its 'links'
+    array of strings (the synthetic corpus embeds {links:[...]}) and any
+    'href' string values. Uses the extraction kernel itself, so link
+    discovery exercises the exact same code path as payload extraction."""
+    links: list[str] = []
+    for obj in extract_objects_str(text, work_budget=_budget(len(text))):
+        try:
+            v = json.loads(obj)
+        except ValueError:
+            continue
+        _collect_links(v, links)
+    return links
+
+
+def _collect_links(v, out: list[str]):
+    if isinstance(v, dict):
+        ls = v.get("links")
+        if isinstance(ls, list):
+            out.extend(x for x in ls if isinstance(x, str))
+        href = v.get("href")
+        if isinstance(href, str):
+            out.append(href)
+        for k in sorted(v):
+            if k not in ("links", "href"):
+                _collect_links(v[k], out)
+    elif isinstance(v, list):
+        for x in v:
+            _collect_links(x, out)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_links_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda s: None if s is None else _links_from_text(s))

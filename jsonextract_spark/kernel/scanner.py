@@ -99,8 +99,10 @@ def _template_unescape(inner: bytes) -> bytes:
 def read_js_object(data: bytes, start: int):
     """Convert one candidate starting at ``data[start]`` (a ``{`` or ``[``).
 
-    Returns ``(buf_bytes_or_None, read_input_bytes)``; ``None`` means a hard
-    lex/convert error (upstream's non-EOF error return, reader.go:470).
+    Returns ``(buf_bytes_or_None, read_input_bytes, attempted_bytes)``;
+    ``None`` means a hard lex/convert error (upstream's non-EOF error
+    return, reader.go:470). ``attempted_bytes`` is how far the lexer got —
+    used only for the engine-level work budget, not for resume offsets.
     The caller must still validate ``buf`` as JSON (reader.go:83).
     """
     lx = L.Lexer(data, start)
@@ -115,10 +117,10 @@ def read_js_object(data: bytes, start: int):
     while True:
         kind, text = lx.next()
         if kind == L.ERROR:
-            return None, 0
+            return None, 0, lx.pos - start
         if kind == L.EOF:
             # io.EOF is a soft stop: return what we have (reader.go:467-469)
-            return bytes(buf), read_bytes
+            return bytes(buf), read_bytes, lx.pos - start
 
         read_bytes += len(text)
 
@@ -141,20 +143,20 @@ def read_js_object(data: bytes, start: int):
         elif kind == L.DIV:
             rkind, rtext = lx.regexp(text)
             if rkind != L.REGEX:
-                return None, 0
+                return None, 0, lx.pos - start
             # readInputBytes got only len('/' or '/=') — upstream quirk.
             text = marshal_string_bytes(rtext)
             buf += text
 
         elif kind == L.PUNCT:
             if len(text) > 1:
-                return None, 0  # reader.go:357-360
+                return None, 0, lx.pos - start  # reader.go:357-360
             c = text[0]
             if c == _OPEN_OBJECT or c == _OPEN_ARRAY:
                 if c == first:
                     level += 1
                 if last_byte == _OPEN_OBJECT and c == _OPEN_OBJECT:
-                    return None, 0  # '{' after '{' (reader.go:368-371)
+                    return None, 0, lx.pos - start  # '{' after '{' (reader.go:368-371)
                 buf.append(c)
             elif c == 0x7D or c == 0x5D:
                 if c == closer:
@@ -163,10 +165,10 @@ def read_js_object(data: bytes, start: int):
                     del buf[-1:]  # trailing comma (reader.go:379-384)
                 buf.append(c)
                 if level == 0:
-                    return bytes(buf), read_bytes
+                    return bytes(buf), read_bytes, lx.pos - start
             elif c == _PLUS:
                 if 0x30 <= last_byte <= 0x39:
-                    return None, 0  # '3+3' (reader.go:392-396)
+                    return None, 0, lx.pos - start  # '3+3' (reader.go:392-396)
                 buf.append(c)
             else:
                 buf += text
@@ -178,17 +180,17 @@ def read_js_object(data: bytes, start: int):
             elif text[0] == _QUOTE_D:
                 buf += text
             else:
-                return None, 0
+                return None, 0, lx.pos - start
 
         elif kind == L.TEMPLATE:
             if len(text) <= 2:
-                return None, 0  # reader.go:421-423
+                return None, 0, lx.pos - start  # reader.go:421-423
             text = marshal_string_bytes(_template_unescape(text[1:-1]))
             buf += text
 
         elif kind == L.NUMBER:
             if last_was_numeric:
-                return None, 0  # number after number (reader.go:435-438)
+                return None, 0, lx.pos - start  # number after number (reader.go:435-438)
             if last_byte == _PLUS:
                 del buf[-1:]  # '+5' → '5' (reader.go:443-446)
             if text[-1:] == b"n" and text[:-1].isdigit():
@@ -219,18 +221,29 @@ def _rune_len_at(data: bytes, i: int) -> int:
         return 1
 
 
-def extract_objects(data: bytes, limit: int | None = None) -> list[bytes]:
+def extract_objects(data: bytes, limit: int | None = None,
+                    work_budget: int | None = None) -> list[bytes]:
     """Port of ``Reader`` (reader.go:48-123): every JSON/JS object or array
     in ``data``, normalized to strict JSON bytes, in document order.
 
     ``limit`` emulates a callback returning ``ErrStop`` after N values.
+
+    ``work_budget`` is an engine-level safety valve with no reference
+    counterpart: repeated unclosed brackets make the scan O(n²) (a
+    documented upstream pathology, reference README.md:95). The budget
+    bounds the total bytes tokenized across all candidate attempts; when
+    exhausted the rest of the document is skipped. ``None`` (the default)
+    is exact reference behavior; the Spark UDF layer passes a budget so
+    one adversarial page cannot stall an executor core.
     """
     out: list[bytes] = []
     i, n = 0, len(data)
+    work = 0
     while i < n:
         b = data[i]
         if b == _OPEN_OBJECT or b == _OPEN_ARRAY:
-            msg, nread = read_js_object(data, i)
+            msg, nread, attempted = read_js_object(data, i)
+            work += attempted
             if msg is not None and json_valid(msg):
                 out.append(msg)
                 if limit is not None and len(out) >= limit:
@@ -238,14 +251,17 @@ def extract_objects(data: bytes, limit: int | None = None) -> list[bytes]:
                 i += nread if nread > 0 else 1
             else:
                 i += 1  # skip exactly the opening bracket (one rune)
+            if work_budget is not None and work > work_budget:
+                break
         else:
             i += _rune_len_at(data, i) if b >= 0x80 else 1
     return out
 
 
-def extract_objects_str(text: str, limit: int | None = None) -> list[str]:
+def extract_objects_str(text: str, limit: int | None = None,
+                        work_budget: int | None = None) -> list[str]:
     """String-in/string-out wrapper used by the Arrow UDFs."""
     return [
         m.decode("utf-8", "replace")
-        for m in extract_objects(text.encode("utf-8"), limit)
+        for m in extract_objects(text.encode("utf-8"), limit, work_budget)
     ]

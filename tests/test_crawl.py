@@ -1,0 +1,133 @@
+"""Crawl pipeline correctness: seen-set exactness, skew-proof top-k,
+reproducible ordering across parallelism, and checkpoint resume."""
+
+import subprocess
+import sys
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jsonextract_spark.crawl import synth
+
+pytestmark = pytest.mark.spark
+
+
+# -- seen-set ----------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_exactness(spark):
+    from jsonextract_spark.crawl import seen as sm
+
+    rng = np.random.default_rng(7)
+    seen_hashes = rng.integers(-2**62, 2**62, size=5000).tolist()
+    cand_new = rng.integers(-2**62, 2**62, size=3000).tolist()
+    seen_df = spark.createDataFrame([(int(h),) for h in seen_hashes],
+                                    "url_hash long")
+    cand_df = spark.createDataFrame(
+        [(int(h), f"u{i}") for i, h in
+         enumerate(seen_hashes[:1000] + cand_new)],
+        "url_hash long, url string")
+
+    filters = sm.build_filters(seen_df)
+    out = sm.new_urls(cand_df, seen_df, filters)
+    got = {r["url_hash"] for r in out.collect()}
+    want = set(cand_new) - set(seen_hashes)
+    assert got == want  # exact: bloom may only prune, never drop/add
+
+    # bloom actually prunes: definitely-new slice should be large
+    flagged = sm.prune_candidates(cand_df, filters)
+    n_maybe = flagged.filter("maybe_seen").count()
+    assert n_maybe >= 1000            # all truly-seen are flagged
+    assert n_maybe <= 1000 + 0.05 * len(cand_new)  # few false positives
+
+
+# -- scheduler ----------------------------------------------------------------
+
+def test_salted_topk_equals_naive_window(spark):
+    from pyspark.sql import Window
+    from jsonextract_spark.crawl.scheduler import salted_top_k_per_group
+
+    rows = [(f"h{i % 7}", float(i % 13), f"url{i:05d}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "host string, priority double, url string")
+    order = [F.col("priority").desc(), F.col("url").asc()]
+
+    fast = salted_top_k_per_group(df, ["host"], order, k=9, salt_on="url")
+    naive = (df.withColumn(
+        "rank_in_group",
+        F.row_number().over(Window.partitionBy("host").orderBy(*order)))
+        .filter("rank_in_group <= 9"))
+
+    a = sorted(map(tuple, fast.select("host", "priority", "url",
+                                      "rank_in_group").collect()))
+    b = sorted(map(tuple, naive.collect()))
+    assert a == b
+
+
+def test_pop_respects_robots_and_budget(spark):
+    from jsonextract_spark.crawl.pipeline import make_robots
+    from jsonextract_spark.crawl.scheduler import pop_batch, priority_of
+
+    urls = [synth.url_of(i) for i in range(0, 4000, 7)]
+    from jsonextract_spark.functions.urlhash import murmur3_64, url_host
+    rows = [(u, murmur3_64(u), url_host(u), 0) for u in urls]
+    frontier = (spark.createDataFrame(
+        rows, "url string, url_hash long, host string, depth int")
+        .withColumn("priority", priority_of(F.col("depth"))))
+    robots = make_robots(spark)
+
+    batch = pop_batch(frontier, robots, host_budget=3, batch_size=10_000)
+    per_host = batch.groupBy("host").count().collect()
+    assert all(r["count"] <= 3 for r in per_host)
+    blocked = {f"host{h}.example" for h in range(synth.HOSTS)
+               if synth.robots_disallowed_host(h)}
+    assert not any(r["host"] in blocked for r in per_host)
+    # rank is dense and unique
+    ranks = [r["rank"] for r in batch.select("rank").collect()]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# -- end-to-end determinism ----------------------------------------------------
+
+def _run_crawl_cli(warehouse: str, rounds: int, master: str,
+                   resume: bool = False):
+    cmd = [sys.executable, "-m", "jsonextract_spark.crawl.pipeline",
+           "--rounds", str(rounds), "--warehouse", warehouse,
+           "--seeds", "12", "--batch-size", "64", "--master", master]
+    if resume:
+        cmd.append("--resume")
+    subprocess.run(cmd, check=True, capture_output=True, text=True,
+                   cwd="/root/repo", timeout=600)
+
+
+def _ledger(warehouse: str):
+    return duckdb.sql(
+        f"SELECT batch_id, rank, url FROM '{warehouse}/fetched/*/*.parquet' "
+        "ORDER BY batch_id, rank").fetchall()
+
+
+def _seen_set(warehouse: str, round_no: int):
+    return set(r[0] for r in duckdb.sql(
+        f"SELECT url_hash FROM '{warehouse}/seen/round={round_no}/*.parquet'"
+    ).fetchall())
+
+
+@pytest.mark.slow
+def test_crawl_deterministic_across_parallelism(tmp_path):
+    w2, w8 = str(tmp_path / "w2"), str(tmp_path / "w8")
+    _run_crawl_cli(w2, 3, "local[2]")
+    _run_crawl_cli(w8, 3, "local[8]")
+    assert _ledger(w2) == _ledger(w8)
+    assert _seen_set(w2, 3) == _seen_set(w8, 3)
+
+
+@pytest.mark.slow
+def test_crawl_resume_equals_uninterrupted(tmp_path):
+    w_full = str(tmp_path / "full")
+    w_res = str(tmp_path / "res")
+    _run_crawl_cli(w_full, 3, "local[4]")
+    # simulate a kill after round 2, then resume to round 3
+    _run_crawl_cli(w_res, 2, "local[4]")
+    _run_crawl_cli(w_res, 3, "local[4]", resume=True)
+    assert _ledger(w_full) == _ledger(w_res)
+    assert _seen_set(w_full, 3) == _seen_set(w_res, 3)
