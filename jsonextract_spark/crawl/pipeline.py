@@ -51,6 +51,15 @@ def _with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
             .withColumn("host", url_host_udf("url")))
 
 
+def load_seen(spark: SparkSession, wh: Warehouse, upto_round: int):
+    """The seen set is stored as per-round DELTAS (append-only, like an
+    Iceberg partition append): loading unions rounds 0..upto. A full
+    rewrite per round would be O(total-crawled) I/O every round."""
+    paths = [wh._path("seen", r) for r in range(upto_round + 1)
+             if wh.exists("seen", r)]
+    return spark.read.parquet(*paths)
+
+
 def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int):
     seeds = spark.createDataFrame([(u,) for u in synth.seed_urls(n_seeds)],
                                   "url string")
@@ -73,7 +82,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     t0 = time.time()
     prev = round_no - 1
     frontier = wh.load(spark, "frontier", prev)
-    seen = wh.load(spark, "seen", prev)
+    seen = load_seen(spark, wh, prev)
     filters = wh.load(spark, "seen_filter", prev) if use_bloom else None
     robots = make_robots(spark)
 
@@ -83,7 +92,6 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     n_batch = batch.count()
     if n_batch == 0:
         wh.save(frontier, "frontier", round_no)
-        wh.save(seen, "seen", round_no)
         if filters is not None:
             wh.save(filters, "seen_filter", round_no)
         wh.commit_round(round_no, {"fetched": 0, "new": 0, "empty": True})
@@ -134,18 +142,18 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                   .cache())
     n_new = fresh.count()
 
-    # 7. state update: frontier = (frontier - fetched) ∪ fresh
+    # 7. state update: frontier = (frontier - fetched) ∪ fresh;
+    #    seen grows by an append-only delta (fresh only).
     remaining = frontier.join(batch.select("url_hash"), "url_hash",
                               "left_anti")
     next_frontier = remaining.unionByName(fresh)
-    next_seen = seen.unionByName(fresh.select("url_hash"))
 
     wh.save(next_frontier, "frontier", round_no)
-    wh.save(next_seen, "seen", round_no)
+    wh.save(fresh.select("url_hash"), "seen", round_no)
     if filters is not None:
-        # Rebuild only buckets that gained keys; tiny table locally, and
-        # per-bucket incremental merge at scale.
-        wh.save(seen_mod.build_filters(next_seen), "seen_filter", round_no)
+        # Incremental OR-merge: touches only buckets that gained keys.
+        wh.save(seen_mod.merge_filters(filters, fresh),
+                "seen_filter", round_no)
 
     sec = time.time() - t0
     metrics = [(round_no, "fetched", float(n_batch)),

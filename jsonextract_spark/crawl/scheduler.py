@@ -59,14 +59,15 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
     per_host = salted_top_k_per_group(
         allowed, ["host"], order, host_budget, salts)
 
-    # Global cap with the same total order; rank is the crawl order the
-    # determinism tests pin across parallelism levels.
+    # Global cap: orderBy+limit compiles to TakeOrderedAndProject — a
+    # distributed tree top-k, NOT a single-task global sort. The dense
+    # rank (the crawl order the determinism tests pin) is then assigned
+    # over the already-capped batch, which is bounded by batch_size, so
+    # the single-partition window is O(batch), never O(frontier).
+    capped = per_host.drop("rank_in_group").orderBy(*order).limit(batch_size)
     w = Window.orderBy(F.col("priority").desc(), F.col("depth").asc(),
                        F.col("url").asc())
-    return (per_host
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= batch_size)
-            .drop("rank_in_group"))
+    return capped.withColumn("rank", F.row_number().over(w))
 
 
 def priority_of(depth_col, host_crawled_col=None):

@@ -84,32 +84,73 @@ def build_filters(seen: DataFrame, m: int = M_BITS,
                 .groupBy("bucket").applyInPandas(build, _FILTER_SCHEMA))
 
 
+def merge_filters(filters: DataFrame, fresh: DataFrame,
+                  m: int = M_BITS, k: int = K_PROBES) -> DataFrame:
+    """Incremental filter update: OR the bits of new keys into each
+    touched bucket; untouched buckets pass through. O(fresh) + one small
+    shuffle on bucket — never rescans the historical seen set (at 10^10
+    keys a full rebuild per round would dominate the whole crawl)."""
+    delta = (fresh.select("url_hash")
+             .withColumn("bucket", bucket_col(F.col("url_hash"))))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf["url_hash"].to_numpy()
+        return pd.DataFrame({
+            "bucket": [int(key[0])],
+            "bits": [_build_bits(hashes, m, k)],
+            "m": [m], "k": [k], "n": [len(hashes)],
+        })
+
+    partial = delta.groupBy("bucket").applyInPandas(build, _FILTER_SCHEMA)
+    both = filters.unionByName(partial)
+
+    def ormerge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        n = 0
+        for b, nn in zip(pdf["bits"], pdf["n"]):
+            arr = np.frombuffer(b, dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+            n += int(nn)
+        return pd.DataFrame({
+            "bucket": [int(key[0])], "bits": [acc.tobytes()],
+            "m": [int(pdf["m"].iloc[0])], "k": [int(pdf["k"].iloc[0])],
+            "n": [n],
+        })
+
+    return both.groupBy("bucket").applyInPandas(ormerge, _FILTER_SCHEMA)
+
+
 def prune_candidates(candidates: DataFrame,
                      filters: DataFrame) -> DataFrame:
     """Add ``maybe_seen`` to candidates(url_hash, ...) using the bloom
-    layer. Co-partitioned join on bucket (no broadcast at scale); rows in
-    buckets with no filter yet are definitely new."""
+    layer. Cogrouped on bucket so each bucket's bitset crosses the
+    shuffle ONCE per bucket — a plain join would replicate the blob onto
+    every candidate row, multiplying shuffle bytes by the filter size.
+    Buckets with no filter yet are definitely new."""
     cand = candidates.withColumn("bucket", bucket_col(F.col("url_hash")))
-    joined = cand.join(filters, "bucket", "left")
 
-    fields = [f for f in joined.schema.fields
-              if f.name not in ("bits", "m", "k", "n", "bucket")]
+    fields = [f for f in cand.schema.fields if f.name != "bucket"]
     out_schema = T.StructType(fields + [T.StructField("maybe_seen",
                                                       T.BooleanType())])
     keep = [f.name for f in fields]
 
-    def test(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = pdf[keep].copy()
-        if len(pdf) == 0 or pdf["bits"].iloc[0] is None:
+    def test(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf[keep].copy()
+        if len(cand_pdf) == 0:
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        if len(filt_pdf) == 0 or filt_pdf["bits"].iloc[0] is None:
             out["maybe_seen"] = False
             return out
-        bits = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8)
+        bits = np.frombuffer(filt_pdf["bits"].iloc[0], dtype=np.uint8)
         out["maybe_seen"] = _test_bits(
-            bits, pdf["url_hash"].to_numpy(),
-            int(pdf["m"].iloc[0]), int(pdf["k"].iloc[0]))
+            bits, cand_pdf["url_hash"].to_numpy(),
+            int(filt_pdf["m"].iloc[0]), int(filt_pdf["k"].iloc[0]))
         return out
 
-    return joined.groupBy("bucket").applyInPandas(test, out_schema)
+    return (cand.groupBy("bucket")
+            .cogroup(filters.groupBy("bucket"))
+            .applyInPandas(test, out_schema))
 
 
 def new_urls(candidates: DataFrame, seen: DataFrame,

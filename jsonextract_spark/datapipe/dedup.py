@@ -1,0 +1,215 @@
+"""Deduplication operators.
+
+Scale shapes:
+* exact: hash-groupBy on a text fingerprint — one shuffle, min-id winner.
+* MinHash-LSH: per-doc signature (Arrow UDF, numpy-vectorized) → band
+  buckets → self-join *within buckets only* (the LSH point: candidate
+  pairs ∝ collisions, not n²) → exact Jaccard verify on candidates.
+* SimHash: 64-bit fingerprint; Hamming-ball candidates via 4×16-bit
+  block blocking (any pair within distance 3 shares ≥1 exact block).
+
+All hash seeds are fixed constants: results are deterministic across
+runs and parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from jsonextract_spark.functions.urlhash import murmur3_x64_128
+
+N_PERM = 64          # minhash permutations
+N_BANDS = 16         # -> 4 rows per band; s-curve threshold ~0.55
+SHINGLE_K = 5        # char-shingle width
+
+_RNG = np.random.RandomState(20260816)
+_SEEDS = _RNG.randint(0, 2**63 - 1, size=N_PERM).astype(np.uint64)
+
+
+def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    t = text.encode("utf-8", "ignore")
+    if len(t) < k:
+        t = t.ljust(k, b" ")
+    # rolling 64-bit hashes of k-byte shingles, vectorized
+    arr = np.frombuffer(t, dtype=np.uint8).astype(np.uint64)
+    h = np.zeros(len(arr) - k + 1, dtype=np.uint64)
+    for i in range(k):
+        h = h * np.uint64(1099511628211) + arr[i:len(arr) - k + 1 + i]
+    return np.unique(h)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public domain, Vigna) — a 64-bit bijective
+    mixer; XOR-ing a per-permutation seed before mixing gives N_PERM
+    independent hash functions, fully numpy-vectorized."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _minhash_sig(text: str) -> list[int]:
+    sh = _shingle_hashes(text)
+    vals = _splitmix64(sh[:, None] ^ _SEEDS[None, :])  # (n_shingles, 64)
+    mins = vals.min(axis=0).astype(np.int64)           # wrap to signed
+    return [int(v) for v in mins]
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: None if t is None else _minhash_sig(t))
+
+
+def _simhash(text: str) -> int:
+    tokens = text.lower().split()
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h1, _ = murmur3_x64_128(tok.encode("utf-8"))
+        bits = (h1 >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: None if t is None else _simhash(t))
+
+
+# -- operators ---------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative per exact text. One shuffle on the
+    (cheap, uniform) xxhash of the text, not on the text bytes."""
+    return (df
+            .withColumn("_fp", F.xxhash64(F.col(text_col)))
+            .groupBy("_fp")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .drop("_fp"))
+
+
+def minhash_bands(df: DataFrame, text_col: str, id_col: str,
+                  n_bands: int = N_BANDS) -> DataFrame:
+    """id, band, band_hash — the LSH bucket table."""
+    rows_per_band = N_PERM // n_bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_udf(F.col(text_col)).alias("sig"))
+    bands = sig.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1)
+                         for r in range(rows_per_band)])
+            for b in range(n_bands)
+        ])).alias("band", "band_hash"))
+    return bands
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str,
+                            id_col: str) -> DataFrame:
+    """Distinct candidate pairs (a < b) colliding in ≥1 LSH band."""
+    bands = minhash_bands(df, text_col, id_col)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band")) &
+                      (F.col("l.band_hash") == F.col("r.band_hash")) &
+                      (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.8) -> DataFrame:
+    """Candidate pairs verified by exact Jaccard over char shingles."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col)
+    texts = df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("text"))
+    joined = (pairs
+              .join(texts.withColumnRenamed("id", "a")
+                         .withColumnRenamed("text", "text_a"), "a")
+              .join(texts.withColumnRenamed("id", "b")
+                         .withColumnRenamed("text", "text_b"), "b"))
+
+    @F.pandas_udf("double")
+    def jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            sa, sb = set(_shingle_hashes(x)), set(_shingle_hashes(y))
+            out.append(len(sa & sb) / max(len(sa | sb), 1))
+        return pd.Series(out)
+
+    return (joined
+            .withColumn("jaccard", jaccard("text_a", "text_b"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on each of four 16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ some chunk identical), verify distance."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_udf(F.col(text_col)).alias("sh"))
+    chunks = sh.select("id", "sh", F.posexplode(F.array(*[
+        F.shiftrightunsigned(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)
+    ])).alias("chunk_no", "chunk"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (l.join(r, (F.col("l.chunk_no") == F.col("r.chunk_no")) &
+                      (F.col("l.chunk") == F.col("r.chunk")) &
+                      (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                    F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+            .distinct())
+    dist = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (cand.withColumn("hamming", dist)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("a", "b", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        max_docs_per_token: int = 200) -> DataFrame:
+    """Word n-gram Jaccard via an inverted index join (exact, not LSH).
+
+    ``max_docs_per_token`` drops stop-n-grams that would quadratically
+    blow up the join (logged cap, standard for inverted-index joins).
+    """
+    grams = (df.select(F.col(id_col).alias("id"),
+                       F.explode(F.transform(
+                           F.sequence(F.lit(0),
+                                      F.greatest(
+                                          F.lit(0),
+                                          F.size(F.split(F.col(text_col),
+                                                         " ")) - n)),
+                           lambda i: F.xxhash64(F.concat_ws(
+                               " ", F.slice(F.split(F.col(text_col), " "),
+                                            i + 1, n))))).alias("g"))
+             .distinct())
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    freq = grams.groupBy("g").agg(F.count("*").alias("df_"))
+    grams_f = (grams.join(freq, "g")
+               .filter(F.col("df_") <= max_docs_per_token).drop("df_"))
+    l, r = grams_f.alias("l"), grams_f.alias("r")
+    inter = (l.join(r, (F.col("l.g") == F.col("r.g")) &
+                       (F.col("l.id") < F.col("r.id")))
+             .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("id", "a")
+                       .withColumnRenamed("sz", "sza"), "a")
+            .join(sizes.withColumnRenamed("id", "b")
+                       .withColumnRenamed("sz", "szb"), "b")
+            .withColumn("jaccard", F.col("inter") /
+                        (F.col("sza") + F.col("szb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))

@@ -1,0 +1,83 @@
+"""Text analysis operators: token stats, quality features, language ID,
+document fingerprints. Everything except langid stays JVM-side
+(built-in functions, whole-stage codegen); langid is an Arrow UDF with a
+tiny deterministic stopword model.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Column, functions as F
+from pyspark.sql.types import LongType, StringType
+
+from jsonextract_spark.functions.urlhash import murmur3_64
+
+
+def token_count(col) -> Column:
+    """Whitespace token count — single-space split, matches the synthetic
+    corpus; swap the pattern for \\s+ on messy text."""
+    return F.size(F.split(col, " "))
+
+
+def char_count(col, ch: str) -> Column:
+    return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Cheap quality heuristics, all codegen'd: length, tokens, mean token
+    length, space/punct/digit ratios, 'the' stopword hits."""
+    t = F.col(text_col)
+    n = F.length(t)
+    toks = token_count(t)
+    return df.withColumns({
+        "n_chars_q": n,
+        "n_tokens": toks,
+        "mean_tok_len": (n - toks + 1) / toks,
+        "space_ratio": char_count(t, " ") / n,
+        "digit_ratio": (n - F.length(F.regexp_replace(t, "[0-9]", ""))) / n,
+        "punct_ratio": (n - F.length(
+            F.regexp_replace(t, "[\\.,;:!\\?'\"]", ""))) / n,
+        "stopword_hits": F.size(F.filter(
+            F.split(t, " "), lambda w: w.isin("the", "a", "of", "and", "in"))),
+    })
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "nicht",
+           "ein"},
+    "fr": {"le", "la", "les", "et", "est", "des", "un", "une", "du", "que"},
+    "es": {"el", "la", "los", "de", "y", "es", "en", "un", "una", "por"},
+    "zh": {"的", "是", "了", "在", "和", "有", "我", "不", "人", "这"},
+}
+
+
+def _langid(text: str) -> str:
+    words = set(text.lower().split()[:200])
+    best, best_score = "und", 0
+    for lang in sorted(_STOPWORDS):
+        score = len(words & _STOPWORDS[lang])
+        if score > best_score:
+            best, best_score = lang, score
+    if best == "und":
+        # CJK fallback: any han codepoint
+        if any("一" <= c <= "鿿" for c in text[:400]):
+            return "zh"
+    return best
+
+
+@F.pandas_udf(StringType())
+def langid_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: "und" if not t else _langid(t))
+
+
+@F.pandas_udf(LongType())
+def fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """64-bit document fingerprint over whitespace-normalized lowercase
+    text (stable under reflow/case changes)."""
+    def one(t):
+        if t is None:
+            return None
+        norm = " ".join(t.lower().split())
+        return murmur3_64(norm)
+    return texts.map(one)

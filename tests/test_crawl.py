@@ -107,8 +107,9 @@ def _ledger(warehouse: str):
 
 
 def _seen_set(warehouse: str, round_no: int):
+    # seen is stored as append-only per-round deltas
     return set(r[0] for r in duckdb.sql(
-        f"SELECT url_hash FROM '{warehouse}/seen/round={round_no}/*.parquet'"
+        f"SELECT url_hash FROM '{warehouse}/seen/*/*.parquet'"
     ).fetchall())
 
 

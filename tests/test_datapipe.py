@@ -1,0 +1,160 @@
+"""Dedup / similarity / text-stats operator correctness."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def _corpus(spark):
+    rows = []
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    for i in range(30):
+        rows.append((i, f"{base} variant {i} " + "pad %d " % i * 5))
+    rows.append((100, rows[0][1]))                     # exact dup of 0
+    rows.append((101, rows[1][1] + " tiny tail"))      # near dup of 1
+    rows.append((102, "completely different text about spark engines "
+                      "and arrow batches flowing through pipelines"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    from jsonextract_spark.datapipe.dedup import exact_dedup
+
+    out = exact_dedup(_corpus(spark), "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[0] == 2          # doc 0 + doc 100
+    assert 100 not in by_id       # min-id wins
+    assert by_id[102] == 1
+    assert len(by_id) == 32       # 33 rows, one collapsed
+
+
+def test_minhash_finds_planted_dups(spark):
+    from jsonextract_spark.datapipe.dedup import minhash_dedup_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in minhash_dedup_pairs(_corpus(spark), "text", "doc_id",
+                                          threshold=0.7).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] == 1.0
+    assert (1, 101) in pairs and pairs[(1, 101)] >= 0.8
+    assert not any(a == 102 or b == 102 for a, b in pairs)
+
+
+def test_simhash_finds_planted_dups(spark):
+    from jsonextract_spark.datapipe.dedup import simhash_candidates
+
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_candidates(_corpus(spark), "text", "doc_id",
+                                       max_hamming=3).collect()}
+    assert got.get((0, 100)) == 0
+    assert (1, 101) in got
+    assert not any(a == 102 or b == 102 for a, b in got)
+
+
+def test_ngram_jaccard(spark):
+    from jsonextract_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(_corpus(spark), "text", "doc_id",
+                                          n=3, threshold=0.5).collect()}
+    assert pairs.get((0, 100)) == 1.0
+    assert (1, 101) in pairs
+
+
+def test_brute_topk_matches_numpy(spark):
+    from jsonextract_spark.datapipe.similarity import brute_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 8)).astype(np.float64)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (df.filter("vec_id < 3")
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = df.filter("vec_id >= 3")
+
+    out = brute_topk(corpus, queries, k=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        order = sorted(((sims[q, j], -j) for j in range(3, 50)),
+                       reverse=True)
+        want = [-j for _, j in order[:4]]
+        assert [n for _, n in sorted(got[q])] == want
+
+
+def test_lsh_topk_recall(spark):
+    from jsonextract_spark.datapipe.similarity import brute_topk, lsh_topk
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((40, 64))
+    # queries are small perturbations of corpus points -> high cosine
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    for q in range(3):
+        rows.append((100 + q,
+                     [float(x) for x in
+                      base[q] + 0.05 * rng.standard_normal(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (df.filter("vec_id >= 100")
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = df.filter("vec_id < 100")
+
+    approx = lsh_topk(corpus, queries, k=1)
+    got = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    # the true nearest neighbor (its un-perturbed source) must be found
+    hits = sum(1 for q in range(3) if got.get(100 + q) == q)
+    assert hits >= 2  # OR-amplified over 4 tables; allow 1 miss
+
+
+def test_quality_and_langid(spark):
+    from jsonextract_spark.datapipe.textstats import (
+        langid_udf, quality_features, fingerprint_udf)
+
+    rows = [(1, "the cat sat on the mat and the dog ran in the park"),
+            (2, "der hund ist nicht in der stadt und das haus ist alt"),
+            (3, "le chat est dans la maison et les enfants sont la"),
+            (4, "el perro es grande y la casa es azul en la ciudad"),
+            (5, "the  cat  sat"),  # reflow: same fingerprint as 6
+            (6, "The cat sat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in df.select("doc_id",
+                              langid_udf("text").alias("lang_pred"))
+           .collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" \
+        and out[4] == "es"
+
+    q = quality_features(df, "text").filter("doc_id = 1").collect()[0]
+    assert q["n_tokens"] == 13
+    assert q["stopword_hits"] == 6  # 'the' x4 + 'and' + 'in'
+
+    fp = {r["doc_id"]: r["fp"]
+          for r in df.select("doc_id", fingerprint_udf("text").alias("fp"))
+          .collect()}
+    assert fp[5] == fp[6]  # whitespace/case-normalized
+    assert fp[1] != fp[2]
+
+
+def test_multimodal_plumbing(spark):
+    from jsonextract_spark.datapipe.multimodal import (
+        decode_features, synth_media)
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    media = synth_media(spark, docs)
+    feats = decode_features(media, decode_mode="fake")
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r["ok"] and len(r["feat"]) == 32 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r["doc_id"]: r["feat"] for r in
+             decode_features(media, decode_mode="fake").collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["feat"]
+    # real mode is stubbed, surfaces the error without failing the job
+    real = decode_features(media, decode_mode="real").collect()
+    assert all((not r["ok"]) and "codec" in r["err"] for r in real)

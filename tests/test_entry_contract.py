@@ -1,0 +1,80 @@
+"""Emulates the driver's verify: every queries() entry runs at sf0.01;
+entries with an oracle must match DuckDB on row count, column names and
+(order-insensitive) values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(rows, cols):
+    """Sort columns by name and rows by value, with floats rounded to
+    9 significant-ish digits (the driver hashes exact values; this test
+    wants to catch anything beyond benign float formatting)."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def conv(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return round(v, 9)
+        return v
+
+    return sorted(tuple(conv(r[i]) for i in idx) for r in rows)
+
+
+ORACLED = sorted(entry_mod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLED))
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc_id", "pos", "obj"}
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_vs_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(ddb_cols), f"{name}: columns differ"
+    assert len(spark_rows) == len(ddb_rows), f"{name}: row count differs"
+    assert _norm(spark_rows, spark_cols) == _norm(ddb_rows, ddb_cols), \
+        f"{name}: values differ"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    df.limit(5).collect()  # materialize a sample
