@@ -1,0 +1,65 @@
+"""Real HTTP fetch stage (production path for crawl/synth.py's slot).
+
+`mapInPandas` batch fetcher: each task owns a politeness bucket of URLs
+(the pipeline repartitions by salted host before calling this), fetches
+sequentially within the task with a per-request delay — so per-host
+politeness is enforced structurally by partitioning, not by a global
+rate limiter. Browser-ish headers match the reference CLI
+(/root/reference/cmd/jsonx/main.go:19-32, 64-87).
+
+No external network exists in the sandbox; tests drive this against a
+local http.server. On a cluster this is the drop-in fetch stage:
+``pages = batch.repartition(N, host, salt).mapInPandas(
+make_fetcher(...), FETCH_HTTP_SCHEMA)``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+FETCH_HTTP_SCHEMA = ("url string, status int, fetched_ts double,"
+                     " html binary, text string, err string")
+
+_HEADERS = {
+    "User-Agent": "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+                  "(KHTML, like Gecko) Chrome/120.0 Safari/537.36",
+    "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,"
+              "*/*;q=0.8",
+    "Accept-Language": "en-US,en;q=0.9",
+}
+
+
+def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
+                 max_bytes: int = 4 << 20):
+    """Build the mapInPandas kernel. ``delay_sec`` spaces requests inside
+    a task (politeness within the host bucket)."""
+
+    def fetch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.request import Request, urlopen
+
+        for pdf in batches:
+            rows = {"url": [], "status": [], "fetched_ts": [],
+                    "html": [], "text": [], "err": []}
+            for url in pdf["url"]:
+                status, body, err = 0, b"", None
+                try:
+                    req = Request(url, headers=_HEADERS)
+                    with urlopen(req, timeout=timeout_sec) as resp:
+                        status = resp.status
+                        body = resp.read(max_bytes)
+                except Exception as e:  # noqa: BLE001 — per-url isolation
+                    err = f"{type(e).__name__}: {e}"
+                rows["url"].append(url)
+                rows["status"].append(status)
+                rows["fetched_ts"].append(time.time())
+                rows["html"].append(body)
+                rows["text"].append(body.decode("utf-8", "replace"))
+                rows["err"].append(err)
+                if delay_sec:
+                    time.sleep(delay_sec)
+            yield pd.DataFrame(rows)
+
+    return fetch
