@@ -242,6 +242,35 @@ def _q_crawl_reachable(spark, sf_dir):
     return reach.groupBy("id").agg(F.min("depth").alias("depth"))
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex tokenization (letters runs / digit runs / single
+    punctuation) — JVM-side regexp, cross-checked against DuckDB RE2."""
+    docs = _docs(spark, sf_dir)
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        .cast("bigint").alias("n_bpe_tokens"))
+
+
+def _q_embed_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: corpus ∪ exact copy (ids+10000)
+    → all pairs with cosine ≥ 0.999 (the planted copies)."""
+    from jsonextract_spark.datapipe.similarity import _cosine_expr
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "v"))
+    a = corpus.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    return (a.join(b, F.col("a") < F.col("b"))
+            .withColumn("cos", _cosine_expr(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= 0.999)
+            .select("a", "b"))
+
+
 def _q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -339,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": _q_ann_topk,
         "q_crawl_reachable": _q_crawl_reachable,
         "q_sessionize": _q_sessionize,
+        "q_bpe_tokens": _q_bpe_tokens,
+        "q_embed_dup": _q_embed_dup,
         # rows-only (no SQL oracle):
         "q_minhash_pairs": _q_minhash_pairs,
         "q_simhash_pairs": _q_simhash_pairs,
@@ -467,6 +498,26 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE depth < 2
             )
             SELECT id, min(depth) AS depth FROM reach GROUP BY id
+        """,
+        "q_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "q_embed_dup": """
+            WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000, CAST(embedding AS DOUBLE[])
+                FROM embeddings
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM corpus x, corpus y
+            WHERE x.vec_id < y.vec_id
+              AND list_cosine_similarity(x.v, y.v) >= 0.999
         """,
         "q_sessionize": """
             SELECT user_id,

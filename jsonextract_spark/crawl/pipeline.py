@@ -60,7 +60,8 @@ def load_seen(spark: SparkSession, wh: Warehouse, upto_round: int):
     return spark.read.parquet(*paths)
 
 
-def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int):
+def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
+               filter_kind: str = "bloom"):
     seeds = spark.createDataFrame([(u,) for u in synth.seed_urls(n_seeds)],
                                   "url string")
     frontier = (_with_url_identity(seeds)
@@ -69,7 +70,8 @@ def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int):
                 .withColumn("priority", priority_of(F.lit(0))))
     wh.save(frontier, "frontier", 0)
     wh.save(frontier.select("url_hash"), "seen", 0)
-    wh.save(seen_mod.build_filters(frontier.select("url_hash")),
+    wh.save(seen_mod.build_filters(frontier.select("url_hash"),
+                                   kind=filter_kind),
             "seen_filter", 0)
     wh.commit_round(0, {"phase": "init", "seeds": n_seeds})
 
@@ -85,15 +87,21 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     seen = load_seen(spark, wh, prev)
     filters = wh.load(spark, "seen_filter", prev) if use_bloom else None
     robots = make_robots(spark)
+    host_stats = (wh.load(spark, "host_stats", prev)
+                  if wh.exists("host_stats", prev) else None)
 
-    # 1. pop (robots gate + salted per-host top-k + global cap)
-    batch = pop_batch(frontier, robots, host_budget, batch_size)
+    # 1. pop (robots gate + host-budget discount + salted per-host top-k
+    #    + global cap)
+    batch = pop_batch(frontier, robots, host_budget, batch_size,
+                      host_stats=host_stats)
     batch = batch.withColumn("batch_id", F.lit(round_no)).cache()
     n_batch = batch.count()
     if n_batch == 0:
         wh.save(frontier, "frontier", round_no)
         if filters is not None:
             wh.save(filters, "seen_filter", round_no)
+        if host_stats is not None:
+            wh.save(host_stats, "host_stats", round_no)
         wh.commit_round(round_no, {"fetched": 0, "new": 0, "empty": True})
         return {"fetched": 0, "new": 0, "sec": time.time() - t0}
 
@@ -150,6 +158,17 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
 
     wh.save(next_frontier, "frontier", round_no)
     wh.save(fresh.select("url_hash"), "seen", round_no)
+
+    # cumulative per-host fetch counts drive next round's budget scoring
+    round_hosts = batch.groupBy("host").agg(
+        F.count(F.lit(1)).cast("double").alias("crawled"))
+    if host_stats is not None:
+        combined = (host_stats.unionByName(round_hosts)
+                    .groupBy("host")
+                    .agg(F.sum("crawled").alias("crawled")))
+    else:
+        combined = round_hosts
+    wh.save(combined, "host_stats", round_no)
     if filters is not None:
         # Incremental OR-merge: touches only buckets that gained keys.
         wh.save(seen_mod.merge_filters(filters, fresh),
@@ -175,7 +194,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
 def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
               n_seeds: int = 100, host_budget: int = DEFAULT_HOST_BUDGET,
               batch_size: int = DEFAULT_BATCH_SIZE,
-              use_bloom: bool = True, resume: bool = False) -> list[dict]:
+              use_bloom: bool = True, resume: bool = False,
+              filter_kind: str = "bloom") -> list[dict]:
     """Run (or resume) a crawl to ``rounds`` committed rounds."""
     wh = Warehouse(warehouse)
     if not resume:
@@ -183,7 +203,7 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
         wh = Warehouse(warehouse)
     start = wh.last_committed_round()
     if start < 0:
-        init_state(spark, wh, n_seeds)
+        init_state(spark, wh, n_seeds, filter_kind)
         start = 0
     stats = []
     for r in range(start + 1, rounds + 1):
@@ -214,13 +234,16 @@ def main():
     ap.add_argument("--host-budget", type=int, default=DEFAULT_HOST_BUDGET)
     ap.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--filter-kind", default="bloom",
+                    choices=["bloom", "cuckoo"])
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     from jsonextract_spark.session import build_session
     spark = build_session("jsx-crawl", master=args.master)
     stats = run_crawl(spark, args.warehouse, args.rounds, args.seeds,
-                      args.host_budget, args.batch_size, resume=args.resume)
+                      args.host_budget, args.batch_size,
+                      resume=args.resume, filter_kind=args.filter_kind)
     for s in stats:
         print(s)
 

@@ -42,17 +42,31 @@ def salted_top_k_per_group(df: DataFrame, group_cols: list[str],
 
 
 def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
-              batch_size: int, salts: int = SALT_PARTS) -> DataFrame:
+              batch_size: int, salts: int = SALT_PARTS,
+              host_stats: DataFrame | None = None) -> DataFrame:
     """Select this round's fetch set.
 
-    frontier: url, url_hash, host, depth, priority
-    robots:   host, allowed (small; broadcast)
+    frontier:   url, url_hash, host, depth, priority
+    robots:     host, allowed (small; broadcast)
+    host_stats: host, crawled (cumulative fetch count; small; broadcast).
+                When given, effective priority is discounted by how much
+                of the host's budget history is already spent
+                (north_star: "depth + host-budget scoring").
     Returns the batch with a deterministic global ``rank``.
     """
     allowed = (frontier
                .join(F.broadcast(robots), "host", "left")
                .filter(F.coalesce(F.col("allowed"), F.lit(True)))
                .drop("allowed"))
+    if host_stats is not None:
+        allowed = (allowed
+                   .join(F.broadcast(host_stats), "host", "left")
+                   .withColumn(
+                       "priority",
+                       F.col("priority") /
+                       (F.lit(1.0) + F.log1p(
+                           F.coalesce(F.col("crawled"), F.lit(0.0)))))
+                   .drop("crawled"))
 
     order = [F.col("priority").desc(), F.col("depth").asc(),
              F.col("url").asc()]

@@ -34,9 +34,10 @@ K_PROBES = 7
 
 _FILTER_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType()),
+    T.StructField("kind", T.StringType()),      # 'bloom' | 'cuckoo'
     T.StructField("bits", T.BinaryType()),
-    T.StructField("m", T.IntegerType()),
-    T.StructField("k", T.IntegerType()),
+    T.StructField("m", T.IntegerType()),        # bloom bits / cuckoo buckets
+    T.StructField("k", T.IntegerType()),        # bloom probes / cuckoo overflow
     T.StructField("n", T.LongType()),
 ])
 
@@ -69,13 +70,30 @@ def _test_bits(bits: np.ndarray, hashes: np.ndarray, m: int,
     return hit.all(axis=1)
 
 
-def build_filters(seen: DataFrame, m: int = M_BITS,
-                  k: int = K_PROBES) -> DataFrame:
-    """seen(url_hash) -> seen_filter(bucket, bits, m, k, n) via grouped-map."""
+def _build_cuckoo(hashes: np.ndarray):
+    from jsonextract_spark.crawl import cuckoo
+
+    f = cuckoo.CuckooFilter(cuckoo.sized_for(max(len(hashes), 1) * 4))
+    overflow = f.insert_many(hashes)
+    return f.to_bytes(), f.nb, overflow, f.n
+
+
+def build_filters(seen: DataFrame, m: int = M_BITS, k: int = K_PROBES,
+                  kind: str = "bloom") -> DataFrame:
+    """seen(url_hash) -> one filter row per bucket via grouped-map (the
+    'UDAF' of the seen set). kind='cuckoo' uses the deletion-capable
+    cuckoo codec; its `k` column counts insert overflows — a bucket with
+    overflow>0 degrades to 'prune nothing' (still exact, never lossy)."""
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf["url_hash"].to_numpy()
+        if kind == "cuckoo":
+            bits, nb, overflow, n = _build_cuckoo(hashes)
+            return pd.DataFrame({
+                "bucket": [int(pdf["bucket"].iloc[0])], "kind": ["cuckoo"],
+                "bits": [bits], "m": [nb], "k": [overflow], "n": [n],
+            })
         return pd.DataFrame({
-            "bucket": [int(pdf["bucket"].iloc[0])],
+            "bucket": [int(pdf["bucket"].iloc[0])], "kind": ["bloom"],
             "bits": [_build_bits(hashes, m, k)],
             "m": [m], "k": [k], "n": [len(hashes)],
         })
@@ -96,28 +114,60 @@ def merge_filters(filters: DataFrame, fresh: DataFrame,
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf["url_hash"].to_numpy()
         return pd.DataFrame({
-            "bucket": [int(key[0])],
-            "bits": [_build_bits(hashes, m, k)],
-            "m": [m], "k": [k], "n": [len(hashes)],
+            "bucket": [int(key[0])], "kind": ["delta"],
+            "bits": [hashes.astype(np.int64).tobytes()],
+            "m": [0], "k": [0], "n": [len(hashes)],
         })
 
     partial = delta.groupBy("bucket").applyInPandas(build, _FILTER_SCHEMA)
     both = filters.unionByName(partial)
 
-    def ormerge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = None
-        n = 0
-        for b, nn in zip(pdf["bits"], pdf["n"]):
-            arr = np.frombuffer(b, dtype=np.uint8)
-            acc = arr.copy() if acc is None else (acc | arr)
-            n += int(nn)
-        return pd.DataFrame({
-            "bucket": [int(key[0])], "bits": [acc.tobytes()],
-            "m": [int(pdf["m"].iloc[0])], "k": [int(pdf["k"].iloc[0])],
-            "n": [n],
-        })
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        base = pdf[pdf["kind"] != "delta"]
+        deltas = pdf[pdf["kind"] == "delta"]
+        fresh = (np.concatenate([
+            np.frombuffer(b, dtype=np.int64) for b in deltas["bits"]])
+            if len(deltas) else np.array([], dtype=np.int64))
+        if len(base) == 0:
+            # bucket had no filter yet: build from the delta alone
+            if kind_hint[0] == "cuckoo":
+                bits, nb, overflow, n = _build_cuckoo(fresh)
+                return pd.DataFrame({
+                    "bucket": [int(key[0])], "kind": ["cuckoo"],
+                    "bits": [bits], "m": [nb], "k": [overflow],
+                    "n": [n]})
+            return pd.DataFrame({
+                "bucket": [int(key[0])], "kind": ["bloom"],
+                "bits": [_build_bits(fresh, m, k)],
+                "m": [m], "k": [k], "n": [len(fresh)]})
+        row = base.iloc[0]
+        if row["kind"] == "cuckoo":
+            from jsonextract_spark.crawl import cuckoo
 
-    return both.groupBy("bucket").applyInPandas(ormerge, _FILTER_SCHEMA)
+            f = cuckoo.CuckooFilter.from_bytes(bytes(row["bits"]),
+                                               int(row["n"]))
+            overflow = int(row["k"]) + f.insert_many(fresh)
+            return pd.DataFrame({
+                "bucket": [int(key[0])], "kind": ["cuckoo"],
+                "bits": [f.to_bytes()], "m": [f.nb], "k": [overflow],
+                "n": [f.n]})
+        acc = np.frombuffer(row["bits"], dtype=np.uint8).copy()
+        if len(fresh):
+            add = np.frombuffer(
+                _build_bits(fresh, int(row["m"]), int(row["k"])),
+                dtype=np.uint8)
+            acc |= add
+        return pd.DataFrame({
+            "bucket": [int(key[0])], "kind": ["bloom"],
+            "bits": [acc.tobytes()], "m": [int(row["m"])],
+            "k": [int(row["k"])], "n": [int(row["n"]) + len(fresh)]})
+
+    # kind for buckets created fresh during this merge follows the kinds
+    # already present (all-bloom or all-cuckoo warehouses)
+    kind_hint = [
+        (filters.select("kind").first() or ["bloom"])[0] or "bloom"
+    ]
+    return both.groupBy("bucket").applyInPandas(merge, _FILTER_SCHEMA)
 
 
 def prune_candidates(candidates: DataFrame,
@@ -142,10 +192,21 @@ def prune_candidates(candidates: DataFrame,
         if len(filt_pdf) == 0 or filt_pdf["bits"].iloc[0] is None:
             out["maybe_seen"] = False
             return out
-        bits = np.frombuffer(filt_pdf["bits"].iloc[0], dtype=np.uint8)
-        out["maybe_seen"] = _test_bits(
-            bits, cand_pdf["url_hash"].to_numpy(),
-            int(filt_pdf["m"].iloc[0]), int(filt_pdf["k"].iloc[0]))
+        row = filt_pdf.iloc[0]
+        hashes = cand_pdf["url_hash"].to_numpy()
+        if row["kind"] == "cuckoo":
+            from jsonextract_spark.crawl import cuckoo
+
+            if int(row["k"]) > 0:
+                # saturated bucket: degrade to no pruning (stay exact)
+                out["maybe_seen"] = True
+                return out
+            f = cuckoo.CuckooFilter.from_bytes(bytes(row["bits"]))
+            out["maybe_seen"] = f.contains_many(hashes)
+            return out
+        bits = np.frombuffer(row["bits"], dtype=np.uint8)
+        out["maybe_seen"] = _test_bits(bits, hashes,
+                                       int(row["m"]), int(row["k"]))
         return out
 
     return (cand.groupBy("bucket")
