@@ -31,6 +31,17 @@ tokens that cannot form valid JSON anyway).
 
 from __future__ import annotations
 
+import re
+
+# C-speed scanners for the hot ASCII paths. Semantics are identical to
+# the explicit loops below (which remain the fallback for non-ASCII);
+# the golden corpus pins the token boundaries.
+_WS_RE = re.compile(rb"[ \t\v\f\r\n]+")
+_IDENT_RE = re.compile(rb"[A-Za-z_$][A-Za-z0-9_$]*")
+_LINE_COMMENT_RE = re.compile(rb"//[^\r\n]*")
+_DQ_STRING_RE = re.compile(rb'"(?:[^"\\\r\n]|\\\r\n|\\.)*"', re.DOTALL)
+_SQ_STRING_RE = re.compile(rb"'(?:[^'\\\r\n]|\\\r\n|\\.)*'", re.DOTALL)
+
 IGNORE = 0
 IDENT = 1
 PUNCT = 2
@@ -55,6 +66,17 @@ _PUNCT_2 = (b"=>", b"==", b"!=", b"<=", b">=", b"++", b"--", b"&&", b"||",
             b"??", b"?.", b"+=", b"-=", b"*=", b"%=", b"&=", b"|=", b"^=",
             b"<<", b">>", b"**")
 _PUNCT_1 = frozenset(b"{}[]();,<>+-*%&|^!~?:=.")
+
+# first byte -> multi-char punctuators (longest first); most punctuation
+# in real JSON data ({}[],:;) starts none, so the common case is a
+# single dict miss instead of 31 startswith probes.
+_PUNCT_MULTI: dict[int, tuple[bytes, ...]] = {}
+for _p in _PUNCT_3_4 + _PUNCT_2:
+    _PUNCT_MULTI.setdefault(_p[0], ())
+for _b in list(_PUNCT_MULTI):
+    _PUNCT_MULTI[_b] = tuple(sorted(
+        (p for p in _PUNCT_3_4 + _PUNCT_2 if p[0] == _b),
+        key=len, reverse=True))
 
 _HEX = frozenset(b"0123456789abcdefABCDEF")
 _DEC = frozenset(b"0123456789")
@@ -112,7 +134,10 @@ class Lexer:
 
         # whitespace / line terminators (grouped; only length is observable)
         if b0 in _WS_ASCII or b0 == 0x0A or b0 == 0x0D:
-            j = i
+            j = _WS_RE.match(d, i).end()
+            if j >= n or d[j] < 0x80:
+                self.pos = j
+                return IGNORE, d[i:j]
             while j < n:
                 c = d[j]
                 if c in _WS_ASCII or c == 0x0A or c == 0x0D:
@@ -152,20 +177,14 @@ class Lexer:
         # comments
         if b0 == 0x2F:  # '/'
             if i + 1 < n and d[i + 1] == 0x2F:  # //
-                j = i + 2
-                while j < n:
-                    c = d[j]
-                    if c == 0x0A or c == 0x0D:
-                        break
-                    if c >= 0x80:
-                        ch, ln = self._rune_at(j)
-                        if ch in _LT_UNI:
-                            break
-                        j += ln
-                    else:
-                        j += 1
-                self.pos = j
-                return IGNORE, d[i:j]
+                text = _LINE_COMMENT_RE.match(d, i).group()
+                # U+2028/U+2029 also terminate a line comment
+                for lt in (b"\xe2\x80\xa8", b"\xe2\x80\xa9"):
+                    p = text.find(lt)
+                    if p >= 0:
+                        text = text[:p]
+                self.pos = i + len(text)
+                return IGNORE, text
             if i + 1 < n and d[i + 1] == 0x2A:  # /*
                 j = d.find(b"*/", i + 2)
                 if j < 0:
@@ -195,15 +214,13 @@ class Lexer:
         if b0 in _IDENT_START_ASCII:
             return self._ident(i)
 
-        # punctuators (maximal munch)
-        for p in _PUNCT_3_4:
-            if d.startswith(p, i):
-                self.pos = i + len(p)
-                return PUNCT, p
-        for p in _PUNCT_2:
-            if d.startswith(p, i):
-                self.pos = i + 2
-                return PUNCT, p
+        # punctuators (maximal munch via first-byte dispatch)
+        multi = _PUNCT_MULTI.get(b0)
+        if multi is not None:
+            for p in multi:
+                if d.startswith(p, i):
+                    self.pos = i + len(p)
+                    return PUNCT, p
         if b0 in _PUNCT_1:
             self.pos = i + 1
             return PUNCT, d[i:i + 1]
@@ -212,6 +229,12 @@ class Lexer:
 
     def _ident(self, i: int):
         d, n = self.data, self.n
+        m = _IDENT_RE.match(d, i)
+        if m is not None:
+            j = m.end()
+            if j >= n or d[j] < 0x80:
+                self.pos = j
+                return IDENT, d[i:j]
         j = i
         while j < n:
             c = d[j]
@@ -230,6 +253,10 @@ class Lexer:
 
     def _string(self, i: int, quote: int):
         d, n = self.data, self.n
+        m = (_DQ_STRING_RE if quote == 0x22 else _SQ_STRING_RE).match(d, i)
+        if m is not None:
+            self.pos = m.end()
+            return STRING, m.group()
         j = i + 1
         while j < n:
             c = d[j]

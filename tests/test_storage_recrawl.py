@@ -1,0 +1,65 @@
+"""Bucketed-join plan assertion + recrawl scheduling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from jsonextract_spark.crawl import storage
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(5000).select(
+            F.col("id").alias("url_hash"),
+            (F.col("id") % 7).alias("depth"))
+        right = spark.range(0, 5000, 2).select(
+            F.col("id").alias("url_hash"),
+            (F.col("id") * 3).alias("n_objects"))
+        storage.save_bucketed(left, "t_frontier_b")
+        storage.save_bucketed(right, "t_extracted_b")
+
+        joined = storage.bucketed_join(spark, "t_frontier_b",
+                                       "t_extracted_b")
+        assert joined.count() == 2500
+        assert not storage.plan_has_exchange(joined), \
+            "bucketed join must not shuffle either side"
+
+        # control: the same join on plain parquet DOES shuffle
+        p1, p2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+        left.write.mode("overwrite").parquet(p1)
+        right.write.mode("overwrite").parquet(p2)
+        plain = spark.read.parquet(p1).join(spark.read.parquet(p2),
+                                            "url_hash")
+        plain.count()
+        assert storage.plan_has_exchange(plain)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_frontier_b")
+        spark.sql("DROP TABLE IF EXISTS t_extracted_b")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_refresh_candidates_and_reopen(spark):
+    from jsonextract_spark.crawl.recrawl import (
+        refresh_candidates, reopen_in_frontier)
+
+    fetched = spark.createDataFrame(
+        [("https://h/a", 1, "h", 1, 100.0),
+         ("https://h/b", 2, "h", 2, 900.0),
+         ("https://h/c", 3, "h", 0, 950.0)],
+        "url string, url_hash long, host string, depth int,"
+        " fetched_ts double")
+    stale = refresh_candidates(fetched, now_ts=1000.0, max_age_sec=300)
+    assert {r["url_hash"] for r in stale.collect()} == {1}
+
+    frontier = spark.createDataFrame(
+        [("https://h/x", 9, "h", 3, 0.25),
+         ("https://h/a", 1, "h", 1, 0.01)],  # already pending, low prio
+        "url string, url_hash long, host string, depth int,"
+        " priority double")
+    merged = reopen_in_frontier(frontier, stale)
+    rows = {r["url_hash"]: r for r in merged.collect()}
+    assert len(rows) == 2
+    assert rows[1]["priority"] == pytest.approx(0.25)  # boosted refresh wins
+    assert rows[9]["priority"] == pytest.approx(0.25)
