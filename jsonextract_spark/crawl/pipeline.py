@@ -26,14 +26,30 @@ from jsonextract_spark.crawl.scheduler import pop_batch, priority_of
 from jsonextract_spark.crawl.tables import Warehouse
 from jsonextract_spark.functions.udfs import (
     canonicalize_url_udf,
-    extract_links_udf,
-    extract_objects_udf,
     murmur3_64_udf,
     url_host_udf,
 )
 
 DEFAULT_HOST_BUDGET = 5
 DEFAULT_BATCH_SIZE = 512
+
+
+def _write_metrics(wh: Warehouse, round_no: int, kv: dict):
+    """Metrics are 4 rows/round — write them driver-side with pyarrow
+    instead of paying a Spark job."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = wh._path("metrics", round_no)
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table({
+        "batch_id": pa.array([round_no] * len(kv), pa.int32()),
+        "key": pa.array(list(kv.keys()), pa.string()),
+        "value": pa.array([float(v) for v in kv.values()], pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
 
 
 def make_robots(spark: SparkSession) -> DataFrame:
@@ -111,25 +127,24 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         max(spark.sparkContext.defaultParallelism, 4),
         F.col("host"), F.pmod(F.col("url_hash"), F.lit(8)))
 
-    # 3. synthetic fetch (pure) -> pages shape + lineage
-    pages = fetch_input.mapInPandas(synth.fetch_partition,
-                                    synth.FETCH_OUTPUT_SCHEMA)
-
-    # 4. extract payload + discover links in one pass over `text`
-    enriched = (pages
-                .withColumn("objs", extract_objects_udf("text"))
-                .withColumn("links", extract_links_udf("text"))
+    # 3+4. FUSED synthetic fetch + extract + link discovery: one Arrow
+    # stage, one Python worker per core (see PLANS.md on oversubscription)
+    enriched = (fetch_input
+                .mapInPandas(synth.fetch_extract_partition,
+                             synth.FETCH_EXTRACT_SCHEMA)
                 .withColumn("partition_id", F.spark_partition_id())
                 .cache())
 
     fetched = enriched.select(
-        "batch_id", "rank", "url", "depth",
-        F.size("objs").alias("n_objects"),
-        F.size("links").alias("n_links"),
-        F.length("text").alias("bytes"),
-        "partition_id")
+        "batch_id", "rank", "url", "depth", "n_objects",
+        F.size("links").alias("n_links"), "bytes", "partition_id")
     wh.save(fetched, "fetched", round_no)
-    n_objects = enriched.agg(F.sum(F.size("objs"))).collect()[0][0] or 0
+    # metrics from the parquet just written — no extra Spark job
+    import duckdb as _duck
+
+    n_objects = int(_duck.sql(
+        f"SELECT coalesce(sum(n_objects),0) FROM "
+        f"'{wh._path('fetched', round_no)}/*.parquet'").fetchone()[0])
 
     # 5. link discovery -> candidate identity
     discovered = (enriched
@@ -148,7 +163,6 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     fresh = (fresh.withColumn("priority", priority_of(F.col("depth")))
                   .select("url", "url_hash", "host", "depth", "priority")
                   .cache())
-    n_new = fresh.count()
 
     # 7. state update: frontier = (frontier - fetched) ∪ fresh;
     #    seen grows by an append-only delta (fresh only).
@@ -158,6 +172,9 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
 
     wh.save(next_frontier, "frontier", round_no)
     wh.save(fresh.select("url_hash"), "seen", round_no)
+    n_new = int(_duck.sql(
+        f"SELECT count(*) FROM "
+        f"'{wh._path('seen', round_no)}/*.parquet'").fetchone()[0])
 
     # cumulative per-host fetch counts drive next round's budget scoring
     round_hosts = batch.groupBy("host").agg(
@@ -175,13 +192,10 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                 "seen_filter", round_no)
 
     sec = time.time() - t0
-    metrics = [(round_no, "fetched", float(n_batch)),
-               (round_no, "objects", float(n_objects)),
-               (round_no, "new_urls", float(n_new)),
-               (round_no, "sec", sec)]
-    wh.save(spark.createDataFrame(
-        metrics, "batch_id int, key string, value double"),
-        "metrics", round_no)
+    _write_metrics(wh, round_no, {"fetched": float(n_batch),
+                                  "objects": float(n_objects),
+                                  "new_urls": float(n_new),
+                                  "sec": sec})
     wh.commit_round(round_no, {"fetched": n_batch, "new": n_new,
                                "sec": round(sec, 3)})
     batch.unpersist()

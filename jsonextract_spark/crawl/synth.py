@@ -104,6 +104,44 @@ FETCH_OUTPUT_SCHEMA = (
 )
 
 
+def fetch_extract_partition(rows: Iterable[pd.DataFrame]):
+    """Fused fetch + extract + link discovery in ONE Arrow stage.
+
+    Chaining fetch -> extract -> links as three Python stages runs three
+    workers per core (oversubscription measured at ~0.55 scaling
+    efficiency); fusing restores one worker per core (~0.85+,
+    BENCH/BASELINE.md). The unfused stages remain for the operator API.
+    """
+    from jsonextract_spark.kernel.scanner import extract_objects_str
+    from jsonextract_spark.functions.udfs import _links_from_objs, _budget
+
+    for pdf in rows:
+        ids = pdf["url"].map(page_id_from_url)
+        texts = ids.map(page_text)
+        objs = texts.map(
+            lambda t: extract_objects_str(t, work_budget=_budget(len(t))))
+        links = objs.map(_links_from_objs)
+        yield pd.DataFrame({
+            "url": pdf["url"],
+            "warc_ts": pd.to_datetime(EPOCH + ids, unit="s"),
+            "text": texts,
+            "lang": "en",
+            "depth": pdf["depth"],
+            "batch_id": pdf["batch_id"],
+            "rank": pdf["rank"],
+            "n_objects": objs.map(len),
+            "links": links,
+            "bytes": texts.map(len),
+        })
+
+
+FETCH_EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, text string, lang string, depth int,"
+    " batch_id int, rank long, n_objects int, links array<string>,"
+    " bytes int"
+)
+
+
 def seed_urls(n_seeds: int) -> list[str]:
     """Deterministic seed list: every k-th page of the universe."""
     step = max(UNIVERSE // max(n_seeds, 1), 1)

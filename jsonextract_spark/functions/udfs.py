@@ -134,19 +134,24 @@ def url_host_udf(urls: pd.Series) -> pd.Series:
 
 # -- link discovery ----------------------------------------------------------
 
-def _links_from_text(text: str) -> list[str]:
-    """Discover outlinks: every extracted object contributes its 'links'
-    array of strings (the synthetic corpus embeds {links:[...]}) and any
-    'href' string values. Uses the extraction kernel itself, so link
-    discovery exercises the exact same code path as payload extraction."""
+def _links_from_objs(objs: list[str]) -> list[str]:
+    """Outlinks from already-extracted values: every object contributes
+    its 'links' array of strings and any 'href' string values."""
     links: list[str] = []
-    for obj in extract_objects_str(text, work_budget=_budget(len(text))):
+    for obj in objs:
         try:
             v = json.loads(obj)
         except ValueError:
             continue
         _collect_links(v, links)
     return links
+
+
+def _links_from_text(text: str) -> list[str]:
+    """Discover outlinks via the extraction kernel itself, so link
+    discovery exercises the exact same code path as payload extraction."""
+    return _links_from_objs(
+        extract_objects_str(text, work_budget=_budget(len(text))))
 
 
 def _collect_links(v, out: list[str]):
