@@ -47,48 +47,58 @@ class CuckooFilter:
     def insert_many(self, hashes) -> int:
         """Insert 64-bit hashes; returns number that failed (table full).
         Idempotent-ish: an already-present fingerprint in a candidate
-        bucket is not duplicated."""
+        bucket is not duplicated.
+
+        Bulk path works on a plain Python list-of-lists with scalar int
+        arithmetic — per-key numpy allocations made this ~1000x slower
+        and dominated whole crawl rounds before."""
         h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
-        fps = self._fp(h)
-        i1s = self._i1(h)
+        if h.size == 0:
+            return 0
+        fps = self._fp(h).tolist()
+        i1s = self._i1(h).tolist()
+        mask = self.nb - 1
+        tbl = self.table.tolist()
         fails = 0
-        for fp, i1 in zip(fps.tolist(), i1s.tolist()):
-            if not self._insert_one(np.uint16(fp), i1):
+        n = self.n
+        for fp, i1 in zip(fps, i1s):
+            i2 = i1 ^ ((fp * 0x5BD1E995) & mask)
+            row1 = tbl[i1]
+            row2 = tbl[i2]
+            if fp in row1 or fp in row2:
+                n += 1
+                continue
+            if 0 in row1:
+                row1[row1.index(0)] = fp
+                n += 1
+                continue
+            if 0 in row2:
+                row2[row2.index(0)] = fp
+                n += 1
+                continue
+            # eviction chain, deterministic victim rotation
+            i = i2
+            cur = fp
+            placed = False
+            for kick in range(MAX_KICKS):
+                slot = kick % SLOTS
+                row = tbl[i]
+                victim = row[slot]
+                row[slot] = cur
+                cur = victim
+                i = i ^ ((cur * 0x5BD1E995) & mask)
+                row = tbl[i]
+                if 0 in row:
+                    row[row.index(0)] = cur
+                    placed = True
+                    break
+            if placed:
+                n += 1
+            else:
                 fails += 1
+        self.table = np.asarray(tbl, dtype=np.uint16)
+        self.n = n
         return fails
-
-    def _bucket_has(self, i: int, fp) -> bool:
-        return bool((self.table[i] == fp).any())
-
-    def _try_put(self, i: int, fp) -> bool:
-        row = self.table[i]
-        empty = np.nonzero(row == 0)[0]
-        if len(empty):
-            row[empty[0]] = fp
-            return True
-        return False
-
-    def _insert_one(self, fp, i1: int) -> bool:
-        i2 = int(self._alt(np.array([i1]), np.array([fp]))[0])
-        if self._bucket_has(i1, fp) or self._bucket_has(i2, fp):
-            self.n += 1
-            return True
-        if self._try_put(i1, fp) or self._try_put(i2, fp):
-            self.n += 1
-            return True
-        # eviction chain, deterministic victim rotation
-        i = i2
-        cur = fp
-        for kick in range(MAX_KICKS):
-            slot = kick % SLOTS
-            victim = self.table[i, slot]
-            self.table[i, slot] = cur
-            cur = victim
-            i = int(self._alt(np.array([i]), np.array([cur]))[0])
-            if self._try_put(i, cur):
-                self.n += 1
-                return True
-        return False
 
     def contains_many(self, hashes) -> np.ndarray:
         h = np.asarray(hashes, dtype=np.int64).view(np.uint64)

@@ -112,6 +112,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                       host_stats=host_stats)
     batch = batch.withColumn("batch_id", F.lit(round_no)).cache()
     n_batch = batch.count()
+    t_pop = time.time()
     if n_batch == 0:
         wh.save(frontier, "frontier", round_no)
         if filters is not None:
@@ -145,6 +146,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     n_objects = int(_duck.sql(
         f"SELECT coalesce(sum(n_objects),0) FROM "
         f"'{wh._path('fetched', round_no)}/*.parquet'").fetchone()[0])
+    t_fetch = time.time()
 
     # 5. link discovery -> candidate identity
     discovered = (enriched
@@ -170,11 +172,16 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                               "left_anti")
     next_frontier = remaining.unionByName(fresh)
 
-    wh.save(next_frontier, "frontier", round_no)
+    t_links = time.time()
+    # seen delta first: materializes `fresh` (links -> identity -> gate)
+    # into the cache, so the frontier save below reuses it
     wh.save(fresh.select("url_hash"), "seen", round_no)
     n_new = int(_duck.sql(
         f"SELECT count(*) FROM "
         f"'{wh._path('seen', round_no)}/*.parquet'").fetchone()[0])
+    t_gate = time.time()
+    wh.save(next_frontier, "frontier", round_no)
+    t_frontier = time.time()
 
     # cumulative per-host fetch counts drive next round's budget scoring
     round_hosts = batch.groupBy("host").agg(
@@ -190,12 +197,17 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         # Incremental OR-merge: touches only buckets that gained keys.
         wh.save(seen_mod.merge_filters(filters, fresh),
                 "seen_filter", round_no)
+    t_filter = time.time()
 
     sec = time.time() - t0
-    _write_metrics(wh, round_no, {"fetched": float(n_batch),
-                                  "objects": float(n_objects),
-                                  "new_urls": float(n_new),
-                                  "sec": sec})
+    _write_metrics(wh, round_no, {
+        "fetched": float(n_batch), "objects": float(n_objects),
+        "new_urls": float(n_new), "sec": sec,
+        "sec_pop": t_pop - t0, "sec_fetch_extract": t_fetch - t_pop,
+        "sec_links_dedup": t_links - t_fetch,
+        "sec_gate_seen": t_gate - t_links,
+        "sec_frontier": t_frontier - t_gate,
+        "sec_filter": t_filter - t_frontier})
     wh.commit_round(round_no, {"fetched": n_batch, "new": n_new,
                                "sec": round(sec, 3)})
     batch.unpersist()

@@ -111,7 +111,7 @@ def merge_filters(filters: DataFrame, fresh: DataFrame,
     delta = (fresh.select("url_hash")
              .withColumn("bucket", bucket_col(F.col("url_hash"))))
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key, pdf):
         hashes = pdf["url_hash"].to_numpy()
         return pd.DataFrame({
             "bucket": [int(key[0])], "kind": ["delta"],
@@ -122,7 +122,7 @@ def merge_filters(filters: DataFrame, fresh: DataFrame,
     partial = delta.groupBy("bucket").applyInPandas(build, _FILTER_SCHEMA)
     both = filters.unionByName(partial)
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(key, pdf):
         base = pdf[pdf["kind"] != "delta"]
         deltas = pdf[pdf["kind"] == "delta"]
         fresh = (np.concatenate([
