@@ -322,13 +322,15 @@ def _q_langid(spark, sf_dir):
 
 
 def _q_lsh_ann(spark, sf_dir):
+    """LSH-bucketed ANN. Queries are corpus members so every query has a
+    guaranteed same-bucket true neighbor (itself); random disjoint
+    queries would legitimately return nothing at this corpus size."""
     from jsonextract_spark.datapipe.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.filter("vec_id < 5")
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    corpus = emb.filter("vec_id >= 5")
-    return (lsh_topk(corpus, queries, k=5)
+    return (lsh_topk(emb, queries, k=5, n_tables=8)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("bigint").alias("rnk")))
 

@@ -17,6 +17,16 @@ def build_session(app: str = "jsonextract_spark",
                   master: str | None = None,
                   shuffle_partitions: int | None = None,
                   extra_conf: dict | None = None) -> SparkSession:
+    # Executor Python workers inherit PYTHONPATH, not the driver's
+    # sys.path — make the package importable on workers regardless of
+    # the launch cwd. (On a cluster, ship it via --py-files instead:
+    # scripts/make_pyfiles.sh.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else ""))
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -76,5 +76,14 @@ def test_rows_only_queries_run(spark, name):
     q = entry_mod.queries()[name]
     df = q(spark, SF_DIR)
     n = df.count()
-    assert n >= 0
+    # every rows-only query is constructed to have hits (planted dups,
+    # member queries, per-doc outputs) — empty means broken
+    assert n > 0, f"{name} returned no rows"
     df.limit(5).collect()  # materialize a sample
+
+
+def test_lsh_ann_retrieves_self(spark):
+    rows = entry_mod.queries()["q_lsh_ann"](spark, SF_DIR).collect()
+    got = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in rows}
+    for q in range(5):
+        assert got.get((q, 1)) == q  # cosine(x,x)=1 ranks first
