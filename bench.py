@@ -16,7 +16,9 @@ on local[$SPARK_GRAFT_CPUS]):
   q_oracle_suite one pass of the oracle'd relational queries
 
 Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N): the same
-extraction job at local[8] and local[32]; written into the JSON line and
+fused fetch+extract job at local[4] vs local[16] under equal total
+machine occupancy (see the scaling block for why), plus idle-box
+numbers at 4/8/16/32 for reference; written into the JSON line and
 into BENCH/BASELINE.md. Set SPARK_GRAFT_SKIP_SCALING=1 to skip.
 """
 
