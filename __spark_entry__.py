@@ -256,19 +256,19 @@ def _q_bpe_tokens(spark, sf_dir):
 
 def _q_embed_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: corpus ∪ exact copy (ids+10000)
-    → all pairs with cosine ≥ 0.999 (the planted copies)."""
-    from jsonextract_spark.datapipe.similarity import _cosine_expr
+    → pairs with cosine ≥ 0.999 (the planted copies), found through the
+    LSH-bucketed equi-join (identical vectors always share every bucket,
+    so recall on the copies is exact). The DuckDB oracle stays the
+    all-pairs form — the cheap-at-sf0.01 ground truth the bucketed plan
+    must reproduce."""
+    from jsonextract_spark.datapipe.similarity import embedding_dup_pairs
 
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .select("vec_id", F.col("embedding").cast("array<double>")
-                   .alias("v")))
+           .select("vec_id", "embedding"))
     corpus = emb.unionByName(
-        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "v"))
-    a = corpus.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    return (a.join(b, F.col("a") < F.col("b"))
-            .withColumn("cos", _cosine_expr(F.col("va"), F.col("vb")))
-            .filter(F.col("cos") >= 0.999)
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    return (embedding_dup_pairs(corpus, "vec_id", "embedding",
+                                threshold=0.999)
             .select("a", "b"))
 
 

@@ -19,8 +19,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from jsonextract_spark.functions.urlhash import murmur3_x64_128
-
 N_PERM = 64          # minhash permutations
 N_BANDS = 16         # -> 4 rows per band; s-curve threshold ~0.55
 SHINGLE_K = 5        # char-shingle width
@@ -63,38 +61,88 @@ def minhash_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: None if t is None else _minhash_sig(t))
 
 
-def _simhash(text: str) -> int:
-    tokens = text.lower().split()
-    if not tokens:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h1, _ = murmur3_x64_128(tok.encode("utf-8"))
-        bits = (h1 >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out - (1 << 64) if out >= (1 << 63) else out
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _token_hashes(tokens: list[bytes]) -> np.ndarray:
+    """Vectorized 64-bit hashes of variable-length byte tokens: pad into
+    an (n, L) byte matrix, run an FNV-style rolling multiply per column
+    (L vectorized passes over ALL tokens at once), then splitmix-finalize
+    with the true length mixed in so zero-padding can't alias tokens with
+    trailing NULs. No per-token Python in the loop."""
+    n = len(tokens)
+    lens = np.fromiter((len(t) for t in tokens), np.int64, n)
+    max_len = max(int(lens.max()), 1) if n else 1
+    mat = np.zeros((n, max_len), dtype=np.uint8)
+    mask = np.arange(max_len)[None, :] < lens[:, None]
+    mat[mask] = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(max_len):
+        # only roll tokens that still have bytes at position j — the hash
+        # must be a function of the token alone, never of the longest
+        # token that happened to share the batch
+        h = np.where(j < lens, h * _FNV_PRIME + mat[:, j], h)
+    return _splitmix64(h ^ lens.astype(np.uint64))
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """SimHash-64 for a whole Arrow batch in one vectorized pass: hash
+    the batch's *unique* tokens once (web text repeats tokens heavily),
+    expand to ±1 bit matrices, and segment-sum per document with
+    ``np.add.reduceat`` — no per-token Python work anywhere."""
+    tok_lists = [t.lower().split() if t is not None else []
+                 for t in texts]
+    n_docs = len(tok_lists)
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, n_docs)
+    flat = [tok.encode("utf-8") for toks in tok_lists for tok in toks]
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    if flat:
+        uniq, inv = np.unique(np.array(flat, dtype=object),
+                              return_inverse=True)
+        hashes = _token_hashes(list(uniq))[inv]
+        signs = (((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+                 .astype(np.int8) * 2 - 1)          # (n_tokens, 64)
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        nonzero = counts > 0
+        # reduceat over only the non-empty docs' offsets still yields one
+        # segment per non-empty doc (empty docs contribute no rows, so
+        # consecutive non-empty offsets bound exactly one doc's tokens)
+        acc[nonzero] = np.add.reduceat(signs, offsets[nonzero], axis=0)
+    bits = (acc > 0).astype(np.uint64)
+    packed = (bits << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64)
+    out = pd.Series(packed.view(np.int64))
+    if texts.isna().any():
+        out = out.astype(object)
+        out[texts.isna().to_numpy()] = None
+    return out
 
 
 @F.pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: None if t is None else _simhash(t))
+    return _simhash_batch(texts)
 
 
 # -- operators ---------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the min-id representative per exact text. One shuffle on the
-    (cheap, uniform) xxhash of the text, not on the text bytes."""
+    (cheap, uniform) xxhash of the text, not on the text bytes.
+
+    Grouping is by (64-bit hash, byte length), not the raw text: length
+    disambiguates most accidental hash collisions for free. The residual
+    risk — two distinct equal-length texts sharing an xxhash64 — is the
+    standard birthday bound (~3e-3 expected merges at 10^9 docs per
+    length class); callers needing exactness verify text equality within
+    groups downstream."""
     return (df
             .withColumn("_fp", F.xxhash64(F.col(text_col)))
-            .groupBy("_fp")
+            .withColumn("_len", F.length(F.col(text_col)))
+            .groupBy("_fp", "_len")
             .agg(F.min(id_col).alias(id_col),
                  F.count(F.lit(1)).alias("dup_count"))
-            .drop("_fp"))
+            .drop("_fp", "_len"))
 
 
 def minhash_bands(df: DataFrame, text_col: str, id_col: str,
@@ -178,11 +226,20 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        max_docs_per_token: int = 200) -> DataFrame:
-    """Word n-gram Jaccard via an inverted index join (exact, not LSH).
+                        max_docs_per_token: int = 200,
+                        log_dropped: bool = False) -> DataFrame:
+    """Word n-gram Jaccard via an inverted index join (exact over the
+    kept grams, not LSH).
 
-    ``max_docs_per_token`` drops stop-n-grams that would quadratically
-    blow up the join (logged cap, standard for inverted-index joins).
+    ``max_docs_per_token`` drops stop-n-grams (document frequency above
+    the cap) that would quadratically blow up the join. Both the
+    intersection AND the per-doc set sizes are computed over the SAME
+    filtered gram sets, so the jaccard is a consistent statistic of the
+    kept grams (it mildly overestimates the unfiltered jaccard for docs
+    whose overlap was mostly stop-grams, rather than mixing filtered
+    numerators with unfiltered denominators). ``log_dropped=True`` runs
+    one extra count job and prints how many distinct grams the cap
+    removed.
     """
     grams = (df.select(F.col(id_col).alias("id"),
                        F.explode(F.transform(
@@ -195,10 +252,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                " ", F.slice(F.split(F.col(text_col), " "),
                                             i + 1, n))))).alias("g"))
              .distinct())
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     freq = grams.groupBy("g").agg(F.count("*").alias("df_"))
     grams_f = (grams.join(freq, "g")
                .filter(F.col("df_") <= max_docs_per_token).drop("df_"))
+    if log_dropped:
+        n_dropped = freq.filter(
+            F.col("df_") > max_docs_per_token).count()
+        print(f"ngram_jaccard_pairs: dropped {n_dropped} stop-grams "
+              f"(df > {max_docs_per_token})")
+    sizes = grams_f.groupBy("id").agg(F.count("*").alias("sz"))
     l, r = grams_f.alias("l"), grams_f.alias("r")
     inter = (l.join(r, (F.col("l.g") == F.col("r.g")) &
                        (F.col("l.id") < F.col("r.id")))

@@ -82,6 +82,40 @@ def make_signature_udf(n_tables: int = N_TABLES, n_planes: int = N_PLANES,
     return sig_udf
 
 
+def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.999,
+                        n_tables: int = N_TABLES) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
+    path — never all-pairs).
+
+    Candidates are pairs sharing an LSH ``(table, bucket)`` cell — an
+    equi-join, so candidate volume scales with bucket collisions, not
+    n². Identical vectors hash identically in every table, so recall for
+    exact copies is 1.0 by construction; for near-copies at cosine c the
+    per-table collision probability is ``(1 - acos(c)/pi)^n_planes``
+    (~0.80 at c=0.999 with 16 planes), OR-amplified to ~0.998 over 4
+    tables. Returns (a, b, cos) with a < b and cos >= threshold.
+    """
+    sig = make_signature_udf(n_tables=n_tables)
+    e = (df.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+           .withColumn("sigs", sig(F.col("v")))
+           .select("id", "v",
+                   F.posexplode("sigs").alias("table", "bucket")))
+    left, right = e.alias("l"), e.alias("r")
+    cand = (left.join(right,
+                      (F.col("l.table") == F.col("r.table")) &
+                      (F.col("l.bucket") == F.col("r.bucket")) &
+                      (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                    F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+            .dropDuplicates(["a", "b"]))
+    return (cand.withColumn("cos", _cosine_expr(F.col("va"), F.col("vb")))
+                .filter(F.col("cos") >= threshold)
+                .select("a", "b", "cos"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "query_id",

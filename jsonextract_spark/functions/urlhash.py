@@ -7,14 +7,21 @@ and safe to call inside Arrow-batched pandas UDFs.
 
 MurmurHash3 x64 128-bit is implemented from Austin Appleby's public
 domain algorithm; we return the low 64 bits as a signed int64 (Spark
-LongType). On clusters where the C ``mmh3`` wheel is available, swap
-``murmur3_64`` for ``mmh3.hash64`` — bit-compatible by construction
-(seed 0, x64 variant).
+LongType). When the C ``mmh3`` wheel is importable, ``murmur3_64``
+automatically dispatches to ``mmh3.hash64`` (bit-compatible: seed 0,
+x64 variant, signed low word) — the pure-Python path is the fallback,
+and ``tests`` assert the two agree on reference vectors whenever mmh3
+is present.
 """
 
 from __future__ import annotations
 
 from urllib.parse import urlsplit, urlunsplit
+
+try:
+    import mmh3 as _mmh3
+except ImportError:          # pure-Python fallback below
+    _mmh3 = None
 
 _MASK = (1 << 64) - 1
 
@@ -88,10 +95,19 @@ def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
     return h1, h2
 
 
-def murmur3_64(s: str, seed: int = 0) -> int:
+def murmur3_64_py(s: str, seed: int = 0) -> int:
     """Low 64 bits of murmur3_x64_128 as signed int64 (Spark LongType)."""
     h1, _ = murmur3_x64_128(s.encode("utf-8"), seed)
     return h1 - (1 << 64) if h1 >= (1 << 63) else h1
+
+
+if _mmh3 is not None:
+    def murmur3_64(s: str, seed: int = 0) -> int:
+        """C fast path: mmh3.hash64 is MurmurHash3_x64_128's (h1, h2) as
+        signed int64 — identical bits to murmur3_64_py."""
+        return _mmh3.hash64(s.encode("utf-8"), seed, True)[0]
+else:
+    murmur3_64 = murmur3_64_py
 
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}

@@ -205,21 +205,6 @@ def read_js_object(data: bytes, start: int):
         last_was_numeric = kind == L.NUMBER
 
 
-def _rune_len_at(data: bytes, i: int) -> int:
-    """Advance like Go's ReadRune: a *valid* UTF-8 sequence moves by its
-    length; any invalid byte yields U+FFFD with size 1."""
-    b0 = data[i]
-    if b0 < 0x80:
-        return 1
-    if b0 < 0xC2 or b0 > 0xF4:
-        return 1  # stray continuation / overlong / out-of-range lead
-    ln = 2 if b0 < 0xE0 else (3 if b0 < 0xF0 else 4)
-    try:
-        data[i:i + ln].decode("utf-8")
-        return ln
-    except UnicodeDecodeError:
-        return 1
-
 
 def extract_objects(data: bytes, limit: int | None = None,
                     work_budget: int | None = None) -> list[bytes]:

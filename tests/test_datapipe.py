@@ -17,6 +17,11 @@ def _corpus(spark):
     rows.append((101, rows[1][1] + " tiny tail"))      # near dup of 1
     rows.append((102, "completely different text about spark engines "
                       "and arrow batches flowing through pipelines"))
+    # long-doc near pair: one added token on a ~120-token doc stays
+    # within simhash hamming 3 (short docs legitimately flip more bits)
+    long = (base + " ") * 3 + "pad long "
+    rows.append((103, long))
+    rows.append((104, long + " tiny tail"))
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
@@ -28,7 +33,7 @@ def test_exact_dedup(spark):
     assert by_id[0] == 2          # doc 0 + doc 100
     assert 100 not in by_id       # min-id wins
     assert by_id[102] == 1
-    assert len(by_id) == 32       # 33 rows, one collapsed
+    assert len(by_id) == 34       # 35 rows, one collapsed
 
 
 def test_minhash_finds_planted_dups(spark):
@@ -49,8 +54,9 @@ def test_simhash_finds_planted_dups(spark):
            for r in simhash_candidates(_corpus(spark), "text", "doc_id",
                                        max_hamming=3).collect()}
     assert got.get((0, 100)) == 0
-    assert (1, 101) in got
+    assert (103, 104) in got and got[(103, 104)] <= 3
     assert not any(a == 102 or b == 102 for a, b in got)
+    assert all(h <= 3 for h in got.values())
 
 
 def test_ngram_jaccard(spark):
@@ -109,6 +115,57 @@ def test_lsh_topk_recall(spark):
     # the true nearest neighbor (its un-perturbed source) must be found
     hits = sum(1 for q in range(3) if got.get(100 + q) == q)
     assert hits >= 2  # OR-amplified over 4 tables; allow 1 miss
+
+
+def test_embedding_dup_pairs_bucketed(spark):
+    from jsonextract_spark.datapipe.similarity import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 64))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    # plant exact copies of 0..9 at ids 100..109
+    rows += [(100 + i, [float(x) for x in vecs[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.999)
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    assert got == {(i, 100 + i) for i in range(10)}
+
+    # the scale contract: candidates come from an equi-join on LSH
+    # buckets — never a nested-loop/cartesian over all pairs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_batch_matches_reference_impl(spark):
+    """The vectorized batch SimHash must equal a per-doc reference
+    implementation of the same spec (±1 bit votes over token hashes)."""
+    import pandas as pd
+    from jsonextract_spark.datapipe.dedup import (
+        _simhash_batch, _token_hashes)
+
+    texts = ["the quick brown fox", "", "the the the", None,
+             "unicode tökens über alles", "x", "a b c d e f g h"]
+
+    def reference(t):
+        if t is None:
+            return None
+        toks = t.lower().split()
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int(_token_hashes([tok.encode("utf-8")])[0])
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(64):
+            if acc[b] > 0:
+                out |= 1 << b
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    got = list(_simhash_batch(pd.Series(texts, dtype=object)))
+    want = [reference(t) for t in texts]
+    assert got == want
 
 
 def test_quality_and_langid(spark):

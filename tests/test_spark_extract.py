@@ -115,3 +115,29 @@ def test_extract_over_driver_documents(spark, sf_dir):
                      (F.col("lang") != F.col("lang2"))).count()
     assert bad == 0
     assert out.count() == docs.count()
+
+
+_MURMUR_SAMPLES = ["", "a", "ab", "hello world",
+                   "http://example.com/a?q=1", "ü" * 10, "x" * 100,
+                   "0123456789abcdef" * 3 + "tail"]
+
+
+def test_murmur3_dispatch_consistency():
+    """The dispatched murmur3_64 (C fast path when mmh3 is importable,
+    else pure Python) always agrees with the pure implementation."""
+    from jsonextract_spark.functions import urlhash
+
+    assert urlhash.murmur3_x64_128(b"") == (0, 0)  # seed-0 empty input
+    for s in _MURMUR_SAMPLES:
+        assert urlhash.murmur3_64(s) == urlhash.murmur3_64_py(s)
+
+
+def test_murmur3_mmh3_bitcompat():
+    """When the C mmh3 wheel is present, it must be bit-identical to the
+    pure-Python MurmurHash3_x64_128."""
+    mmh3 = pytest.importorskip("mmh3")
+    from jsonextract_spark.functions import urlhash
+
+    for s in _MURMUR_SAMPLES:
+        assert urlhash.murmur3_64_py(s) == \
+            mmh3.hash64(s.encode("utf-8"), 0, True)[0]
