@@ -34,22 +34,29 @@ DEFAULT_HOST_BUDGET = 5
 DEFAULT_BATCH_SIZE = 512
 
 
-def _write_metrics(wh: Warehouse, round_no: int, kv: dict):
-    """Metrics are 4 rows/round — write them driver-side with pyarrow
-    instead of paying a Spark job."""
+def _write_parquet_driver_side(wh: Warehouse, table: str, round_no: int,
+                               tbl):
+    """Persist a tiny (driver-sized) arrow table as a warehouse round —
+    used for metrics and host_stats, which are a handful of rows/round
+    and not worth a Spark write job."""
     import os
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = wh._path("metrics", round_no)
+    path = wh._path(table, round_no)
     os.makedirs(path, exist_ok=True)
+    pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
+
+
+def _write_metrics(wh: Warehouse, round_no: int, kv: dict):
+    import pyarrow as pa
+
     tbl = pa.table({
         "batch_id": pa.array([round_no] * len(kv), pa.int32()),
         "key": pa.array(list(kv.keys()), pa.string()),
         "value": pa.array([float(v) for v in kv.values()], pa.float64()),
     })
-    pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
+    _write_parquet_driver_side(wh, "metrics", round_no, tbl)
 
 
 def make_robots(spark: SparkSession) -> DataFrame:
@@ -67,13 +74,25 @@ def _with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
             .withColumn("host", url_host_udf("url")))
 
 
+def _seen_delta_path(wh: Warehouse, round_no: int) -> str:
+    """The per-round seen delta IS the frontier's ``is_new=1`` partition
+    — written in the same job as the frontier itself (one write job
+    instead of two per round)."""
+    import os
+
+    return os.path.join(wh._path("frontier", round_no), "is_new=1")
+
+
 def load_seen(spark: SparkSession, wh: Warehouse, upto_round: int):
     """The seen set is stored as per-round DELTAS (append-only, like an
-    Iceberg partition append): loading unions rounds 0..upto. A full
-    rewrite per round would be O(total-crawled) I/O every round."""
-    paths = [wh._path("seen", r) for r in range(upto_round + 1)
-             if wh.exists("seen", r)]
-    return spark.read.parquet(*paths)
+    Iceberg partition append): loading unions the ``is_new=1`` frontier
+    partitions of rounds 0..upto. A full rewrite per round would be
+    O(total-crawled) I/O every round."""
+    import os
+
+    paths = [p for r in range(upto_round + 1)
+             if os.path.exists(p := _seen_delta_path(wh, r))]
+    return spark.read.parquet(*paths).select("url_hash")
 
 
 def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
@@ -83,23 +102,39 @@ def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
     frontier = (_with_url_identity(seeds)
                 .dropDuplicates(["url_hash"])
                 .withColumn("depth", F.lit(0))
-                .withColumn("priority", priority_of(F.lit(0))))
-    wh.save(frontier, "frontier", 0)
-    wh.save(frontier.select("url_hash"), "seen", 0)
-    wh.save(seen_mod.build_filters(frontier.select("url_hash"),
-                                   kind=filter_kind),
-            "seen_filter", 0)
-    wh.commit_round(0, {"phase": "init", "seeds": n_seeds})
+                .withColumn("priority", priority_of(F.lit(0)))
+                .withColumn("is_new", F.lit(1)))
+    wh.save(frontier, "frontier", 0, partition_by="is_new")
+    wh.save(seen_mod.build_filters(
+        spark.read.parquet(_seen_delta_path(wh, 0)).select("url_hash"),
+        kind=filter_kind),
+        "seen_filter", 0)
+    wh.commit_round(0, {"phase": "init", "seeds": n_seeds,
+                        "filter_kind": filter_kind})
 
 
 def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
               host_budget: int = DEFAULT_HOST_BUDGET,
               batch_size: int = DEFAULT_BATCH_SIZE,
-              use_bloom: bool = True) -> dict:
-    """Execute round ``round_no`` (requires round_no-1 committed)."""
+              use_bloom: bool = True,
+              filter_kind: str = "bloom") -> dict:
+    """Execute round ``round_no`` (requires round_no-1 committed).
+
+    Fixed Spark-job budget per non-empty round (recorded as the
+    ``spark_jobs`` metric): pop-count, fetched save, frontier save
+    (which doubles as the seen delta via the ``is_new`` partition), and
+    the filter merge save. host_stats and round metrics are computed
+    driver-side from the parquet already written. Driver-side job
+    latency is what bounds small-round throughput; at production batch
+    sizes the same four jobs amortize over millions of URLs."""
+    import duckdb as _duck
+
     t0 = time.time()
+    sc = spark.sparkContext
+    job_group = f"crawl-round-{round_no}"
+    sc.setJobGroup(job_group, f"crawl round {round_no}")
     prev = round_no - 1
-    frontier = wh.load(spark, "frontier", prev)
+    frontier = wh.load(spark, "frontier", prev).drop("is_new")
     seen = load_seen(spark, wh, prev)
     filters = wh.load(spark, "seen_filter", prev) if use_bloom else None
     robots = make_robots(spark)
@@ -111,16 +146,6 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     batch = pop_batch(frontier, robots, host_budget, batch_size,
                       host_stats=host_stats)
     batch = batch.withColumn("batch_id", F.lit(round_no)).cache()
-    n_batch = batch.count()
-    t_pop = time.time()
-    if n_batch == 0:
-        wh.save(frontier, "frontier", round_no)
-        if filters is not None:
-            wh.save(filters, "seen_filter", round_no)
-        if host_stats is not None:
-            wh.save(host_stats, "host_stats", round_no)
-        wh.commit_round(round_no, {"fetched": 0, "new": 0, "empty": True})
-        return {"fetched": 0, "new": 0, "sec": time.time() - t0}
 
     # 2. politeness repartition: salted host key spreads a hot host over
     #    slots while keeping slot assignment deterministic.
@@ -137,16 +162,27 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                 .cache())
 
     fetched = enriched.select(
-        "batch_id", "rank", "url", "depth", "n_objects",
+        "batch_id", "rank", "url", "host", "depth", "n_objects",
         F.size("links").alias("n_links"), "bytes", "partition_id")
+    # ONE job runs pop + politeness + fetch + extract and writes the
+    # ledger; batch counts come from the parquet written, not a separate
+    # count() action over the pop.
     wh.save(fetched, "fetched", round_no)
-    # metrics from the parquet just written — no extra Spark job
-    import duckdb as _duck
-
-    n_objects = int(_duck.sql(
-        f"SELECT coalesce(sum(n_objects),0) FROM "
-        f"'{wh._path('fetched', round_no)}/*.parquet'").fetchone()[0])
+    n_batch, n_objects = (int(v) for v in _duck.sql(
+        f"SELECT count(*), coalesce(sum(n_objects),0) FROM "
+        f"'{wh._path('fetched', round_no)}/*.parquet'").fetchone())
     t_fetch = time.time()
+    if n_batch == 0:
+        # nothing fetched: carry state forward driver-side (no more jobs)
+        wh.copy_forward("frontier", prev, round_no)
+        if filters is not None:
+            wh.copy_forward("seen_filter", prev, round_no)
+        if wh.exists("host_stats", prev):
+            wh.copy_forward("host_stats", prev, round_no)
+        wh.commit_round(round_no, {"fetched": 0, "new": 0, "empty": True})
+        batch.unpersist()
+        enriched.unpersist()
+        return {"fetched": 0, "new": 0, "sec": time.time() - t0}
 
     # 5. link discovery -> candidate identity
     discovered = (enriched
@@ -166,47 +202,54 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                   .select("url", "url_hash", "host", "depth", "priority")
                   .cache())
 
-    # 7. state update: frontier = (frontier - fetched) ∪ fresh;
-    #    seen grows by an append-only delta (fresh only).
+    # 7. state update in ONE write job: frontier = (frontier - fetched)
+    #    ∪ fresh, hive-partitioned on is_new so the fresh slice doubles
+    #    as this round's append-only seen delta (see _seen_delta_path).
     remaining = frontier.join(batch.select("url_hash"), "url_hash",
                               "left_anti")
-    next_frontier = remaining.unionByName(fresh)
+    next_frontier = (remaining.withColumn("is_new", F.lit(0))
+                     .unionByName(fresh.withColumn("is_new", F.lit(1))))
 
     t_links = time.time()
-    # seen delta first: materializes `fresh` (links -> identity -> gate)
-    # into the cache, so the frontier save below reuses it
-    wh.save(fresh.select("url_hash"), "seen", round_no)
-    n_new = int(_duck.sql(
-        f"SELECT count(*) FROM "
-        f"'{wh._path('seen', round_no)}/*.parquet'").fetchone()[0])
+    # materialize the gate pipeline into the cache with the n_new count
+    # (needed for metrics anyway): the partitioned frontier write below
+    # then reuses the cached rows instead of re-running the candidate
+    # explode + canonicalize + bloom-prune subtree inside the write job
+    n_new = fresh.count()
     t_gate = time.time()
-    wh.save(next_frontier, "frontier", round_no)
+    wh.save(next_frontier, "frontier", round_no, partition_by="is_new")
     t_frontier = time.time()
 
-    # cumulative per-host fetch counts drive next round's budget scoring
-    round_hosts = batch.groupBy("host").agg(
-        F.count(F.lit(1)).cast("double").alias("crawled"))
-    if host_stats is not None:
-        combined = (host_stats.unionByName(round_hosts)
-                    .groupBy("host")
-                    .agg(F.sum("crawled").alias("crawled")))
-    else:
-        combined = round_hosts
-    wh.save(combined, "host_stats", round_no)
+    # cumulative per-host fetch counts drive next round's budget scoring;
+    # tiny table — aggregated driver-side from the fetched parquet just
+    # written (plus last round's totals), not with a Spark job.
+    prev_hosts = (f"UNION ALL SELECT host, crawled FROM "
+                  f"'{wh._path('host_stats', prev)}/*.parquet'"
+                  if wh.exists("host_stats", prev) else "")
+    hosts_tbl = _duck.sql(
+        f"SELECT host, CAST(sum(crawled) AS DOUBLE) AS crawled FROM ("
+        f"  SELECT host, 1.0 AS crawled FROM "
+        f"  '{wh._path('fetched', round_no)}/*.parquet' {prev_hosts}"
+        f") GROUP BY host").arrow()
+    _write_parquet_driver_side(wh, "host_stats", round_no, hosts_tbl)
+
     if filters is not None:
         # Incremental OR-merge: touches only buckets that gained keys.
-        wh.save(seen_mod.merge_filters(filters, fresh),
+        wh.save(seen_mod.merge_filters(filters, fresh, kind=filter_kind),
                 "seen_filter", round_no)
     t_filter = time.time()
 
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(job_group))
+    sc.setLocalProperty("spark.jobGroup.id", None)
     sec = time.time() - t0
     _write_metrics(wh, round_no, {
         "fetched": float(n_batch), "objects": float(n_objects),
         "new_urls": float(n_new), "sec": sec,
-        "sec_pop": t_pop - t0, "sec_fetch_extract": t_fetch - t_pop,
+        "spark_jobs": float(n_jobs),
+        "sec_pop_fetch_extract": t_fetch - t0,
         "sec_links_dedup": t_links - t_fetch,
         "sec_gate_seen": t_gate - t_links,
-        "sec_frontier": t_frontier - t_gate,
+        "sec_frontier_seen": t_frontier - t_gate,
         "sec_filter": t_filter - t_frontier})
     wh.commit_round(round_no, {"fetched": n_batch, "new": n_new,
                                "sec": round(sec, 3)})
@@ -214,7 +257,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     enriched.unpersist()
     fresh.unpersist()
     return {"fetched": n_batch, "new": n_new, "objects": n_objects,
-            "sec": sec}
+            "sec": sec, "spark_jobs": n_jobs}
 
 
 def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
@@ -231,9 +274,15 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
     if start < 0:
         init_state(spark, wh, n_seeds, filter_kind)
         start = 0
+    else:
+        # a resumed crawl keeps the filter codec it started with
+        round0 = [r for r in wh.ledger()["rounds"] if r["round"] == 0]
+        if round0 and round0[0].get("filter_kind"):
+            filter_kind = round0[0]["filter_kind"]
     stats = []
     for r in range(start + 1, rounds + 1):
-        s = run_round(spark, wh, r, host_budget, batch_size, use_bloom)
+        s = run_round(spark, wh, r, host_budget, batch_size, use_bloom,
+                      filter_kind=filter_kind)
         stats.append({"round": r, **s})
     return stats
 

@@ -103,11 +103,17 @@ def build_filters(seen: DataFrame, m: int = M_BITS, k: int = K_PROBES,
 
 
 def merge_filters(filters: DataFrame, fresh: DataFrame,
-                  m: int = M_BITS, k: int = K_PROBES) -> DataFrame:
+                  m: int = M_BITS, k: int = K_PROBES,
+                  kind: str = "bloom") -> DataFrame:
     """Incremental filter update: OR the bits of new keys into each
     touched bucket; untouched buckets pass through. O(fresh) + one small
     shuffle on bucket — never rescans the historical seen set (at 10^10
-    keys a full rebuild per round would dominate the whole crawl)."""
+    keys a full rebuild per round would dominate the whole crawl).
+
+    ``kind`` decides the codec for buckets that appear for the first time
+    in this merge (existing buckets keep their own codec). Callers pass
+    their configured filter kind — inferring it from the filter table
+    would cost a driver-side action per round."""
     delta = (fresh.select("url_hash")
              .withColumn("bucket", bucket_col(F.col("url_hash"))))
 
@@ -130,7 +136,7 @@ def merge_filters(filters: DataFrame, fresh: DataFrame,
             if len(deltas) else np.array([], dtype=np.int64))
         if len(base) == 0:
             # bucket had no filter yet: build from the delta alone
-            if kind_hint[0] == "cuckoo":
+            if kind == "cuckoo":
                 bits, nb, overflow, n = _build_cuckoo(fresh)
                 return pd.DataFrame({
                     "bucket": [int(key[0])], "kind": ["cuckoo"],
@@ -162,11 +168,6 @@ def merge_filters(filters: DataFrame, fresh: DataFrame,
             "bits": [acc.tobytes()], "m": [int(row["m"])],
             "k": [int(row["k"])], "n": [int(row["n"]) + len(fresh)]})
 
-    # kind for buckets created fresh during this merge follows the kinds
-    # already present (all-bloom or all-cuckoo warehouses)
-    kind_hint = [
-        (filters.select("kind").first() or ["bloom"])[0] or "bloom"
-    ]
     return both.groupBy("bucket").applyInPandas(merge, _FILTER_SCHEMA)
 
 

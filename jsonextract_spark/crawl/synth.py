@@ -123,6 +123,7 @@ def fetch_extract_partition(rows: Iterable[pd.DataFrame]):
         links = objs.map(_links_from_objs)
         yield pd.DataFrame({
             "url": pdf["url"],
+            "host": pdf["host"],
             "warc_ts": pd.to_datetime(EPOCH + ids, unit="s"),
             "text": texts,
             "lang": "en",
@@ -136,9 +137,9 @@ def fetch_extract_partition(rows: Iterable[pd.DataFrame]):
 
 
 FETCH_EXTRACT_SCHEMA = (
-    "url string, warc_ts timestamp, text string, lang string, depth int,"
-    " batch_id int, rank long, n_objects int, links array<string>,"
-    " bytes int"
+    "url string, host string, warc_ts timestamp, text string, lang string,"
+    " depth int, batch_id int, rank long, n_objects int,"
+    " links array<string>, bytes int"
 )
 
 

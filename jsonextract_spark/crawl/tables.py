@@ -91,17 +91,35 @@ class Warehouse:
         return p
 
     def save(self, df: DataFrame, table: str, round_no: int | None = None,
-             partitions: int | None = None):
+             partitions: int | None = None,
+             partition_by: str | None = None):
         """Write to a temp dir then atomically rename into place, so a
         killed job never leaves a half-visible partition (Iceberg gives
-        this for free; parquet needs the rename dance)."""
+        this for free; parquet needs the rename dance).
+
+        ``partition_by`` hive-partitions the output on one column — used
+        to carve a table into sub-tables in a single write job (e.g. the
+        frontier's ``is_new`` split doubles as the seen-set delta)."""
         final = self._path(table, round_no)
         tmp = final + ".tmp-" + next(tempfile._get_candidate_names())
         w = df if partitions is None else df.repartition(partitions)
-        w.write.mode("overwrite").parquet(tmp)
+        writer = w.write.mode("overwrite")
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+
+    def copy_forward(self, table: str, from_round: int, to_round: int):
+        """Driver-side carry-over of an unchanged table version (no Spark
+        job — an empty crawl round must not pay write jobs to republish
+        identical state)."""
+        src = self._path(table, from_round)
+        dst = self._path(table, to_round)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
 
     def load(self, spark: SparkSession, table: str,
              round_no: int | None = None) -> DataFrame:

@@ -107,9 +107,12 @@ def _ledger(warehouse: str):
 
 
 def _seen_set(warehouse: str, round_no: int):
-    # seen is stored as append-only per-round deltas
+    # seen is stored as append-only per-round deltas: each round's
+    # frontier is_new=1 partition (written in the same job as the
+    # frontier itself)
     return set(r[0] for r in duckdb.sql(
-        f"SELECT url_hash FROM '{warehouse}/seen/*/*.parquet'"
+        f"SELECT url_hash FROM "
+        f"'{warehouse}/frontier/*/is_new=1/*.parquet'"
     ).fetchall())
 
 

@@ -74,7 +74,7 @@ def test_seen_cuckoo_mode_exactness(spark):
     # incremental merge keeps exactness
     fresh = spark.createDataFrame([(int(h),) for h in cand_new[:500]],
                                   "url_hash long")
-    merged = sm.merge_filters(filters, fresh)
+    merged = sm.merge_filters(filters, fresh, kind="cuckoo")
     all_seen = seen_df.unionByName(fresh)
     cand2 = spark.createDataFrame(
         [(int(h), f"v{i}") for i, h in
