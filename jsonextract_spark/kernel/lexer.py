@@ -24,9 +24,12 @@ EOF       end of input (maps to Go's io.EOF success path, reader.go:467)
 
 Documented upstream non-features we reproduce as ERROR (reference
 README.md:96-98): numeric separators (``2_175``) and leading-zero integers.
-Template literals containing ``${`` substitutions are treated as ERROR
-(the fixtures never exercise them; upstream would emit split template
-tokens that cannot form valid JSON anyway).
+Template literals containing ``${`` substitutions are treated as ERROR:
+upstream emits split template tokens (TemplateStart/Middle/End) that
+fall through reader.go:458-461's default raw-write and always fail the
+json.Valid gate, so both engines reject the candidate and resume one
+rune past its opening bracket — pinned, including the resume-into-
+template-interior behavior, by tests/test_template_substitution_parity.py.
 """
 
 from __future__ import annotations
