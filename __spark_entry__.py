@@ -347,6 +347,22 @@ def _q_lsh_ann(spark, sf_dir):
             .filter(F.col("rnk") == 1))
 
 
+def _q_ivf_ann(spark, sf_dir):
+    """IVF-bucketed ANN (sample → spherical-k-means → cell equi-join),
+    projected to the same rank-1 self-retrieval invariant as q_lsh_ann:
+    a member query always probes its own cell, and cosine(x,x)=1 beats
+    every cell-mate."""
+    from jsonextract_spark.datapipe.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter("vec_id < 5")
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return (ivf_topk(emb, queries, k=5, n_cells=32, n_probe=4)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("bigint").alias("rnk"))
+            .filter(F.col("rnk") == 1))
+
+
 def _q_multimodal(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> mapInPandas fake decode.
     The fake-decode output shape is closed-form in doc_id (media_type by
@@ -391,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_pairs": _q_minhash_pairs,
         "q_langid": _q_langid,
         "q_lsh_ann": _q_lsh_ann,
+        "q_ivf_ann": _q_ivf_ann,
         "q_multimodal": _q_multimodal,
         # rows-only (no SQL oracle — both need murmur3, absent in DuckDB):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -626,6 +643,13 @@ def oracle_sql() -> dict[str, str]:
         # Self-retrieval invariant: every member query's top-1 neighbor is
         # itself (cosine(x,x)=1 outranks any bucket-mate).
         "q_lsh_ann": """
+            SELECT vec_id AS query_id, vec_id AS neighbor_id,
+                   CAST(1 AS BIGINT) AS rnk
+            FROM embeddings WHERE vec_id < 5
+        """,
+        # Same invariant for the IVF index (member query probes its own
+        # cell, so self is always a candidate and always ranks first).
+        "q_ivf_ann": """
             SELECT vec_id AS query_id, vec_id AS neighbor_id,
                    CAST(1 AS BIGINT) AS rnk
             FROM embeddings WHERE vec_id < 5

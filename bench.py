@@ -12,14 +12,17 @@ on local[$SPARK_GRAFT_CPUS]):
   q_crawl        two full crawl rounds (pop -> fetch -> extract -> seen
                  gate -> commit)
   q_dedup_minhash  MinHash-LSH near-dup pairs over the page corpus
+                 (per-stage split: signature / band join / verify)
+  q_dedup_simhash  SimHash hamming<=3 candidates over the page corpus
   q_ann          brute-force cosine top-k over embeddings
   q_oracle_suite one pass of the oracle'd relational queries
 
 Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N): the same
 fused fetch+extract job at local[4] vs local[16] under equal total
-machine occupancy (see the scaling block for why), plus idle-box
-numbers at 4/8/16/32 for reference; written into the JSON line and
-into BENCH/BASELINE.md. Set SPARK_GRAFT_SKIP_SCALING=1 to skip.
+machine occupancy (see the scaling block for why), >=4 interleaved reps
+per level compared by median with the raw samples + spread published,
+plus idle-box numbers at 4/8/16/32 for reference; written into the JSON
+line and into BENCH/BASELINE.md. Set SPARK_GRAFT_SKIP_SCALING=1 to skip.
 """
 
 from __future__ import annotations
@@ -96,12 +99,84 @@ def bench_crawl(spark) -> tuple[float, int]:
     return dt, sum(s["fetched"] for s in stats)
 
 
-def bench_dedup(spark, n_pages: int) -> float:
-    from jsonextract_spark.datapipe.dedup import minhash_candidate_pairs
+def _dedup_corpus(spark, n_pages: int):
+    """Near-dup bench corpus with realistic duplication. The crawl's
+    synthetic page texts collapse to ~100 templates — every pair is a
+    true near-dup, an adversarial distribution that benchmarks the
+    quadratic pair blowup rather than the operator. Here each doc is an
+    independent pid-seeded word sample (pairwise dissimilar), with 5%
+    exact copies and 5% near copies planted on top, so candidate volume
+    scales with planted dups like a real corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
 
-    pages = _pages_df(spark, min(n_pages, 8000))
+    n_words, vocab_n = 150, 5000
+
+    def gen(batches):
+        for pdf in batches:
+            pids = pdf["pid"].to_numpy(dtype=np.int64)
+            # vectorized multiplicative-hash word ids: doc i, slot k ->
+            # deterministic pseudo-random vocab index
+            k = np.arange(n_words, dtype=np.int64)
+            idx = ((pids[:, None] * 2654435761 + (k + 1) * 40503
+                    + pids[:, None] * k) % vocab_n)
+            texts = [" ".join(f"w{j:04d}" for j in row) for row in idx]
+            yield pd.DataFrame({
+                "url": [f"doc://{p}" for p in pids],
+                "text": texts,
+            })
+
+    base = (spark.range(n_pages)
+            .select(F.col("id").alias("pid"))
+            .mapInPandas(gen, "url string, text string"))
+    sel = F.pmod(F.xxhash64("url"), F.lit(20))
+    dup = base.filter(sel == 0).select(
+        F.concat("url", F.lit("#copy")).alias("url"), "text")
+    near = base.filter(sel == 1).select(
+        F.concat("url", F.lit("#near")).alias("url"),
+        F.concat("text", F.lit(" tiny tail")).alias("text"))
+    return base.unionByName(dup).unionByName(near)
+
+
+def bench_dedup(spark, n_pages: int) -> tuple[float, dict]:
+    """MinHash near-dup with a per-stage split (signature UDF vs band
+    self-join vs exact-Jaccard verify), so optimization targets the real
+    cost. Returns (total_sec, breakdown)."""
+    from jsonextract_spark.datapipe.dedup import (
+        minhash_bands,
+        minhash_candidate_pairs,
+        minhash_dedup_pairs,
+    )
+
+    pages = _dedup_corpus(spark, min(n_pages, 8000)).cache()
+    pages.count()  # corpus generation out of the measurement
     t0 = time.time()
-    minhash_candidate_pairs(pages, "text", "url").count()
+    bands = minhash_bands(pages, "text", "url").cache()
+    bands.count()
+    t_sig = time.time()
+    cand = minhash_candidate_pairs(pages, "text", "url",
+                                   bands=bands).cache()
+    cand.count()
+    t_join = time.time()
+    minhash_dedup_pairs(pages, "text", "url", threshold=0.8,
+                        pairs=cand).count()
+    t_verify = time.time()
+    for c in (bands, cand, pages):
+        c.unpersist()
+    return t_verify - t0, {
+        "sig_sec": round(t_sig - t0, 3),
+        "band_join_sec": round(t_join - t_sig, 3),
+        "verify_sec": round(t_verify - t_join, 3),
+    }
+
+
+def bench_simhash(spark, n_pages: int) -> float:
+    from jsonextract_spark.datapipe.dedup import simhash_candidates
+
+    pages = _dedup_corpus(spark, min(n_pages, 8000))
+    t0 = time.time()
+    simhash_candidates(pages, "text", "url", max_hamming=3).count()
     return time.time() - t0
 
 
@@ -217,7 +292,10 @@ def main():
     results["q_crawl"] = round(dt, 3)
     extra["crawl_urls_per_sec"] = round(fetched / dt, 1)
 
-    results["q_dedup_minhash"] = round(bench_dedup(spark, N_PAGES), 3)
+    dedup_sec, dedup_stages = bench_dedup(spark, N_PAGES)
+    results["q_dedup_minhash"] = round(dedup_sec, 3)
+    extra["dedup_minhash_stages"] = dedup_stages
+    results["q_dedup_simhash"] = round(bench_simhash(spark, N_PAGES), 3)
     results["q_ann"] = round(bench_ann(spark), 3)
     results["q_oracle_suite"] = round(bench_oracle_suite(spark), 3)
     spark.stop()
@@ -232,16 +310,20 @@ def main():
         time.sleep(5)  # let the stopped main session's JVM fully exit
         # Two confounds on this shared 32-core VM: (a) deliverable
         # throughput drifts over minutes (no cpufreq sysfs; throttling
-        # windows), handled by interleaving levels and comparing
-        # medians; (b) per-core throughput falls as more cores go busy
-        # (power/memory envelope: ~7.5k pages/s/core at 4 busy cores vs
-        # ~4.5k at 32), which penalizes the 4N level for reasons that do
-        # not exist on a real cluster where 4N executors bring 4N
-        # equally-loaded cores. The headline N→4N measurement therefore
-        # holds TOTAL machine occupancy constant: spinner processes keep
-        # the remaining cores busy during both measurements, so the only
-        # varying quantity is the pipeline's parallel width.
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        # windows), handled by interleaving levels across >=4 reps and
+        # comparing MEDIANS (robust to a single throttled rep), with the
+        # raw samples and spread published; (b) per-core throughput
+        # falls as more cores go busy (power/memory envelope: ~7.5k
+        # pages/s/core at 4 busy cores vs ~4.5k at 32), which penalizes
+        # the 4N level for reasons that do not exist on a real cluster
+        # where 4N executors bring 4N equally-loaded cores. The headline
+        # N→4N measurement therefore holds TOTAL machine occupancy
+        # constant: spinner processes keep the remaining cores busy
+        # during both measurements, so the only varying quantity is the
+        # pipeline's parallel width.
+        import statistics
+
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
         _extract_throughput_at("local[16]", n_scale)  # machine warm-up
         s4: list[float] = []
         s16: list[float] = []
@@ -252,8 +334,12 @@ def main():
             s16.append(_with_spinners(
                 32 - 16 - 2,
                 lambda: _extract_throughput_at("local[16]", n_scale)[0]))
-        tp4 = sum(s4) / len(s4)
-        tp16 = sum(s16) / len(s16)
+        tp4 = statistics.median(s4)
+        tp16 = statistics.median(s16)
+
+        def _spread(xs):  # relative spread of the samples around median
+            return round((max(xs) - min(xs)) / statistics.median(xs), 3)
+
         # supplementary idle-box numbers (power-state confound included)
         tp4i, _ = _extract_throughput_at("local[4]", n_scale)
         tp8, _w8 = _extract_throughput_at("local[8]", n_scale)
@@ -264,7 +350,11 @@ def main():
             "local16_urls_per_sec": round(tp16, 1),
             "samples_local4": [round(x, 1) for x in s4],
             "samples_local16": [round(x, 1) for x in s16],
+            "spread_local4": _spread(s4),
+            "spread_local16": _spread(s16),
             "efficiency_4_to_16": round(tp16 / (4 * tp4), 3),
+            "efficiency_mean_basis": round(
+                (sum(s16) / len(s16)) / (4 * sum(s4) / len(s4)), 3),
             "idle_local4_urls_per_sec": round(tp4i, 1),
             "idle_local8_urls_per_sec": round(tp8, 1),
             "idle_local16_urls_per_sec": round(tp16i, 1),
@@ -298,17 +388,20 @@ per-core throughput falls as more cores go busy (~7.5k pages/s/core
 with 4 busy cores vs ~4.5k with 32 — a host power/memory envelope that
 does not exist on a cluster, where 4N executors bring 4N
 equally-loaded cores). The headline measurement removes both: levels
-are interleaved and compared by mean, and busy-spinner processes
-hold TOTAL machine occupancy constant during every measurement, so the
-only varying quantity is the pipeline's parallel width.
+are interleaved over the reps and compared by MEDIAN (robust to a
+single throttled rep; the mean-basis efficiency is published too), and
+busy-spinner processes hold TOTAL machine occupancy constant during
+every measurement, so the only varying quantity is the pipeline's
+parallel width.
 
-| config (equal occupancy) | URLs/sec (mean) | samples |
-|---|---|---|
-| local[4]  | {s.get('local4_urls_per_sec')} | {s.get('samples_local4')} |
-| local[16] | {s.get('local16_urls_per_sec')} | {s.get('samples_local16')} |
+| config (equal occupancy) | URLs/sec (median) | samples | rel. spread |
+|---|---|---|---|
+| local[4]  | {s.get('local4_urls_per_sec')} | {s.get('samples_local4')} | {s.get('spread_local4')} |
+| local[16] | {s.get('local16_urls_per_sec')} | {s.get('samples_local16')} | {s.get('spread_local16')} |
 
-**Scaling efficiency N→4N (local[4]→local[16], equal occupancy) =
-{s.get('efficiency_4_to_16')}** (north_rule requires ≥ 0.8).
+**Scaling efficiency N→4N (local[4]→local[16], equal occupancy,
+median basis) = {s.get('efficiency_4_to_16')}** (north_rule requires
+≥ 0.8; mean basis = {s.get('efficiency_mean_basis')}).
 
 Supplementary idle-box numbers (power-state confound INCLUDED — the
 low-N level gets the host's elevated per-core rate):

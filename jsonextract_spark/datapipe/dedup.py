@@ -162,9 +162,14 @@ def minhash_bands(df: DataFrame, text_col: str, id_col: str,
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str,
-                            id_col: str) -> DataFrame:
-    """Distinct candidate pairs (a < b) colliding in ≥1 LSH band."""
-    bands = minhash_bands(df, text_col, id_col)
+                            id_col: str,
+                            bands: DataFrame | None = None) -> DataFrame:
+    """Distinct candidate pairs (a < b) colliding in ≥1 LSH band.
+
+    ``bands`` lets callers pass a precomputed (cached) band table so the
+    signature UDF cost can be measured/shared separately."""
+    if bands is None:
+        bands = minhash_bands(df, text_col, id_col)
     left = bands.alias("l")
     right = bands.alias("r")
     return (left.join(right,
@@ -176,9 +181,14 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str,
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
-                        threshold: float = 0.8) -> DataFrame:
-    """Candidate pairs verified by exact Jaccard over char shingles."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col)
+                        threshold: float = 0.8,
+                        pairs: DataFrame | None = None) -> DataFrame:
+    """Candidate pairs verified by exact Jaccard over char shingles.
+
+    ``pairs`` lets callers pass precomputed (cached) candidates so the
+    verify stage can be measured separately."""
+    if pairs is None:
+        pairs = minhash_candidate_pairs(df, text_col, id_col)
     texts = df.select(F.col(id_col).alias("id"),
                       F.col(text_col).alias("text"))
     joined = (pairs

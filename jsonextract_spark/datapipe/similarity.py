@@ -3,10 +3,15 @@
 * ``brute_topk`` — exact cosine top-k: broadcast the (small) query set,
   JVM-side dot product via ``F.zip_with`` + ``F.aggregate`` (no Python in
   the hot loop), skew-proof salted top-k for the ranking.
-* ``lsh_topk`` — the scale path: random-hyperplane signatures bucket the
+* ``lsh_topk`` — scale path #1: random-hyperplane signatures bucket the
   corpus; only same-bucket candidates are scored. Recall is tunable via
   ``n_tables`` (OR-amplification); report coverage instead of silently
   under-filling k.
+* ``ivf_topk`` — scale path #2: an inverted-file index (sample →
+  spherical-k-means coarse quantizer → broadcast centroids → cell
+  equi-join with ``n_probe`` query fan-out).
+* ``embedding_dup_pairs`` — near-duplicate pairs via the LSH bucket
+  self-join (never all-pairs).
 
 Determinism: hyperplanes come from a fixed-seed RNG; ranking ties break
 on neighbor id.
@@ -80,6 +85,101 @@ def make_signature_udf(n_tables: int = N_TABLES, n_planes: int = N_PLANES,
         return vecs.map(one)
 
     return sig_udf
+
+
+def _spherical_kmeans(sample: np.ndarray, k: int, iters: int = 10,
+                      seed: int = 20260816) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample: the IVF
+    coarse quantizer. Rows are L2-normalized; assignment is argmax dot
+    product; empty cells respawn on the farthest points (keeps exactly k
+    usable cells)."""
+    rng = np.random.RandomState(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                            1e-12)
+    c = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ c.T                      # (n, k)
+        assign = sims.argmax(axis=1)
+        newc = np.zeros_like(c)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                newc[j] = members.sum(axis=0)
+            else:  # respawn dead cell on the worst-covered point
+                newc[j] = x[sims.max(axis=1).argmin()]
+        c = newc / np.maximum(np.linalg.norm(newc, axis=1, keepdims=True),
+                              1e-12)
+    return c
+
+
+def make_cell_udfs(centroids: np.ndarray, n_probe: int):
+    """(assign_udf, probe_udf): nearest cell for corpus rows; the
+    ``n_probe`` nearest cells for query rows. The centroid matrix rides
+    to executors inside the UDF closure (broadcast-sized by
+    construction: n_cells × dim floats)."""
+    c = centroids
+
+    def _cells(vecs: pd.Series, top: int) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            x = np.asarray(v, dtype=np.float64)
+            x = x / max(np.linalg.norm(x), 1e-12)
+            order = np.argsort(-(c @ x))[:top]
+            return [int(i) for i in order]
+        return vecs.map(one)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        return _cells(vecs, 1)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        return _cells(vecs, n_probe)
+
+    return assign_udf, probe_udf
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id",
+             n_cells: int = 64, n_probe: int = 8,
+             train_rows: int = 4096) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    next to ``lsh_topk``.
+
+    Train: ONE bounded driver job fits a spherical-k-means coarse
+    quantizer on a deterministic sample (orderBy(id).limit(n), the
+    standard sample→fit→broadcast IVF shape; at 100 TB the sample stays
+    fixed-size). Serve: corpus rows go to their nearest cell, queries
+    probe their ``n_probe`` nearest cells, and only same-cell candidates
+    are scored — an equi-join on cell id, never all-pairs. A query that
+    is also a corpus member always probes its own cell, so
+    self-retrieval at rank 1 is guaranteed (the oracle invariant).
+    """
+    import numpy as np  # noqa: F811 (explicit for the driver-side fit)
+
+    sample = (corpus.select(F.col(vec_col).cast("array<double>")
+                            .alias("v"), F.col(id_col).alias("id"))
+              .orderBy("id").limit(train_rows).collect())
+    centroids = _spherical_kmeans(
+        np.asarray([r["v"] for r in sample], dtype=np.float64), n_cells)
+    assign_udf, probe_udf = make_cell_udfs(centroids, n_probe)
+
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("cv"))
+         .withColumn("cell", F.element_at(assign_udf(F.col("cv")), 1)))
+    q = (queries.select(F.col(qid_col),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("cell", F.explode(probe_udf(F.col("qv")))))
+    cand = c.join(q, "cell").select(qid_col, "neighbor_id", "cv", "qv")
+    scored = (cand.withColumn("cosine",
+                              _cosine_expr(F.col("cv"), F.col("qv")))
+                  .select(qid_col, "neighbor_id", "cosine"))
+    order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    return (salted_top_k_per_group(scored, [qid_col], order, k,
+                                   salt_on="neighbor_id")
+            .withColumnRenamed("rank_in_group", "rank"))
 
 
 def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",

@@ -192,6 +192,53 @@ def test_stream_extract(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_stream_sessionize_stateful_restart(spark, tmp_path):
+    """applyInPandasWithState sessionizer: per-user state lives in the
+    state store and survives a query restart via the checkpoint, so
+    trigger 2 continues counting from trigger 1's last event times."""
+    from jsonextract_spark.streaming import stream_sessionize
+
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def write_batch(name, rows):
+        with open(in_dir / name, "w") as f:
+            for u, ts, e in rows:
+                f.write(json.dumps(
+                    {"user_id": u, "ts": ts, "event_id": e}) + "\n")
+
+    def run():
+        # foreachBatch: the one update-capable sink that also supports
+        # checkpoint recovery (memory sink refuses to restart)
+        rows = []
+        events = (spark.readStream
+                  .schema("user_id long, ts timestamp, event_id long")
+                  .json(str(in_dir)))
+        q = (stream_sessionize(events, gap_sec=600).writeStream
+             .foreachBatch(lambda df, _epoch: rows.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        return {r["user_id"]: (r["n_events"], r["n_sessions"])
+                for r in rows}
+
+    write_batch("b1.json", [(1, "2026-01-01 00:00:00", 1),
+                            (1, "2026-01-01 00:05:00", 2),
+                            (2, "2026-01-01 00:00:00", 3)])
+    assert run() == {1: (2, 1), 2: (1, 1)}
+
+    # restart with new data: >10 min gap opens a new session for user 1;
+    # user 2's event continues their open session (state restored)
+    write_batch("b2.json", [(1, "2026-01-01 00:30:00", 4),
+                            (1, "2026-01-01 00:31:00", 5),
+                            (2, "2026-01-01 00:05:00", 6)])
+    assert run() == {1: (4, 2), 2: (2, 1)}
+
+
+@pytest.mark.spark
 def test_stream_event_counts(spark, tmp_path):
     from jsonextract_spark.streaming import stream_event_counts
 

@@ -168,6 +168,40 @@ def test_simhash_batch_matches_reference_impl(spark):
     assert got == want
 
 
+def test_ivf_topk_recall_and_plan(spark):
+    from jsonextract_spark.datapipe.similarity import brute_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((80, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    # queries: small perturbations of corpus points -> high-cosine NN
+    for q in range(4):
+        rows.append((200 + q,
+                     [float(x) for x in
+                      base[q] + 0.05 * rng.standard_normal(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (df.filter("vec_id >= 200")
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = df.filter("vec_id < 200")
+
+    approx = ivf_topk(corpus, queries, k=1, n_cells=8, n_probe=3)
+    got = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    hits = sum(1 for q in range(4) if got.get(200 + q) == q)
+    assert hits >= 3  # n_probe=3 of 8 cells; allow one boundary miss
+
+    # scale contract: candidates come from an equi-join on cell ids
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # member queries always retrieve themselves at rank 1
+    member_q = (corpus.filter("vec_id < 3")
+                .select(F.col("vec_id").alias("query_id"), "embedding"))
+    self_top = ivf_topk(corpus, member_q, k=1, n_cells=8, n_probe=2)
+    assert {(r["query_id"], r["neighbor_id"])
+            for r in self_top.collect()} == {(i, i) for i in range(3)}
+
+
 def test_quality_and_langid(spark):
     from jsonextract_spark.datapipe.textstats import (
         langid_udf, quality_features, fingerprint_udf)
