@@ -347,6 +347,44 @@ def _q_lsh_ann(spark, sf_dir):
             .filter(F.col("rnk") == 1))
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs via the inverted-index join.
+    The driver slice disables the stop-gram cap (max_docs_per_token high
+    enough that nothing drops) so the DuckDB oracle is the plain
+    all-pairs gram jaccard; the capped path is pinned in pytest."""
+    from jsonextract_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = docs.filter("doc_id % 25 = 0").select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+    near = docs.filter("doc_id % 25 = 5").select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail words here")).alias("text"))
+    corpus = docs.unionByName(dup).unionByName(near)
+    return (ngram_jaccard_pairs(corpus, "text", "doc_id", n=3,
+                                threshold=0.5,
+                                max_docs_per_token=10_000_000)
+            .select("a", "b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def _q_fingerprint_stable(spark, sf_dir):
+    """The fingerprint's documented invariant, machine-checked: the
+    64-bit doc fingerprint is stable under case changes and whitespace
+    reflow (fp lowercases and whitespace-normalizes before hashing), and
+    changes when the text actually changes."""
+    from jsonextract_spark.datapipe.textstats import fingerprint_udf
+
+    docs = _docs(spark, sf_dir)
+    reflowed = F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("  ")))
+    changed = F.concat(F.col("text"), F.lit(" zzz"))
+    return docs.select(
+        "doc_id",
+        (fingerprint_udf("text") == fingerprint_udf(reflowed))
+        .alias("stable"),
+        (fingerprint_udf("text") != fingerprint_udf(changed))
+        .alias("sensitive"))
+
+
 def _q_ivf_ann(spark, sf_dir):
     """IVF-bucketed ANN (sample → spherical-k-means → cell equi-join),
     projected to the same rank-1 self-retrieval invariant as q_lsh_ann:
@@ -378,6 +416,33 @@ def _q_multimodal(spark, sf_dir):
                         F.size("feat").cast("bigint").alias("dim"))
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """Resize plumbing: fake kernel emits sha256(payload + ':WxH') hex,
+    which DuckDB reproduces — the mapInPandas path is value-checked."""
+    from jsonextract_spark.datapipe.multimodal import (
+        resize_media, synth_media)
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 200")
+    out = resize_media(synth_media(spark, docs), 64, 48)
+    return out.select(
+        "doc_id", "width", "height",
+        F.substring(F.decode("payload", "utf-8"), 1, 16).alias("pfx"))
+
+
+def _q_frame_sample(spark, sf_dir):
+    """Frame-sample fan-out: k=4 evenly spaced frames per item
+    (frame_idx = (j*n)//k), zero-frame items emit nothing; fake frame
+    bytes are sha256(payload + ':f<idx>') hex — all SQL-reproducible."""
+    from jsonextract_spark.datapipe.multimodal import (
+        sample_frames, synth_media)
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 100")
+    out = sample_frames(synth_media(spark, docs), k=4)
+    return out.select(
+        "doc_id", "sample_no", "frame_idx",
+        F.substring(F.decode("frame", "utf-8"), 1, 16).alias("pfx"))
+
+
 def _q_fingerprint(spark, sf_dir):
     from jsonextract_spark.datapipe.textstats import fingerprint_udf
 
@@ -405,10 +470,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokens": _q_bpe_tokens,
         "q_embed_dup": _q_embed_dup,
         "q_minhash_pairs": _q_minhash_pairs,
+        "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_fingerprint_stable": _q_fingerprint_stable,
         "q_langid": _q_langid,
         "q_lsh_ann": _q_lsh_ann,
         "q_ivf_ann": _q_ivf_ann,
         "q_multimodal": _q_multimodal,
+        "q_multimodal_resize": _q_multimodal_resize,
+        "q_frame_sample": _q_frame_sample,
         # rows-only (no SQL oracle — both need murmur3, absent in DuckDB):
         "q_simhash_pairs": _q_simhash_pairs,
         "q_fingerprint": _q_fingerprint,
@@ -600,6 +669,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
         """,
+        # All-pairs word-3-gram Jaccard (cap disabled in the query, so
+        # the plain inverted-index jaccard IS the ground truth).
+        "q_ngram_jaccard": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 300000, text
+                FROM documents WHERE doc_id % 25 = 0
+                UNION ALL
+                SELECT doc_id + 400000, text || ' tail words here'
+                FROM documents WHERE doc_id % 25 = 5
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                         range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> array_to_string(w[i:i+2], ' ')))) AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM corpus)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+                FROM sh l JOIN sh r USING (g)
+                WHERE l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+        """,
+        # The fingerprint invariants hold for every document.
+        "q_fingerprint_stable": """
+            SELECT doc_id, true AS stable, true AS sensitive
+            FROM documents
+        """,
         # Exact SQL restatement of textstats._langid: distinct first-200
         # lowercased tokens, per-language stopword hits, argmax with ties
         # to the first language in sorted key order, CJK fallback when no
@@ -662,5 +770,26 @@ def oracle_sql() -> dict[str, str]:
                    true AS ok,
                    CAST(32 AS BIGINT) AS dim
             FROM documents WHERE doc_id < 200
+        """,
+        # DuckDB recomputes the fake resize digest byte-for-byte.
+        "q_multimodal_resize": """
+            SELECT doc_id,
+                   CAST(64 AS INT) AS width,
+                   CAST(48 AS INT) AS height,
+                   substr(sha256('payload-' || doc_id || ':64x48'),
+                          1, 16) AS pfx
+            FROM documents WHERE doc_id < 200
+        """,
+        # Evenly spaced frame sampling: frame_idx = (j*n)//k over the
+        # per-doc frame count n = doc_id % 24; zero-frame docs vanish.
+        "q_frame_sample": """
+            SELECT doc_id,
+                   CAST(j AS BIGINT) AS sample_no,
+                   CAST((j * (doc_id % 24)) // 4 AS BIGINT) AS frame_idx,
+                   substr(sha256('payload-' || doc_id || ':f' ||
+                          CAST((j * (doc_id % 24)) // 4 AS BIGINT)),
+                          1, 16) AS pfx
+            FROM documents, unnest([0, 1, 2, 3]) AS t(j)
+            WHERE doc_id < 100 AND doc_id % 24 <> 0
         """,
     }

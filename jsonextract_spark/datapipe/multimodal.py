@@ -1,8 +1,8 @@
 """Multimodal column plumbing: binary media + typed metadata.
 
 Media ride as opaque ``binary`` columns with a metadata struct; decode /
-feature-extract stages are ``mapInPandas`` over Arrow batches so bytes
-never round-trip through Python row objects. The actual codecs
+feature-extract / resize / frame-sample stages are ``mapInPandas`` over
+Arrow batches so bytes never round-trip through Python row objects. The actual codecs
 (PIL/ffmpeg) are not in this container, so the decode kernel is STUBBED:
 ``decode_mode='fake'`` produces deterministic fake features (so the
 Spark-side plumbing — schema, batching, partitioning — is fully real and
@@ -69,6 +69,100 @@ def decode_features(media: DataFrame,
             })
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id long, media_type string, payload binary,"
+                 " width int, height int, ok boolean, err string")
+
+FRAME_SCHEMA = ("doc_id long, sample_no long, frame_idx long,"
+                " frame binary, ok boolean, err string")
+
+
+def resize_media(media: DataFrame, width: int, height: int,
+                 decode_mode: str = "fake") -> DataFrame:
+    """Resize stage over binary media columns (mapInPandas, one row per
+    item). decode_mode='fake' emits a deterministic stand-in payload —
+    the sha256 hex of ``payload + b":WxH"`` — so the whole Arrow path is
+    SQL-oracle-checkable (DuckDB computes the same digest); 'real' is
+    where PIL/libvips belongs (not in this container)."""
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f":{width}x{height}".encode()
+        for pdf in batches:
+            outs, oks, errs = [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    if decode_mode == "fake":
+                        outs.append(hashlib.sha256(
+                            bytes(payload or b"") + tag)
+                            .hexdigest().encode())
+                    else:
+                        raise NotImplementedError(
+                            "real resize: PIL/libvips not bundled here")
+                    oks.append(True)
+                    errs.append(None)
+                except NotImplementedError as e:
+                    outs.append(b"")
+                    oks.append(False)
+                    errs.append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "payload": outs,
+                "width": width,
+                "height": height,
+                "ok": oks,
+                "err": errs,
+            })
+
+    return media.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, k: int = 4,
+                  decode_mode: str = "fake") -> DataFrame:
+    """Frame-sampling stage: fan each media item out to ``k`` evenly
+    spaced frames (``frame_idx = (j * n_frames) // k``); items with zero
+    frames emit nothing. Fake frames are the sha256 hex of
+    ``payload + b":f<idx>"`` (SQL-reproducible); 'real' is where
+    pyav/ffmpeg belongs."""
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, samples, idxs, frames, oks, errs = [], [], [], [], [], []
+            for doc_id, payload, n in zip(pdf["doc_id"], pdf["payload"],
+                                          pdf["n_frames"]):
+                n = int(n or 0)
+                if n <= 0:
+                    continue
+                for j in range(k):
+                    idx = (j * n) // k
+                    try:
+                        if decode_mode == "fake":
+                            frames.append(hashlib.sha256(
+                                bytes(payload or b"")
+                                + f":f{idx}".encode())
+                                .hexdigest().encode())
+                        else:
+                            raise NotImplementedError(
+                                "real frame decode: pyav/ffmpeg not "
+                                "bundled here")
+                        oks.append(True)
+                        errs.append(None)
+                    except NotImplementedError as e:
+                        frames.append(b"")
+                        oks.append(False)
+                        errs.append(str(e))
+                    ids.append(doc_id)
+                    samples.append(j)
+                    idxs.append(idx)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "sample_no": pd.Series(samples, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame": frames,
+                "ok": pd.Series(oks, dtype="bool"),
+                "err": pd.Series(errs, dtype="object"),
+            })
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)
 
 
 def synth_media(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -231,6 +231,35 @@ def test_quality_and_langid(spark):
     assert fp[1] != fp[2]
 
 
+def test_multimodal_resize_and_frames(spark):
+    from jsonextract_spark.datapipe.multimodal import (
+        resize_media, sample_frames, synth_media)
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    media = synth_media(spark, docs)
+
+    rz = resize_media(media, 64, 48).collect()
+    assert len(rz) == 30
+    assert all(r["ok"] and r["width"] == 64 and r["height"] == 48
+               and len(r["payload"]) == 64 for r in rz)  # sha256 hex
+
+    fr = sample_frames(media, k=4).collect()
+    # docs with n_frames = doc_id % 24 == 0 emit nothing (ids 0 and 24)
+    assert {r["doc_id"] for r in fr} == set(range(30)) - {0, 24}
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in by_doc.items():
+        n = d % 24
+        assert sorted(r["sample_no"] for r in rows) == [0, 1, 2, 3]
+        assert all(r["frame_idx"] == (r["sample_no"] * n) // 4
+                   for r in rows)
+
+    # real mode is stubbed: errors surface per-row, the job survives
+    real = resize_media(media, 8, 8, decode_mode="real").collect()
+    assert all((not r["ok"]) and "not bundled" in r["err"] for r in real)
+
+
 def test_multimodal_plumbing(spark):
     from jsonextract_spark.datapipe.multimodal import (
         decode_features, synth_media)
