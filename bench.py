@@ -174,10 +174,13 @@ def bench_dedup(spark, n_pages: int) -> tuple[float, dict]:
 def bench_simhash(spark, n_pages: int) -> float:
     from jsonextract_spark.datapipe.dedup import simhash_candidates
 
-    pages = _dedup_corpus(spark, min(n_pages, 8000))
+    pages = _dedup_corpus(spark, min(n_pages, 8000)).cache()
+    pages.count()  # corpus generation out of the measurement
     t0 = time.time()
     simhash_candidates(pages, "text", "url", max_hamming=3).count()
-    return time.time() - t0
+    dt = time.time() - t0
+    pages.unpersist()
+    return dt
 
 
 def bench_ann(spark) -> float:
