@@ -83,16 +83,43 @@ def _seen_delta_path(wh: Warehouse, round_no: int) -> str:
     return os.path.join(wh._path("frontier", round_no), "is_new=1")
 
 
+COMPACT_EVERY = 16
+
+
 def load_seen(spark: SparkSession, wh: Warehouse, upto_round: int):
     """The seen set is stored as per-round DELTAS (append-only, like an
     Iceberg partition append): loading unions the ``is_new=1`` frontier
-    partitions of rounds 0..upto. A full rewrite per round would be
-    O(total-crawled) I/O every round."""
+    partitions since the last compaction checkpoint, plus that
+    checkpoint. A full rewrite per round would be O(total-crawled) I/O
+    every round; unbounded delta lists would make round latency grow
+    with crawl age — compaction (see ``maybe_compact_seen``) bounds the
+    union at COMPACT_EVERY+1 sources."""
     import os
 
-    paths = [p for r in range(upto_round + 1)
-             if os.path.exists(p := _seen_delta_path(wh, r))]
+    base_round = -1
+    for r in range(upto_round - upto_round % COMPACT_EVERY,
+                   -1, -COMPACT_EVERY):
+        if wh.exists("seen_compact", r):
+            base_round = r
+            break
+    paths = ([wh._path("seen_compact", base_round)]
+             if base_round >= 0 else [])
+    paths += [p for r in range(base_round + 1, upto_round + 1)
+              if os.path.exists(p := _seen_delta_path(wh, r))]
     return spark.read.parquet(*paths).select("url_hash")
+
+
+def maybe_compact_seen(spark: SparkSession, wh: Warehouse, round_no: int):
+    """Every COMPACT_EVERY rounds, rewrite the seen set (base + deltas
+    since) into one compact table version — the IcebergLite analogue of
+    Iceberg's rewrite_data_files maintenance. One extra write job per
+    COMPACT_EVERY rounds (amortized 1/16 action/round); load_seen then
+    unions a bounded number of sources no matter how old the crawl is."""
+    if round_no <= 0 or round_no % COMPACT_EVERY != 0:
+        return False
+    wh.save(load_seen(spark, wh, round_no), "seen_compact", round_no,
+            partitions=max(spark.sparkContext.defaultParallelism, 4))
+    return True
 
 
 def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
@@ -237,6 +264,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         # Incremental OR-merge: touches only buckets that gained keys.
         wh.save(seen_mod.merge_filters(filters, fresh, kind=filter_kind),
                 "seen_filter", round_no)
+    maybe_compact_seen(spark, wh, round_no)
     t_filter = time.time()
 
     n_jobs = len(sc.statusTracker().getJobIdsForGroup(job_group))

@@ -116,6 +116,28 @@ def _seen_set(warehouse: str, round_no: int):
     ).fetchall())
 
 
+def test_seen_compaction_preserves_set(spark, tmp_path, monkeypatch):
+    """Compaction bounds load_seen's source list without changing the
+    set: after a compact checkpoint, base + later deltas must equal the
+    raw union of every per-round delta."""
+    import duckdb as _duck
+
+    from jsonextract_spark.crawl import pipeline as P
+
+    monkeypatch.setattr(P, "COMPACT_EVERY", 2)
+    wh_dir = str(tmp_path / "wc")
+    P.run_crawl(spark, wh_dir, rounds=3, n_seeds=10, host_budget=3,
+                batch_size=20)
+    wh = P.Warehouse(wh_dir)
+    assert wh.exists("seen_compact", 2)
+    raw = set(r[0] for r in _duck.sql(
+        f"SELECT url_hash FROM "
+        f"'{wh_dir}/frontier/*/is_new=1/*.parquet'").fetchall())
+    got = set(r["url_hash"]
+              for r in P.load_seen(spark, wh, 3).collect())
+    assert got == raw and len(got) > 10
+
+
 @pytest.mark.slow
 def test_crawl_deterministic_across_parallelism(tmp_path):
     w2, w8 = str(tmp_path / "w2"), str(tmp_path / "w8")
