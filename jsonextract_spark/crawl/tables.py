@@ -16,12 +16,19 @@ On a real cluster, swap ``save``/``load`` for
 
 Schemas
 -------
-frontier   url, url_hash, host, depth, priority, state ('pending')
-seen       url_hash (exact set; bloom side-structure in seen_filter)
-seen_filter bucket, bits (binary), m, k, n
-fetched    batch_id, rank, url, url_hash, host, depth, n_objects, n_links,
-           bytes, partition_id (lineage)
-metrics    batch_id, key, value
+frontier     url, url_hash, host, depth, priority, hive-partitioned on
+             is_new (0/1) — the is_new=1 partition IS the round's
+             append-only seen delta (one write job for both tables)
+seen_compact url_hash — periodic compaction of the deltas (the
+             IcebergLite analogue of rewrite_data_files), written every
+             pipeline.COMPACT_EVERY rounds so load_seen unions a
+             bounded source list
+seen_filter  bucket, kind, bits (binary), m, k, n
+fetched      batch_id, rank, url, host, depth, n_objects, n_links,
+             bytes, partition_id (lineage)
+host_stats   host, crawled (cumulative; written driver-side via DuckDB
+             from the fetched parquet)
+metrics      batch_id, key, value (incl. per-phase secs + spark_jobs)
 """
 
 from __future__ import annotations

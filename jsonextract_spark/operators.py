@@ -17,6 +17,24 @@ def extract(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, extract_objects_udf(F.col(text_col)))
 
 
+def extract_pages(pages: DataFrame, use_html: bool = True) -> DataFrame:
+    """The input-contract entry point: a Common-Crawl-style pages table
+    (url string, warc_ts timestamp, html binary, text string,
+    lang string — ``crawl.tables.PAGES_SCHEMA``) -> one row per
+    extracted object with its callback ordinal.
+
+    ``use_html=True`` extracts from the raw bytes (the byte-exact path,
+    like the Go reference reading the response body); ``use_html=False``
+    uses the text column. Identity/metadata columns ride through; the
+    only Python crossing is the extraction UDF."""
+    from jsonextract_spark.functions.udfs import extract_objects_bin_udf
+
+    col = (extract_objects_bin_udf(F.col("html")) if use_html
+           else extract_objects_udf(F.col("text")))
+    return pages.select("url", "warc_ts", "lang",
+                        F.posexplode(col).alias("pos", "obj"))
+
+
 def explode_objects(df: DataFrame, objs_col: str = "objs",
                     id_cols: list[str] | None = None) -> DataFrame:
     """Recover the callback stream: one row per value with its ordinal

@@ -141,3 +141,27 @@ def test_murmur3_mmh3_bitcompat():
     for s in _MURMUR_SAMPLES:
         assert urlhash.murmur3_64_py(s) == \
             mmh3.hash64(s.encode("utf-8"), 0, True)[0]
+
+
+def test_extract_pages_input_contract(spark):
+    """extract_pages consumes the input-contract pages shape
+    (url, warc_ts, html binary, text, lang); the html-bytes path and
+    the text path extract identical objects on UTF-8 pages."""
+    from jsonextract_spark.crawl import synth
+    from jsonextract_spark.operators import extract_pages
+
+    rows = []
+    for i in range(8):
+        t = synth.page_text(i)
+        rows.append((synth.url_of(i), None, t.encode("utf-8"), t, "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string,"
+              " lang string")
+
+    via_html = extract_pages(pages, use_html=True)
+    via_text = extract_pages(pages, use_html=False)
+    assert set(via_html.columns) == {"url", "warc_ts", "lang", "pos",
+                                     "obj"}
+    h = sorted((r["url"], r["pos"], r["obj"]) for r in via_html.collect())
+    t = sorted((r["url"], r["pos"], r["obj"]) for r in via_text.collect())
+    assert h == t and len(h) >= 8
