@@ -3,10 +3,13 @@
 ``entry(spark)`` — flagship extraction query at sf0.001.
 ``queries()`` / ``oracle_sql()`` — per-operator Spark vs DuckDB
 cross-checks at sf0.01 (row count + schema + order-insensitive value
-hash). Only two queries lack a SQL-expressible oracle (q_simhash_pairs
-and q_fingerprint both hinge on murmur3, which DuckDB doesn't ship);
-they are listed in ``queries()`` only and get the driver's rows-only
-check, with their semantics pinned by pytest instead.
+hash). Only two queries lack a SQL-expressible oracle: q_simhash_pairs
+(its token hash is wrapping 64-bit multiply/shift arithmetic — DuckDB
+integer ops raise on overflow instead of wrapping) and q_fingerprint
+(murmur3, which DuckDB doesn't ship). They are listed in ``queries()``
+only and get the driver's rows-only check, with their semantics pinned
+by pytest instead (including a batch-partitioning-invariance property
+test for simhash and the q_fingerprint_stable invariant oracle).
 
 Type discipline: every count/rank is cast to BIGINT on the Spark side
 because DuckDB's COUNT/ROW_NUMBER produce BIGINT; ratios stay DOUBLE.
@@ -292,7 +295,8 @@ def _q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH candidates + exact-Jaccard verify. Oracle'd by an
     all-pairs inverted-index Jaccard in DuckDB — a hash-match proves the
     LSH band recall was 100% at this threshold AND the verify math is
-    right (char-5-shingle sets, |A∩B|/|A∪B|)."""
+    right (UTF-8 byte 5-shingle sets incl. short-text space padding,
+    |A∩B|/|A∪B|)."""
     from jsonextract_spark.datapipe.dedup import minhash_dedup_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -478,7 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal": _q_multimodal,
         "q_multimodal_resize": _q_multimodal_resize,
         "q_frame_sample": _q_frame_sample,
-        # rows-only (no SQL oracle — both need murmur3, absent in DuckDB):
+        # rows-only (no SQL oracle — simhash needs wrapping uint64
+        # multiply/shift hashing, fingerprint needs murmur3; neither is
+        # expressible in DuckDB SQL):
         "q_simhash_pairs": _q_simhash_pairs,
         "q_fingerprint": _q_fingerprint,
     }
@@ -635,9 +641,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) GROUP BY user_id
         """,
-        # All-pairs exact Jaccard over char-5-shingle sets via an
+        # All-pairs exact Jaccard over UTF-8 BYTE 5-shingle sets via an
         # inverted-index join (no LSH): hash-match proves band recall was
         # 100% at threshold AND the Spark-side verify math is exact.
+        # Byte shingles (not chars) mirror _shingle_hashes exactly:
+        # DuckDB has no blob substring, so each byte 5-gram is taken as
+        # a 10-hex-char slice of hex(encode(text)), with short texts
+        # space-padded ('20') like the kernel's ljust.
         "q_minhash_pairs": """
             WITH corpus AS (
                 SELECT doc_id, text FROM documents
@@ -648,11 +658,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 300000, text
                 FROM documents WHERE doc_id % 25 = 0
             ),
+            hexed AS (
+                SELECT doc_id,
+                       hex(encode(text)) ||
+                       repeat('20', greatest(
+                           5 - octet_length(encode(text)), 0)) AS h,
+                       octet_length(encode(text)) AS n
+                FROM corpus
+            ),
             sh AS (
                 SELECT doc_id, unnest(list_distinct(list_transform(
-                         range(1, greatest(length(text) - 4, 1) + 1),
-                         i -> substr(text, i, 5)))) AS g
-                FROM corpus
+                         range(1, greatest(n - 4, 1) + 1),
+                         i -> substr(h, 2 * i - 1, 10)))) AS g
+                FROM hexed
             ),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (

@@ -104,9 +104,40 @@ def load_seen(spark: SparkSession, wh: Warehouse, upto_round: int):
             break
     paths = ([wh._path("seen_compact", base_round)]
              if base_round >= 0 else [])
-    paths += [p for r in range(base_round + 1, upto_round + 1)
-              if os.path.exists(p := _seen_delta_path(wh, r))]
+    for r in range(base_round + 1, upto_round + 1):
+        p = _seen_delta_path(wh, r)
+        if os.path.exists(p):
+            paths.append(p)
+        elif wh.exists("seen", r):
+            # warehouse written before the is_new layout: its deltas
+            # live in the legacy per-round `seen` table — resuming must
+            # not drop them (they'd be re-crawled)
+            paths.append(wh._path("seen", r))
     return spark.read.parquet(*paths).select("url_hash")
+
+
+def _carry_frontier_forward(wh: Warehouse, prev: int, round_no: int):
+    """Empty round: republish the frontier unchanged, folding the
+    previous round's ``is_new=1`` slice into ``is_new=0`` — this round
+    added no seen delta, and leaving the old slice in place would make
+    ``load_seen`` count it once per empty round. Hive partition values
+    live in the directory name, not the part files, so the fold is a
+    driver-side file move."""
+    import os
+    import shutil
+
+    wh.copy_forward("frontier", prev, round_no)
+    root = wh._path("frontier", round_no)
+    new_dir = os.path.join(root, "is_new=1")
+    if not os.path.exists(new_dir):
+        return
+    old_dir = os.path.join(root, "is_new=0")
+    os.makedirs(old_dir, exist_ok=True)
+    for i, f in enumerate(sorted(os.listdir(new_dir))):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(new_dir, f),
+                        os.path.join(old_dir, f"carried-{i}-{f}"))
+    shutil.rmtree(new_dir)
 
 
 def maybe_compact_seen(spark: SparkSession, wh: Warehouse, round_no: int):
@@ -147,13 +178,19 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
               filter_kind: str = "bloom") -> dict:
     """Execute round ``round_no`` (requires round_no-1 committed).
 
-    Fixed Spark-job budget per non-empty round (recorded as the
-    ``spark_jobs`` metric): pop-count, fetched save, frontier save
-    (which doubles as the seen delta via the ``is_new`` partition), and
-    the filter merge save. host_stats and round metrics are computed
-    driver-side from the parquet already written. Driver-side job
-    latency is what bounds small-round throughput; at production batch
-    sizes the same four jobs amortize over millions of URLs."""
+    Fixed Spark-ACTION budget per non-empty round (recorded as the
+    ``spark_actions`` metric, counted at the call sites): the fused
+    pop+fetch+extract ledger write, the gate-materializing n_new count,
+    the frontier save (which doubles as the seen delta via the
+    ``is_new`` partition), and the filter merge save — plus one
+    amortized compaction write every COMPACT_EVERY rounds. host_stats
+    and round metrics are computed driver-side from the parquet already
+    written. The separate ``spark_jobs`` metric is what the Spark
+    scheduler counted for the round's job group — with AQE enabled that
+    is one job per materialized query stage (~25), NOT the action
+    count. Driver-side action latency is what bounds small-round
+    throughput; at production batch sizes the same four actions
+    amortize over millions of URLs."""
     import duckdb as _duck
 
     t0 = time.time()
@@ -195,17 +232,21 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # ledger; batch counts come from the parquet written, not a separate
     # count() action over the pop.
     wh.save(fetched, "fetched", round_no)
+    n_actions = 1
     n_batch, n_objects = (int(v) for v in _duck.sql(
         f"SELECT count(*), coalesce(sum(n_objects),0) FROM "
         f"'{wh._path('fetched', round_no)}/*.parquet'").fetchone())
     t_fetch = time.time()
     if n_batch == 0:
-        # nothing fetched: carry state forward driver-side (no more jobs)
-        wh.copy_forward("frontier", prev, round_no)
+        # nothing fetched: carry state forward driver-side
+        _carry_frontier_forward(wh, prev, round_no)
         if filters is not None:
             wh.copy_forward("seen_filter", prev, round_no)
         if wh.exists("host_stats", prev):
             wh.copy_forward("host_stats", prev, round_no)
+        # keep the compaction cadence even through empty stretches so
+        # load_seen's source list stays bounded
+        maybe_compact_seen(spark, wh, round_no)
         wh.commit_round(round_no, {"fetched": 0, "new": 0, "empty": True})
         batch.unpersist()
         enriched.unpersist()
@@ -243,8 +284,10 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # then reuses the cached rows instead of re-running the candidate
     # explode + canonicalize + bloom-prune subtree inside the write job
     n_new = fresh.count()
+    n_actions += 1
     t_gate = time.time()
     wh.save(next_frontier, "frontier", round_no, partition_by="is_new")
+    n_actions += 1
     t_frontier = time.time()
 
     # cumulative per-host fetch counts drive next round's budget scoring;
@@ -264,7 +307,9 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         # Incremental OR-merge: touches only buckets that gained keys.
         wh.save(seen_mod.merge_filters(filters, fresh, kind=filter_kind),
                 "seen_filter", round_no)
-    maybe_compact_seen(spark, wh, round_no)
+        n_actions += 1
+    if maybe_compact_seen(spark, wh, round_no):
+        n_actions += 1
     t_filter = time.time()
 
     n_jobs = len(sc.statusTracker().getJobIdsForGroup(job_group))
@@ -273,6 +318,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     _write_metrics(wh, round_no, {
         "fetched": float(n_batch), "objects": float(n_objects),
         "new_urls": float(n_new), "sec": sec,
+        "spark_actions": float(n_actions),
         "spark_jobs": float(n_jobs),
         "sec_pop_fetch_extract": t_fetch - t0,
         "sec_links_dedup": t_links - t_fetch,

@@ -114,6 +114,16 @@ class Warehouse:
         if partition_by is not None:
             writer = writer.partitionBy(partition_by)
         writer.parquet(tmp)
+        if partition_by is not None and not any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(tmp) for f in fs):
+            # An EMPTY partitioned write leaves only _SUCCESS — no
+            # schema-bearing part file — and a later read fails with
+            # UNABLE_TO_INFER_SCHEMA. Rewrite unpartitioned (an empty
+            # plain write does emit a schema file); readers that look
+            # for partition subdirs correctly see no partitions.
+            shutil.rmtree(tmp)
+            w.drop(partition_by).write.mode("overwrite").parquet(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)

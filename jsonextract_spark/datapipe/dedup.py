@@ -5,8 +5,11 @@ Scale shapes:
 * MinHash-LSH: per-doc signature (Arrow UDF, numpy-vectorized) → band
   buckets → self-join *within buckets only* (the LSH point: candidate
   pairs ∝ collisions, not n²) → exact Jaccard verify on candidates.
-* SimHash: 64-bit fingerprint; Hamming-ball candidates via 4×16-bit
-  block blocking (any pair within distance 3 shares ≥1 exact block).
+* SimHash: 64-bit fingerprint; Hamming-ball candidates via combination
+  blocking — key every (n_blocks - max_hamming)-subset of bit blocks
+  (default 6 blocks → C(6,3)=20 composite keys), so any pair within
+  the distance bound shares ≥1 exact key while chance collisions
+  shrink from n²/2^16 to ~n²/2^32.
 
 All hash seeds are fixed constants: results are deterministic across
 runs and parallelism.

@@ -116,6 +116,48 @@ def _seen_set(warehouse: str, round_no: int):
     ).fetchall())
 
 
+def test_empty_partitioned_save_stays_readable(spark, tmp_path):
+    """A drained frontier (zero rows) written with partitionBy must
+    still load — Spark's empty partitioned write emits no schema file,
+    so the Warehouse falls back to a plain write."""
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    wh = Warehouse(str(tmp_path / "w"))
+    empty = spark.createDataFrame(
+        [], "url string, url_hash long, depth int, priority double,"
+            " is_new int")
+    wh.save(empty, "frontier", 7, partition_by="is_new")
+    back = wh.load(spark, "frontier", 7)
+    assert back.count() == 0
+    assert "url_hash" in back.columns
+
+
+def test_carry_frontier_forward_folds_delta(spark, tmp_path):
+    """An empty round republishes the frontier but must NOT republish
+    the previous round's seen delta (is_new=1) — otherwise load_seen
+    double-counts it once per empty round."""
+    import os
+
+    from jsonextract_spark.crawl import pipeline as P
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    wh = Warehouse(str(tmp_path / "w"))
+    df = spark.createDataFrame(
+        [("u1", 11, 1), ("u2", 22, 0), ("u3", 33, 1)],
+        "url string, url_hash long, is_new int")
+    wh.save(df, "frontier", 3, partition_by="is_new")
+    P._carry_frontier_forward(wh, 3, 4)
+
+    assert not os.path.exists(
+        os.path.join(wh._path("frontier", 4), "is_new=1"))
+    carried = wh.load(spark, "frontier", 4)
+    assert carried.count() == 3  # frontier content unchanged
+    # delta accounting: round 3 contributed u1,u3; round 4 contributed
+    # nothing — the seen union must see exactly {11, 33}, once each
+    seen = P.load_seen(spark, wh, 4)
+    assert sorted(r["url_hash"] for r in seen.collect()) == [11, 33]
+
+
 def test_seen_compaction_preserves_set(spark, tmp_path, monkeypatch):
     """Compaction bounds load_seen's source list without changing the
     set: after a compact checkpoint, base + later deltas must equal the

@@ -117,6 +117,50 @@ def test_lsh_topk_recall(spark):
     assert hits >= 2  # OR-amplified over 4 tables; allow 1 miss
 
 
+def test_shingle_jaccard_matches_sql_bytes(spark):
+    """The kernel's byte-shingle jaccard equals the DuckDB hex-slice
+    restatement used by the q_minhash_pairs oracle — including on
+    non-ASCII and shorter-than-k texts (space padding)."""
+    import duckdb
+
+    from jsonextract_spark.datapipe.dedup import _shingle_hashes
+
+    texts = ["héllo wörld ünicode text here",
+             "héllo wörld ünicode text therе",  # cyrillic 'е' at end
+             "ab", "ab ", "abcde", "中文文本测试一段话", "中文文本测试一段句"]
+
+    def py_jac(x, y):
+        a, b = set(_shingle_hashes(x)), set(_shingle_hashes(y))
+        return len(a & b) / max(len(a | b), 1)
+
+    con = duckdb.connect()
+    sql = """
+        WITH d AS (SELECT * FROM (VALUES (?, ?)) t(x, y)),
+        h AS (SELECT
+            hex(encode(x)) || repeat('20',
+                greatest(5 - octet_length(encode(x)), 0)) AS hx,
+            greatest(octet_length(encode(x)) - 4, 1) AS nx,
+            hex(encode(y)) || repeat('20',
+                greatest(5 - octet_length(encode(y)), 0)) AS hy,
+            greatest(octet_length(encode(y)) - 4, 1) AS ny
+            FROM d),
+        s AS (SELECT
+            list_distinct(list_transform(range(1, nx + 1),
+                i -> substr(hx, 2*i - 1, 10))) AS sx,
+            list_distinct(list_transform(range(1, ny + 1),
+                i -> substr(hy, 2*i - 1, 10))) AS sy
+            FROM h)
+        SELECT len(list_intersect(sx, sy))::DOUBLE /
+               greatest(len(sx) + len(sy) - len(list_intersect(sx, sy)),
+                        1)
+        FROM s
+    """
+    for x in texts:
+        for y in texts:
+            got = con.execute(sql, [x, y]).fetchone()[0]
+            assert abs(got - py_jac(x, y)) < 1e-12, (x, y)
+
+
 def test_embedding_dup_pairs_bucketed(spark):
     from jsonextract_spark.datapipe.similarity import embedding_dup_pairs
 

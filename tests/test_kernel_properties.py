@@ -66,3 +66,37 @@ def test_unicode_edges():
 def test_whitespace_unicode_between_tokens():
     # NBSP and ideographic space are JS whitespace
     assert extract_objects_str("[1, 　2]") == ["[1,2]"]
+
+
+@given(st.lists(st.one_of(st.none(),
+                          st.text(alphabet=st.characters(
+                              codec="utf-8", categories=("L", "N", "Z")),
+                              max_size=80)),
+                min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=19))
+@settings(max_examples=60, deadline=None)
+def test_simhash_batch_partition_invariant(texts, cut):
+    """SimHash signatures must be a function of each text alone — never
+    of which other rows shared the Arrow batch (regression guard for
+    padded-matrix hashing picking up the batch's longest token)."""
+    import pandas as pd
+
+    from jsonextract_spark.datapipe.dedup import _simhash_batch
+
+    cut = min(cut, len(texts))
+    whole = list(_simhash_batch(pd.Series(texts, dtype=object)))
+    parts = (list(_simhash_batch(pd.Series(texts[:cut], dtype=object))) +
+             list(_simhash_batch(pd.Series(texts[cut:], dtype=object)))
+             if texts[cut:] else
+             list(_simhash_batch(pd.Series(texts[:cut], dtype=object))))
+    assert whole == parts
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_minhash_signature_deterministic(doc):
+    """MinHash signatures are pure per-document functions."""
+    from jsonextract_spark.datapipe.dedup import _minhash_sig
+
+    assert _minhash_sig(doc) == _minhash_sig(doc)
+    assert len(_minhash_sig(doc)) == 64
