@@ -331,7 +331,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     enriched.unpersist()
     fresh.unpersist()
     return {"fetched": n_batch, "new": n_new, "objects": n_objects,
-            "sec": sec, "spark_jobs": n_jobs}
+            "sec": sec, "spark_actions": n_actions,
+            "spark_jobs": n_jobs}
 
 
 def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
@@ -385,6 +386,9 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--filter-kind", default="bloom",
                     choices=["bloom", "cuckoo"])
+    ap.add_argument("--recrawl-max-age", type=float, default=None,
+                    help="after the crawl, re-open fetched URLs older "
+                         "than this many seconds as a maintenance round")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -395,6 +399,12 @@ def main():
                       resume=args.resume, filter_kind=args.filter_kind)
     for s in stats:
         print(s)
+    if args.recrawl_max_age is not None:
+        from jsonextract_spark.crawl.recrawl import schedule_recrawl
+        wh = Warehouse(args.warehouse)
+        n = schedule_recrawl(spark, wh, wh.last_committed_round(),
+                             args.recrawl_max_age)
+        print({"phase": "recrawl", "reopened": n})
 
 
 if __name__ == "__main__":

@@ -48,3 +48,63 @@ def reopen_in_frontier(frontier: DataFrame,
                  F.min("depth").alias("depth"),
                  F.max("priority").alias("priority"))
             .select("url", "url_hash", "host", "depth", "priority"))
+
+
+def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
+                     now_ts: float | None = None,
+                     refresh_boost: float = 0.5) -> int:
+    """Pipeline maintenance step: re-open stale fetched URLs as a
+    dedicated maintenance ROUND (``after_round + 1``), so the next crawl
+    round refetches them.
+
+    Fetch time per URL is the commit timestamp of the round that fetched
+    it (ledger-side; the hot fetched table carries no extra column), and
+    the newest fetch wins per URL. The refreshed frontier is written as
+    a new round version with an EMPTY seen delta (``is_new=0``
+    everywhere — recrawl re-opens URLs, it never forgets them), with
+    filter/host state carried forward, and its own ledger entry — the
+    original rounds' deltas, stats and resume points stay intact.
+    Intended to run every N rounds like seen compaction, not per round.
+    Returns the number of re-opened URLs.
+    """
+    import time as _time
+
+    from jsonextract_spark.functions.udfs import (
+        canonicalize_url_udf, murmur3_64_udf, url_host_udf)
+
+    now_ts = _time.time() if now_ts is None else now_ts
+    round_ts = {r["round"]: float(r["ts"])
+                for r in wh.ledger()["rounds"]
+                if r.get("status") == "committed"}
+    parts = [wh.load(spark, "fetched", r)
+             .select("url", "depth", F.lit(round_ts[r]).alias("fetched_ts"))
+             for r in range(1, after_round + 1)
+             if wh.exists("fetched", r) and r in round_ts]
+    if not parts:
+        return 0
+    fetched = parts[0]
+    for p in parts[1:]:
+        fetched = fetched.unionByName(p)
+    latest = (fetched.groupBy("url")
+              .agg(F.max("fetched_ts").alias("fetched_ts"),
+                   F.min("depth").alias("depth")))
+    stale = (latest
+             .withColumn("url", canonicalize_url_udf(F.col("url")))
+             .filter(F.col("url").isNotNull())
+             .withColumn("url_hash", murmur3_64_udf("url"))
+             .withColumn("host", url_host_udf("url")))
+    refresh = refresh_candidates(stale, now_ts, max_age_sec,
+                                 refresh_boost).cache()
+    n = refresh.count()
+    rn = after_round + 1
+    frontier = wh.load(spark, "frontier", after_round).drop("is_new")
+    merged = (reopen_in_frontier(frontier, refresh)
+              .withColumn("is_new", F.lit(0)))
+    wh.save(merged, "frontier", rn, partition_by="is_new")
+    if wh.exists("seen_filter", after_round):
+        wh.copy_forward("seen_filter", after_round, rn)
+    if wh.exists("host_stats", after_round):
+        wh.copy_forward("host_stats", after_round, rn)
+    wh.commit_round(rn, {"phase": "recrawl", "reopened": n})
+    refresh.unpersist()
+    return n

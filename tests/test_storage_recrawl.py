@@ -40,6 +40,45 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_schedule_recrawl_roundtrip(spark, tmp_path):
+    """End-to-end refresh: crawl, schedule a recrawl maintenance round
+    (max_age=0 → everything is stale), resume — the next round refetches
+    previously-fetched URLs while the seen set stays unchanged."""
+    import duckdb as _duck
+
+    from jsonextract_spark.crawl.pipeline import run_crawl
+    from jsonextract_spark.crawl.recrawl import schedule_recrawl
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    wdir = str(tmp_path / "wrc")
+    run_crawl(spark, wdir, rounds=2, n_seeds=12, host_budget=4,
+              batch_size=30)
+    wh = Warehouse(wdir)
+
+    def seen_set():
+        return set(r[0] for r in _duck.sql(
+            f"SELECT url_hash FROM "
+            f"'{wdir}/frontier/*/is_new=1/*.parquet'").fetchall())
+
+    def fetched_urls(rno):
+        return set(r[0] for r in _duck.sql(
+            f"SELECT url FROM "
+            f"'{wdir}/fetched/round={rno}/*.parquet'").fetchall())
+
+    seen_before = seen_set()
+    early = fetched_urls(1) | fetched_urls(2)
+    n = schedule_recrawl(spark, wh, after_round=2, max_age_sec=0)
+    assert n == len(early)                      # everything went stale
+    assert wh.last_committed_round() == 3       # maintenance round
+    assert seen_set() == seen_before            # recrawl never forgets
+
+    run_crawl(spark, wdir, rounds=4, resume=True, n_seeds=12,
+              host_budget=4, batch_size=30)
+    refetched = fetched_urls(4) & early
+    assert refetched                            # stale URLs refetched
+    assert seen_set() >= seen_before            # history never shrinks
+
+
 def test_refresh_candidates_and_reopen(spark):
     from jsonextract_spark.crawl.recrawl import (
         refresh_candidates, reopen_in_frontier)
