@@ -32,6 +32,60 @@ _HEADERS = {
 }
 
 
+def make_fetch_extract_kernel(timeout_sec: float = 30.0,
+                              delay_sec: float = 0.0,
+                              max_bytes: int = 4 << 20):
+    """Compose the real HTTP fetcher with extraction + link discovery
+    into the pipeline's fused kernel shape (synth.FETCH_EXTRACT_SCHEMA),
+    so ``run_crawl(..., fetch_kernel=make_fetch_extract_kernel(...))``
+    crawls live HTTP instead of the synthetic corpus. Failed fetches
+    yield a row with n_objects=0 and no links (the crawl keeps going;
+    the error detail lives in the fetched bytes=0 signal)."""
+    import pandas as pd  # noqa: F811 (executor-side import)
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.request import Request, urlopen
+
+        from jsonextract_spark.functions.udfs import (
+            _budget, _links_from_objs)
+        from jsonextract_spark.kernel.scanner import extract_objects_str
+
+        for pdf in batches:
+            texts, stamps = [], []
+            for url in pdf["url"]:
+                body = b""
+                try:
+                    req = Request(url, headers=_HEADERS)
+                    with urlopen(req, timeout=timeout_sec) as resp:
+                        body = resp.read(max_bytes)
+                except Exception:  # noqa: BLE001 — per-url isolation
+                    body = b""
+                texts.append(body.decode("utf-8", "replace"))
+                stamps.append(time.time())
+                if delay_sec:
+                    time.sleep(delay_sec)
+            objs = [extract_objects_str(t, work_budget=_budget(len(t)))
+                    for t in texts]
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "host": pdf["host"],
+                # whole microseconds: float-seconds ns remainders fail
+                # Arrow's safe cast to timestamp[us]
+                "warc_ts": pd.to_datetime(
+                    [int(s * 1e6) for s in stamps], unit="us"),
+                "text": texts,
+                "lang": "und",
+                "depth": pdf["depth"],
+                "batch_id": pdf["batch_id"],
+                "rank": pdf["rank"],
+                "n_objects": [len(o) for o in objs],
+                "links": [_links_from_objs(o) for o in objs],
+                "bytes": [len(t) for t in texts],
+            })
+
+    return kernel
+
+
 def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
                  max_bytes: int = 4 << 20):
     """Build the mapInPandas kernel. ``delay_sec`` spaces requests inside

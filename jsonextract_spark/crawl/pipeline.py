@@ -154,9 +154,11 @@ def maybe_compact_seen(spark: SparkSession, wh: Warehouse, round_no: int):
 
 
 def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
-               filter_kind: str = "bloom"):
-    seeds = spark.createDataFrame([(u,) for u in synth.seed_urls(n_seeds)],
-                                  "url string")
+               filter_kind: str = "bloom",
+               seed_list: list[str] | None = None):
+    seeds = spark.createDataFrame(
+        [(u,) for u in (seed_list or synth.seed_urls(n_seeds))],
+        "url string")
     frontier = (_with_url_identity(seeds)
                 .dropDuplicates(["url_hash"])
                 .withColumn("depth", F.lit(0))
@@ -175,7 +177,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
               host_budget: int = DEFAULT_HOST_BUDGET,
               batch_size: int = DEFAULT_BATCH_SIZE,
               use_bloom: bool = True,
-              filter_kind: str = "bloom") -> dict:
+              filter_kind: str = "bloom",
+              fetch_kernel=None) -> dict:
     """Execute round ``round_no`` (requires round_no-1 committed).
 
     Fixed Spark-ACTION budget per non-empty round (recorded as the
@@ -217,10 +220,12 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         max(spark.sparkContext.defaultParallelism, 4),
         F.col("host"), F.pmod(F.col("url_hash"), F.lit(8)))
 
-    # 3+4. FUSED synthetic fetch + extract + link discovery: one Arrow
-    # stage, one Python worker per core (see PLANS.md on oversubscription)
+    # 3+4. FUSED fetch + extract + link discovery: one Arrow stage, one
+    # Python worker per core (see PLANS.md on oversubscription). The
+    # kernel is pluggable: synth (deterministic corpus, the default) or
+    # fetch_http.make_fetch_extract_kernel (live HTTP).
     enriched = (fetch_input
-                .mapInPandas(synth.fetch_extract_partition,
+                .mapInPandas(fetch_kernel or synth.fetch_extract_partition,
                              synth.FETCH_EXTRACT_SCHEMA)
                 .withColumn("partition_id", F.spark_partition_id())
                 .cache())
@@ -339,15 +344,21 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
               n_seeds: int = 100, host_budget: int = DEFAULT_HOST_BUDGET,
               batch_size: int = DEFAULT_BATCH_SIZE,
               use_bloom: bool = True, resume: bool = False,
-              filter_kind: str = "bloom") -> list[dict]:
-    """Run (or resume) a crawl to ``rounds`` committed rounds."""
+              filter_kind: str = "bloom", fetch_kernel=None,
+              seeds: list[str] | None = None) -> list[dict]:
+    """Run (or resume) a crawl to ``rounds`` committed rounds.
+
+    ``fetch_kernel`` swaps the fused fetch+extract stage (default: the
+    deterministic synthetic corpus; pass
+    ``fetch_http.make_fetch_extract_kernel()`` for live HTTP);
+    ``seeds`` overrides the synthetic seed list with explicit URLs."""
     wh = Warehouse(warehouse)
     if not resume:
         wh.destroy()
         wh = Warehouse(warehouse)
     start = wh.last_committed_round()
     if start < 0:
-        init_state(spark, wh, n_seeds, filter_kind)
+        init_state(spark, wh, n_seeds, filter_kind, seed_list=seeds)
         start = 0
     else:
         # a resumed crawl keeps the filter codec it started with
@@ -357,7 +368,7 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
     stats = []
     for r in range(start + 1, rounds + 1):
         s = run_round(spark, wh, r, host_budget, batch_size, use_bloom,
-                      filter_kind=filter_kind)
+                      filter_kind=filter_kind, fetch_kernel=fetch_kernel)
         stats.append({"round": r, **s})
     return stats
 

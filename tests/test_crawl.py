@@ -158,6 +158,51 @@ def test_carry_frontier_forward_folds_delta(spark, tmp_path):
     assert sorted(r["url_hash"] for r in seen.collect()) == [11, 33]
 
 
+def test_crawl_over_live_http(spark, tmp_path):
+    """The pluggable fetch kernel crawls a real HTTP server end-to-end:
+    fetch -> extract -> link discovery -> seen gate across rounds, with
+    the same pipeline code as the synthetic corpus."""
+    import http.server
+    import threading
+
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel)
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            i = int(self.path.rsplit("/", 1)[-1])
+            port = self.server.server_port
+            kids = ", ".join(
+                f"'http://127.0.0.1:{port}/p/{i * 2 + j}'"
+                for j in (1, 2)) if i < 8 else ""
+            body = (f"<script>var cfg = {{id: {i}, "
+                    f"links: [{kids}]}};</script>").encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_port
+        seeds = [f"http://127.0.0.1:{port}/p/1",
+                 f"http://127.0.0.1:{port}/p/2"]
+        stats = run_crawl(spark, str(tmp_path / "whttp"), rounds=2,
+                          seeds=seeds, host_budget=100, batch_size=50,
+                          fetch_kernel=make_fetch_extract_kernel())
+        assert stats[0]["fetched"] == 2
+        assert stats[0]["objects"] == 2      # one JS object per page
+        assert stats[0]["new"] == 4          # links of pages 1 and 2
+        assert stats[1]["fetched"] == 4      # the discovered children
+    finally:
+        srv.shutdown()
+
+
 def test_seen_compaction_preserves_set(spark, tmp_path, monkeypatch):
     """Compaction bounds load_seen's source list without changing the
     set: after a compact checkpoint, base + later deltas must equal the
