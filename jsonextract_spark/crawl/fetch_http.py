@@ -32,6 +32,20 @@ _HEADERS = {
 }
 
 
+def _fetch_one(url: str, timeout_sec: float,
+               max_bytes: int) -> tuple[int, bytes, str | None]:
+    """One isolated GET shared by both fetch stages: returns
+    (status, body, err); failures never raise."""
+    from urllib.request import Request, urlopen
+
+    try:
+        req = Request(url, headers=_HEADERS)
+        with urlopen(req, timeout=timeout_sec) as resp:
+            return resp.status, resp.read(max_bytes), None
+    except Exception as e:  # noqa: BLE001 — per-url isolation
+        return 0, b"", f"{type(e).__name__}: {e}"
+
+
 def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                               delay_sec: float = 0.0,
                               max_bytes: int = 4 << 20):
@@ -44,22 +58,16 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
     import pandas as pd  # noqa: F811 (executor-side import)
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from urllib.request import Request, urlopen
-
         from jsonextract_spark.functions.udfs import (
             _budget, _links_from_objs)
         from jsonextract_spark.kernel.scanner import extract_objects_str
 
         for pdf in batches:
-            texts, stamps = [], []
+            texts, stamps, sizes = [], [], []
             for url in pdf["url"]:
-                body = b""
-                try:
-                    req = Request(url, headers=_HEADERS)
-                    with urlopen(req, timeout=timeout_sec) as resp:
-                        body = resp.read(max_bytes)
-                except Exception:  # noqa: BLE001 — per-url isolation
-                    body = b""
+                _status, body, _err = _fetch_one(url, timeout_sec,
+                                                 max_bytes)
+                sizes.append(len(body))  # bytes fetched, not chars
                 texts.append(body.decode("utf-8", "replace"))
                 stamps.append(time.time())
                 if delay_sec:
@@ -80,7 +88,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                 "rank": pdf["rank"],
                 "n_objects": [len(o) for o in objs],
                 "links": [_links_from_objs(o) for o in objs],
-                "bytes": [len(t) for t in texts],
+                "bytes": sizes,
             })
 
     return kernel
@@ -92,20 +100,12 @@ def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
     a task (politeness within the host bucket)."""
 
     def fetch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from urllib.request import Request, urlopen
-
         for pdf in batches:
             rows = {"url": [], "status": [], "fetched_ts": [],
                     "html": [], "text": [], "err": []}
             for url in pdf["url"]:
-                status, body, err = 0, b"", None
-                try:
-                    req = Request(url, headers=_HEADERS)
-                    with urlopen(req, timeout=timeout_sec) as resp:
-                        status = resp.status
-                        body = resp.read(max_bytes)
-                except Exception as e:  # noqa: BLE001 — per-url isolation
-                    err = f"{type(e).__name__}: {e}"
+                status, body, err = _fetch_one(url, timeout_sec,
+                                               max_bytes)
                 rows["url"].append(url)
                 rows["status"].append(status)
                 rows["fetched_ts"].append(time.time())

@@ -156,9 +156,11 @@ def maybe_compact_seen(spark: SparkSession, wh: Warehouse, round_no: int):
 def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
                filter_kind: str = "bloom",
                seed_list: list[str] | None = None):
-    seeds = spark.createDataFrame(
-        [(u,) for u in (seed_list or synth.seed_urls(n_seeds))],
-        "url string")
+    # `is not None`: an explicitly-empty seed list means an empty crawl,
+    # not a silent fallback to the synthetic seeds
+    urls = (seed_list if seed_list is not None
+            else synth.seed_urls(n_seeds))
+    seeds = spark.createDataFrame([(u,) for u in urls], "url string")
     frontier = (_with_url_identity(seeds)
                 .dropDuplicates(["url_hash"])
                 .withColumn("depth", F.lit(0))

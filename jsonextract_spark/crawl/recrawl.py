@@ -96,13 +96,26 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
     refresh = refresh_candidates(stale, now_ts, max_age_sec,
                                  refresh_boost).cache()
     n = refresh.count()
+    if n == 0:
+        # nothing stale: no frontier rewrite, no round consumed
+        refresh.unpersist()
+        return 0
     rn = after_round + 1
     frontier = wh.load(spark, "frontier", after_round).drop("is_new")
     merged = (reopen_in_frontier(frontier, refresh)
               .withColumn("is_new", F.lit(0)))
     wh.save(merged, "frontier", rn, partition_by="is_new")
     if wh.exists("seen_filter", after_round):
-        wh.copy_forward("seen_filter", after_round, rn)
+        from jsonextract_spark.crawl.seen import delete_from_filters
+
+        filters = wh.load(spark, "seen_filter", after_round)
+        # cuckoo buckets support deletion: dropping the reopened URLs'
+        # fingerprints keeps the prune layer's stats honest for
+        # recrawled hosts (bloom buckets pass through unchanged — they
+        # cannot delete, and the exact anti-join stays the backstop)
+        wh.save(delete_from_filters(filters,
+                                    refresh.select("url_hash")),
+                "seen_filter", rn)
     if wh.exists("host_stats", after_round):
         wh.copy_forward("host_stats", after_round, rn)
     wh.commit_round(rn, {"phase": "recrawl", "reopened": n})

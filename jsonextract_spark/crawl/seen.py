@@ -171,6 +171,54 @@ def merge_filters(filters: DataFrame, fresh: DataFrame,
     return both.groupBy("bucket").applyInPandas(merge, _FILTER_SCHEMA)
 
 
+def delete_from_filters(filters: DataFrame,
+                        stale: DataFrame) -> DataFrame:
+    """Remove keys from the prune layer (recrawl maintenance).
+
+    Cuckoo buckets support true deletion (``CuckooFilter.delete_many``)
+    — dropping reopened URLs keeps prune statistics honest for
+    recrawled hosts. Bloom buckets pass through unchanged (bloom cannot
+    delete); that is safe because the prune layer is only ever an
+    optimization in front of the exact anti-join. Same bucket-grouped
+    shape as ``merge_filters``: O(stale) + one small shuffle."""
+    delta = (stale.select("url_hash")
+             .withColumn("bucket", bucket_col(F.col("url_hash"))))
+
+    def pack(key, pdf):
+        hashes = pdf["url_hash"].to_numpy()
+        return pd.DataFrame({
+            "bucket": [int(key[0])], "kind": ["del"],
+            "bits": [hashes.astype(np.int64).tobytes()],
+            "m": [0], "k": [0], "n": [len(hashes)],
+        })
+
+    partial = delta.groupBy("bucket").applyInPandas(pack, _FILTER_SCHEMA)
+    both = filters.unionByName(partial)
+
+    def apply_delete(key, pdf):
+        base = pdf[pdf["kind"] != "del"]
+        dels = pdf[pdf["kind"] == "del"]
+        if len(base) == 0:
+            return pd.DataFrame(columns=pdf.columns)  # nothing to edit
+        row = base.iloc[0]
+        if len(dels) == 0 or row["kind"] != "cuckoo":
+            return base.iloc[:1]
+        from jsonextract_spark.crawl import cuckoo
+
+        hashes = np.concatenate([np.frombuffer(b, dtype=np.int64)
+                                 for b in dels["bits"]])
+        f = cuckoo.CuckooFilter.from_bytes(bytes(row["bits"]),
+                                           int(row["n"]))
+        f.delete_many(hashes)
+        return pd.DataFrame({
+            "bucket": [int(key[0])], "kind": ["cuckoo"],
+            "bits": [f.to_bytes()], "m": [f.nb], "k": [int(row["k"])],
+            "n": [f.n]})
+
+    return both.groupBy("bucket").applyInPandas(apply_delete,
+                                                _FILTER_SCHEMA)
+
+
 def prune_candidates(candidates: DataFrame,
                      filters: DataFrame) -> DataFrame:
     """Add ``maybe_seen`` to candidates(url_hash, ...) using the bloom

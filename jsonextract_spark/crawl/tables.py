@@ -119,11 +119,14 @@ class Warehouse:
                 for _, _, fs in os.walk(tmp) for f in fs):
             # An EMPTY partitioned write leaves only _SUCCESS — no
             # schema-bearing part file — and a later read fails with
-            # UNABLE_TO_INFER_SCHEMA. Rewrite unpartitioned (an empty
-            # plain write does emit a schema file); readers that look
-            # for partition subdirs correctly see no partitions.
+            # UNABLE_TO_INFER_SCHEMA. Write an empty frame FROM THE
+            # KNOWN SCHEMA instead (re-running the original plan just to
+            # produce zero rows would double-execute it); readers that
+            # look for partition subdirs correctly see no partitions.
             shutil.rmtree(tmp)
-            w.drop(partition_by).write.mode("overwrite").parquet(tmp)
+            empty = w.sparkSession.createDataFrame(
+                [], w.drop(partition_by).schema)
+            empty.write.mode("overwrite").parquet(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)

@@ -83,3 +83,37 @@ def test_seen_cuckoo_mode_exactness(spark):
     out2 = sm.new_urls(cand2, all_seen, merged)
     got2 = {r["url_hash"] for r in out2.collect()}
     assert got2 == set(cand_new[1500:]) - set(cand_new[:500]) - set(seen_hashes)
+
+
+def test_delete_from_filters(spark):
+    """Recrawl maintenance: cuckoo buckets truly forget deleted keys,
+    bloom buckets pass through unchanged (and stay exact via the
+    anti-join backstop)."""
+    import numpy as np
+    from jsonextract_spark.crawl import seen as sm
+
+    rng = np.random.default_rng(9)
+    keys = [int(x) for x in
+            rng.integers(-2**62, 2**62, size=2000)]
+    seen_df = spark.createDataFrame([(k,) for k in keys],
+                                    "url_hash long")
+    stale = spark.createDataFrame([(k,) for k in keys[:300]],
+                                  "url_hash long")
+
+    cuckoo_f = sm.build_filters(seen_df, kind="cuckoo")
+    after = sm.delete_from_filters(cuckoo_f, stale)
+    cand = spark.createDataFrame(
+        [(k, f"u{i}") for i, k in enumerate(keys)],
+        "url_hash long, url string")
+    flagged = {r["url_hash"]: r["maybe_seen"]
+               for r in sm.prune_candidates(cand, after).collect()}
+    # deleted keys may now read definitely-new; retained keys must all
+    # still be flagged (cuckoo has no false negatives for present keys)
+    assert all(flagged[k] for k in keys[300:])
+    assert sum(1 for k in keys[:300] if not flagged[k]) > 250
+
+    bloom_f = sm.build_filters(seen_df, kind="bloom")
+    after_b = sm.delete_from_filters(bloom_f, stale)
+    flagged_b = {r["url_hash"]: r["maybe_seen"]
+                 for r in sm.prune_candidates(cand, after_b).collect()}
+    assert all(flagged_b[k] for k in keys)  # bloom unchanged
