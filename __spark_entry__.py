@@ -187,27 +187,31 @@ def _q_exact_dedup(spark, sf_dir):
 
 
 def _q_token_stats(spark, sf_dir):
+    from jsonextract_spark.datapipe.textstats import (
+        char_count, token_count)
+
     docs = _docs(spark, sf_dir)
     t = F.col("text")
     return docs.select(
         "doc_id",
-        F.size(F.split(t, " ")).cast("bigint").alias("n_tokens"),
-        (F.length(t) - F.length(F.replace(t, F.lit("e"), F.lit(""))))
-        .cast("bigint").alias("n_e"))
+        token_count(t).cast("bigint").alias("n_tokens"),
+        char_count(t, "e").cast("bigint").alias("n_e"))
 
 
 def _q_quality(spark, sf_dir):
+    """The quality_features operator itself (all JVM built-ins), with
+    the SQL-expressible feature columns oracle-checked."""
+    from jsonextract_spark.datapipe.textstats import quality_features
+
     docs = _docs(spark, sf_dir)
-    t = F.col("text")
-    n = F.length(t)
-    spaces = n - F.length(F.replace(t, F.lit(" "), F.lit("")))
-    hits = F.size(F.filter(
-        F.split(t, " "),
-        lambda w: w.isin("the", "a", "of", "and", "in")))
-    return docs.select(
+    feats = quality_features(docs, "text")
+    return feats.select(
         "doc_id",
-        (spaces.cast("double") / n.cast("double")).alias("space_ratio"),
-        hits.cast("bigint").alias("stopword_hits"))
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("space_ratio").cast("double").alias("space_ratio"),
+        F.col("digit_ratio").cast("double").alias("digit_ratio"),
+        F.col("punct_ratio").cast("double").alias("punct_ratio"),
+        F.col("stopword_hits").cast("bigint").alias("stopword_hits"))
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -574,8 +578,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_quality": """
             SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens,
                    CAST(length(text) - length(replace(text, ' ', ''))
                         AS DOUBLE) / length(text) AS space_ratio,
+                   CAST(length(text) - length(
+                            regexp_replace(text, '[0-9]', '', 'g'))
+                        AS DOUBLE) / length(text) AS digit_ratio,
+                   CAST(length(text) - length(
+                            regexp_replace(text, '[\\.,;:!\\?''"]', '',
+                                           'g'))
+                        AS DOUBLE) / length(text) AS punct_ratio,
                    CAST(len(list_filter(string_split(text, ' '),
                             x -> x IN ('the','a','of','and','in')))
                         AS BIGINT) AS stopword_hits
