@@ -12,7 +12,11 @@ on local[$SPARK_GRAFT_CPUS]):
   q_crawl        two full crawl rounds (pop -> fetch -> extract -> seen
                  gate -> commit)
   q_dedup_minhash  MinHash-LSH near-dup pairs over the page corpus
-                 (per-stage split: signature / band join / verify)
+                 (per-stage split: signature / band join / verify).
+                 COMPARABILITY: since round 2 this measures the FULL
+                 pipeline (incl. exact-Jaccard verify) on the
+                 planted-dup corpus; round 1 measured candidates only
+                 on an all-dup corpus — the series restarts at r02.
   q_dedup_simhash  SimHash hamming<=3 candidates over the page corpus
   q_ann          brute-force cosine top-k over embeddings
   q_oracle_suite one pass of the oracle'd relational queries
