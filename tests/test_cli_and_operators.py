@@ -3,14 +3,13 @@
 import http.server
 import io
 import json
-import os
 import subprocess
 import sys
 import threading
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType, StructField, StringType, LongType
+from pyspark.sql.types import StructType, StructField, LongType
 
 from jsonextract_spark import jsonx
 

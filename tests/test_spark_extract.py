@@ -7,7 +7,6 @@ kernel, end-to-end through Scan → Project → ArrowEvalPython → Generate.
 import pytest
 from pyspark.sql import functions as F
 
-from jsonextract_spark.kernel.scanner import extract_objects_str
 from tests.golden_corpus import CASES
 
 pytestmark = pytest.mark.spark
