@@ -200,6 +200,19 @@ def bench_ann(spark) -> float:
     return time.time() - t0
 
 
+def bench_ann_ivf(spark) -> float:
+    from pyspark.sql import functions as F
+    from jsonextract_spark.datapipe.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.filter("vec_id < 20")
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = emb.filter("vec_id >= 20")
+    t0 = time.time()
+    ivf_topk(corpus, queries, k=10, n_cells=64, n_probe=8).count()
+    return time.time() - t0
+
+
 def bench_oracle_suite(spark) -> float:
     import __spark_entry__ as e
 
@@ -304,6 +317,7 @@ def main():
     extra["dedup_minhash_stages"] = dedup_stages
     results["q_dedup_simhash"] = round(bench_simhash(spark, N_PAGES), 3)
     results["q_ann"] = round(bench_ann(spark), 3)
+    results["q_ann_ivf"] = round(bench_ann_ivf(spark), 3)
     results["q_oracle_suite"] = round(bench_oracle_suite(spark), 3)
     spark.stop()
 

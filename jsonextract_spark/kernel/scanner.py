@@ -60,6 +60,11 @@ def transform_number(number: bytes) -> bytes:
     elif number[:1] == b"-":
         number = number[1:]
         out = b"-"
+    # fast path: a plain decimal uint64 without leading zero is its own
+    # decimalization (leading zeros mean legacy octal in base-0 parsing)
+    if (number.isdigit() and not number.startswith(b"0")
+            and len(number) <= 19):
+        return out + number
     v = parse_uint_base0(number.decode("latin-1"))
     if v is None:
         if number[-1:] == b"." and number.find(b".") == len(number) - 1:
