@@ -10,7 +10,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Column, functions as F
 from pyspark.sql.types import LongType, StringType
 
-from jsonextract_spark.functions.urlhash import murmur3_64
+from jsonextract_spark.functions.urlhash import murmur3_64_batch
 
 
 def token_count(col) -> Column:
@@ -74,10 +74,15 @@ def langid_udf(texts: pd.Series) -> pd.Series:
 @F.pandas_udf(LongType())
 def fingerprint_udf(texts: pd.Series) -> pd.Series:
     """64-bit document fingerprint over whitespace-normalized lowercase
-    text (stable under reflow/case changes)."""
-    def one(t):
-        if t is None:
-            return None
-        norm = " ".join(t.lower().split())
-        return murmur3_64(norm)
-    return texts.map(one)
+    text (stable under reflow/case changes). Normalization is cheap
+    per-row string work; the hash itself runs batch-vectorized numpy
+    murmur3 (one pass over the whole Arrow batch)."""
+    valid = texts.notna().to_numpy()
+    norm = [" ".join(t.lower().split()) for t in texts[valid]]
+    if valid.all():
+        return pd.Series(murmur3_64_batch(norm), index=texts.index)
+    out = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+    if norm:
+        out.iloc[valid.nonzero()[0]] = [int(v)
+                                        for v in murmur3_64_batch(norm)]
+    return out

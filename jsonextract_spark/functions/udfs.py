@@ -33,7 +33,7 @@ from jsonextract_spark.kernel.objects import (
 )
 from jsonextract_spark.functions.urlhash import (
     canonicalize_url,
-    murmur3_64,
+    murmur3_64_batch,
     url_host,
 )
 
@@ -122,9 +122,23 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: None if u is None else canonicalize_url(u))
 
 
+def _murmur3_series(texts: pd.Series) -> pd.Series:
+    """Batch-vectorized murmur3 over a string Series (null-preserving):
+    one numpy pass per Arrow batch, no per-row Python hashing."""
+    if not texts.isna().any():
+        return pd.Series(murmur3_64_batch(texts.tolist()),
+                         index=texts.index)
+    valid = texts.notna().to_numpy()
+    out = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+    if valid.any():
+        vals = murmur3_64_batch(texts[valid].tolist())
+        out.iloc[valid.nonzero()[0]] = [int(v) for v in vals]
+    return out
+
+
 @F.pandas_udf(LongType())
 def murmur3_64_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda s: None if s is None else murmur3_64(s))
+    return _murmur3_series(texts)
 
 
 @F.pandas_udf(StringType())

@@ -7,16 +7,23 @@ and safe to call inside Arrow-batched pandas UDFs.
 
 MurmurHash3 x64 128-bit is implemented from Austin Appleby's public
 domain algorithm; we return the low 64 bits as a signed int64 (Spark
-LongType). When the C ``mmh3`` wheel is importable, ``murmur3_64``
-automatically dispatches to ``mmh3.hash64`` (bit-compatible: seed 0,
-x64 variant, signed low word) — the pure-Python path is the fallback,
-and ``tests`` assert the two agree on reference vectors whenever mmh3
-is present.
+LongType). Three implementations, all bit-identical:
+
+* ``murmur3_64_batch`` — numpy-vectorized over a padded byte matrix;
+  the LIVE path inside every Arrow UDF (one vector pass per batch, no
+  per-row Python hashing).
+* ``murmur3_64_py`` — scalar pure Python; the parity reference the
+  batch path is pinned against (tests always run this cross-check).
+* ``mmh3.hash64`` — used for ``murmur3_64`` scalar calls when the C
+  wheel is importable (bit-compatible: seed 0, x64 variant, signed low
+  word).
 """
 
 from __future__ import annotations
 
 from urllib.parse import urlsplit, urlunsplit
+
+import numpy as np
 
 try:
     import mmh3 as _mmh3
@@ -108,6 +115,101 @@ if _mmh3 is not None:
         return _mmh3.hash64(s.encode("utf-8"), seed, True)[0]
 else:
     murmur3_64 = murmur3_64_py
+
+
+# -- vectorized batch path ---------------------------------------------------
+#
+# The crawl's link gate and fingerprint_udf hash every candidate URL /
+# document per round; per-row Python big-int murmur3 was the hot spot
+# (VERDICT r2). The batch path runs the same MurmurHash3_x64_128 over a
+# zero-padded (n, width) byte matrix: the block loop does max_blocks
+# vectorized passes over ALL rows at once with per-row liveness masks
+# (same discipline as datapipe.dedup._token_hashes — state must be a
+# function of each row alone, never of the longest row in the batch).
+# numpy uint64 arithmetic wraps mod 2^64 like the C reference; bytes are
+# read little-endian via a '<u8' view (x86). Bit-parity with the scalar
+# path is pinned by an always-running test (reference vectors + random
+# strings of every tail length).
+
+_U64 = np.uint64
+
+
+def _rotl64v(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def _fmix64v(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> _U64(33))
+    k = k * _U64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> _U64(33))
+    k = k * _U64(0xC4CEB9FE1A85EC53)
+    return k ^ (k >> _U64(33))
+
+
+def murmur3_x64_128_batch(datas: list[bytes],
+                          seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """MurmurHash3_x64_128 of each byte string; returns (h1, h2) uint64
+    arrays, bit-identical to ``murmur3_x64_128`` row by row."""
+    n = len(datas)
+    if n == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e.copy()
+    lens = np.fromiter((len(d) for d in datas), np.int64, n)
+    max_len = int(lens.max()) if n else 0
+    # pad to a 16-byte multiple with one spare block so the 16-byte tail
+    # gather below never reads past the row
+    width = (max_len // 16 + 2) * 16
+    mat = np.zeros((n, width), dtype=np.uint8)
+    mat[np.arange(width)[None, :] < lens[:, None]] = np.frombuffer(
+        b"".join(datas), dtype=np.uint8)
+    words = mat.view(np.dtype("<u8"))           # (n, width // 8)
+
+    c1, c2 = _U64(_C1), _U64(_C2)
+    h1 = np.full(n, seed & _MASK, dtype=np.uint64)
+    h2 = h1.copy()
+    nblocks = lens // 16
+    for j in range(int(nblocks.max())):
+        live = nblocks > j
+        k1 = _rotl64v(words[:, 2 * j] * c1, 31) * c2
+        k2 = _rotl64v(words[:, 2 * j + 1] * c2, 33) * c1
+        nh1 = _rotl64v(h1 ^ k1, 27) + h2
+        nh1 = nh1 * _U64(5) + _U64(0x52DCE729)
+        nh2 = _rotl64v(h2 ^ k2, 31) + nh1
+        nh2 = nh2 * _U64(5) + _U64(0x38495AB5)
+        h1 = np.where(live, nh1, h1)
+        h2 = np.where(live, nh2, h2)
+
+    # tail starts at nblocks*16 — always word-aligned, and the matrix is
+    # zero beyond each row's true length, so the two tail words can be
+    # read straight out of the u64 view (zero padding == the scalar
+    # path's ljust(b"\\0") semantics)
+    tl = lens - nblocks * 16
+    flat = words.reshape(-1)
+    row0 = np.arange(n, dtype=np.int64) * (width // 8)
+    k1t = flat[row0 + 2 * nblocks]
+    k2t = flat[row0 + 2 * nblocks + 1]
+    k1t = _rotl64v(k1t * c1, 31) * c2
+    k2t = _rotl64v(k2t * c2, 33) * c1
+    h2 = np.where(tl > 8, h2 ^ k2t, h2)
+    h1 = np.where(tl > 0, h1 ^ k1t, h1)
+
+    ul = lens.astype(np.uint64)
+    h1 ^= ul
+    h2 ^= ul
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64v(h1)
+    h2 = _fmix64v(h2)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    return h1, h2
+
+
+def murmur3_64_batch(strs: list[str], seed: int = 0) -> np.ndarray:
+    """Low 64 bits of murmur3_x64_128 for each string, as int64 (Spark
+    LongType) — the vectorized twin of ``murmur3_64``."""
+    h1, _ = murmur3_x64_128_batch([s.encode("utf-8") for s in strs], seed)
+    return h1.view(np.int64)
 
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
