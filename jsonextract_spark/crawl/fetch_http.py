@@ -46,16 +46,119 @@ def _fetch_one(url: str, timeout_sec: float,
         return 0, b"", f"{type(e).__name__}: {e}"
 
 
+# -- robots.txt --------------------------------------------------------------
+#
+# Live crawls honor robots at BOTH layers:
+# * scheduler gate: ``make_robots_provider`` fetches/parses robots.txt
+#   per distinct frontier host (mapInPandas — the fetch fans out on
+#   executors, never a driver loop) and feeds pop_batch's host-level
+#   allowed column (can_fetch(UA, "/") — a host whose root is disallowed
+#   is never popped).
+# * fetch kernel: per-URL ``can_fetch`` check right before the GET (robots
+#   rules are per-path; the host-level gate alone would over-crawl hosts
+#   that only disallow subtrees). Blocked URLs yield NO row — they leave
+#   the frontier via the popped-batch diff and are never fetched.
+#
+# Parsers are cached per Python worker process keyed by origin; a missing
+# or unfetchable robots.txt allows everything (the de-facto standard).
+
+_ROBOTS_CACHE: dict = {}
+
+
+def _robots_for(origin: str, timeout_sec: float = 10.0):
+    """Fetch+parse ``<origin>/robots.txt`` with per-worker caching.
+    Returns a RobotFileParser, or None when robots.txt is missing /
+    unfetchable (treat as allow-all)."""
+    import urllib.robotparser
+
+    if origin in _ROBOTS_CACHE:
+        return _ROBOTS_CACHE[origin]
+    status, body, _err = _fetch_one(origin + "/robots.txt", timeout_sec,
+                                    1 << 20)
+    rp = None
+    if status == 200:
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(body.decode("utf-8", "replace").splitlines())
+    _ROBOTS_CACHE[origin] = rp
+    return rp
+
+
+def _origin_of(url: str) -> str | None:
+    from urllib.parse import urlsplit
+
+    try:
+        p = urlsplit(url)
+    except ValueError:
+        return None
+    if p.scheme not in ("http", "https") or not p.netloc:
+        return None
+    return f"{p.scheme}://{p.netloc}"
+
+
+def robots_allowed(url: str, user_agent: str,
+                   timeout_sec: float = 10.0) -> bool:
+    rp = _robots_for(_origin_of(url) or "", timeout_sec) \
+        if _origin_of(url) else None
+    return True if rp is None else rp.can_fetch(user_agent, url)
+
+
+def make_robots_provider(user_agent: str | None = None,
+                         timeout_sec: float = 10.0):
+    """Build a ``robots_provider`` for ``run_crawl``: (spark, frontier)
+    -> DataFrame(host, allowed). One representative URL per host picks
+    the origin (scheme/port live in the URL, not the host column); the
+    robots GET + parse runs executor-side over the distinct-host set.
+    Hosts are refetched once per round per worker (cache is per worker
+    process) — production would persist a robots table version per
+    round like host_stats; the per-round distinct-host set is already
+    politeness-bounded."""
+    ua = user_agent or _HEADERS["User-Agent"]
+
+    def provider(spark, frontier):
+        from pyspark.sql import functions as F
+
+        origins = frontier.groupBy("host").agg(F.min("url").alias("url"))
+
+        def kernel(batches: Iterable[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                # host admission = is the ROOT allowed; per-path rules
+                # are enforced in the fetch kernel per URL
+                allowed = []
+                for u in pdf["url"]:
+                    org = _origin_of(u)
+                    allowed.append(True if org is None else
+                                   robots_allowed(org + "/", ua,
+                                                  timeout_sec))
+                yield pd.DataFrame({"host": pdf["host"],
+                                    "allowed": allowed})
+
+        return origins.mapInPandas(kernel, "host string, allowed boolean")
+
+    return provider
+
+
 def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                               delay_sec: float = 0.0,
-                              max_bytes: int = 4 << 20):
+                              max_bytes: int = 4 << 20,
+                              respect_robots: bool = True,
+                              user_agent: str | None = None):
     """Compose the real HTTP fetcher with extraction + link discovery
     into the pipeline's fused kernel shape (synth.FETCH_EXTRACT_SCHEMA),
     so ``run_crawl(..., fetch_kernel=make_fetch_extract_kernel(...))``
     crawls live HTTP instead of the synthetic corpus. Failed fetches
     yield a row with n_objects=0 and no links (the crawl keeps going;
-    the error detail lives in the fetched bytes=0 signal)."""
+    the error detail lives in the fetched bytes=0 signal).
+
+    ``respect_robots`` (default ON) checks each URL against its host's
+    robots.txt per-path rules immediately before the GET; disallowed
+    URLs yield NO row (they leave the frontier via the popped-batch
+    diff, unfetched). Pair with
+    ``run_crawl(robots_provider=make_robots_provider())`` so the
+    scheduler's host-level gate uses real robots too."""
     import pandas as pd  # noqa: F811 (executor-side import)
+
+    ua = user_agent or _HEADERS["User-Agent"]
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from jsonextract_spark.functions.udfs import (
@@ -63,6 +166,12 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
         from jsonextract_spark.kernel.scanner import extract_objects_str
 
         for pdf in batches:
+            if respect_robots and len(pdf):
+                ok = pdf["url"].map(
+                    lambda u: robots_allowed(u, ua, timeout_sec))
+                pdf = pdf[ok].reset_index(drop=True)
+                if not len(pdf):
+                    continue  # whole batch robots-blocked: no rows
             texts, stamps, sizes = [], [], []
             for url in pdf["url"]:
                 _status, body, _err = _fetch_one(url, timeout_sec,

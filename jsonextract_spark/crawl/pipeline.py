@@ -113,6 +113,9 @@ def load_seen(spark: SparkSession, wh: Warehouse, upto_round: int):
             # live in the legacy per-round `seen` table — resuming must
             # not drop them (they'd be re-crawled)
             paths.append(wh._path("seen", r))
+    if not paths:
+        # empty crawl (explicit seeds=[]): nothing seen yet
+        return spark.createDataFrame([], "url_hash long")
     return spark.read.parquet(*paths).select("url_hash")
 
 
@@ -167,10 +170,17 @@ def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
                 .withColumn("priority", priority_of(F.lit(0)))
                 .withColumn("is_new", F.lit(1)))
     wh.save(frontier, "frontier", 0, partition_by="is_new")
-    wh.save(seen_mod.build_filters(
-        spark.read.parquet(_seen_delta_path(wh, 0)).select("url_hash"),
-        kind=filter_kind),
-        "seen_filter", 0)
+    import os
+
+    if os.path.exists(_seen_delta_path(wh, 0)):
+        delta = spark.read.parquet(_seen_delta_path(wh, 0))
+    else:
+        # explicitly-empty seed list: the empty partitioned write left
+        # no is_new=1 partition — seed the filters from an empty set
+        delta = spark.createDataFrame([], "url_hash long")
+    wh.save(seen_mod.build_filters(delta.select("url_hash"),
+                                   kind=filter_kind),
+            "seen_filter", 0)
     wh.commit_round(0, {"phase": "init", "seeds": n_seeds,
                         "filter_kind": filter_kind})
 
@@ -180,7 +190,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
               batch_size: int = DEFAULT_BATCH_SIZE,
               use_bloom: bool = True,
               filter_kind: str = "bloom",
-              fetch_kernel=None) -> dict:
+              fetch_kernel=None,
+              robots_provider=None) -> dict:
     """Execute round ``round_no`` (requires round_no-1 committed).
 
     Fixed Spark-ACTION budget per non-empty round (recorded as the
@@ -206,7 +217,11 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     frontier = wh.load(spark, "frontier", prev).drop("is_new")
     seen = load_seen(spark, wh, prev)
     filters = wh.load(spark, "seen_filter", prev) if use_bloom else None
-    robots = make_robots(spark)
+    # robots: synthetic table by default; live crawls pass
+    # fetch_http.make_robots_provider() so the host gate uses real
+    # robots.txt (the fetch kernel additionally enforces per-path rules)
+    robots = (robots_provider(spark, frontier) if robots_provider
+              else make_robots(spark))
     host_stats = (wh.load(spark, "host_stats", prev)
                   if wh.exists("host_stats", prev) else None)
 
@@ -254,6 +269,15 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         # keep the compaction cadence even through empty stretches so
         # load_seen's source list stays bounded
         maybe_compact_seen(spark, wh, round_no)
+        # empty rounds still record metrics and release the job group —
+        # otherwise later driver-side jobs (recrawl, the next caller on
+        # this thread) get attributed to this round's stale group
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(job_group))
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        _write_metrics(wh, round_no, {
+            "fetched": 0.0, "objects": 0.0, "new_urls": 0.0,
+            "sec": time.time() - t0, "spark_actions": float(n_actions),
+            "spark_jobs": float(n_jobs)})
         wh.commit_round(round_no, {"fetched": 0, "new": 0, "empty": True})
         batch.unpersist()
         enriched.unpersist()
@@ -347,13 +371,17 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
               batch_size: int = DEFAULT_BATCH_SIZE,
               use_bloom: bool = True, resume: bool = False,
               filter_kind: str = "bloom", fetch_kernel=None,
-              seeds: list[str] | None = None) -> list[dict]:
+              seeds: list[str] | None = None,
+              robots_provider=None) -> list[dict]:
     """Run (or resume) a crawl to ``rounds`` committed rounds.
 
     ``fetch_kernel`` swaps the fused fetch+extract stage (default: the
     deterministic synthetic corpus; pass
     ``fetch_http.make_fetch_extract_kernel()`` for live HTTP);
-    ``seeds`` overrides the synthetic seed list with explicit URLs."""
+    ``seeds`` overrides the synthetic seed list with explicit URLs;
+    ``robots_provider`` swaps the synthetic robots table for a callable
+    (spark, frontier) -> DataFrame(host, allowed) — live crawls pass
+    ``fetch_http.make_robots_provider()``."""
     wh = Warehouse(warehouse)
     if not resume:
         wh.destroy()
@@ -370,7 +398,8 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
     stats = []
     for r in range(start + 1, rounds + 1):
         s = run_round(spark, wh, r, host_budget, batch_size, use_bloom,
-                      filter_kind=filter_kind, fetch_kernel=fetch_kernel)
+                      filter_kind=filter_kind, fetch_kernel=fetch_kernel,
+                      robots_provider=robots_provider)
         stats.append({"round": r, **s})
     return stats
 

@@ -1,16 +1,20 @@
 """Recrawl / refresh scheduling.
 
 A crawl is never done: pages expire and must be refetched. This module
-selects refresh candidates by age and re-opens them in the frontier,
-using the cuckoo filter's DELETE support (the reason the seen set
-offers that codec) so the bloom/cuckoo prune layer stops short-
-circuiting the refreshed URLs.
+selects refresh candidates by age and re-opens them in the frontier.
 
 Exactness note: the exact ``seen`` table keeps the hash (history is
 append-only); re-opening works by inserting the URL back into the
 frontier directly, bypassing the seen gate — the gate only filters
-*newly discovered* links. The filter deletion is an optimization that
-keeps prune stats honest for recrawled hosts.
+*newly discovered* links. The prune filters are deliberately NOT
+touched: the gate treats a filter miss as *definitely new* and skips
+the exact anti-join for that row (seen.new_urls fast path), so deleting
+reopened hashes from a cuckoo bucket would turn links to those URLs —
+still present in the exact seen set — into spurious re-enqueues (and
+``delete_many`` can evict fingerprint-collision victims, breaking the
+no-false-negative invariant for unrelated URLs). ``delete_from_filters``
+remains available for flows that also retire the keys from the exact
+set (true forget, e.g. GDPR purge), where filter and set stay in sync.
 """
 
 from __future__ import annotations
@@ -106,16 +110,12 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
               .withColumn("is_new", F.lit(0)))
     wh.save(merged, "frontier", rn, partition_by="is_new")
     if wh.exists("seen_filter", after_round):
-        from jsonextract_spark.crawl.seen import delete_from_filters
-
-        filters = wh.load(spark, "seen_filter", after_round)
-        # cuckoo buckets support deletion: dropping the reopened URLs'
-        # fingerprints keeps the prune layer's stats honest for
-        # recrawled hosts (bloom buckets pass through unchanged — they
-        # cannot delete, and the exact anti-join stays the backstop)
-        wh.save(delete_from_filters(filters,
-                                    refresh.select("url_hash")),
-                "seen_filter", rn)
+        # filters carry forward UNCHANGED: reopened URLs stay in the
+        # prune layer because they stay in the exact seen set — a
+        # filter miss short-circuits the anti-join as definitely-new,
+        # so a deletion here would re-enqueue links to reopened URLs
+        # and duplicate their seen-delta rows (see module docstring)
+        wh.copy_forward("seen_filter", after_round, rn)
     if wh.exists("host_stats", after_round):
         wh.copy_forward("host_stats", after_round, rn)
     wh.commit_round(rn, {"phase": "recrawl", "reopened": n})

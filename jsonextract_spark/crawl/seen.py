@@ -173,14 +173,20 @@ def merge_filters(filters: DataFrame, fresh: DataFrame,
 
 def delete_from_filters(filters: DataFrame,
                         stale: DataFrame) -> DataFrame:
-    """Remove keys from the prune layer (recrawl maintenance).
+    """Remove keys from the prune layer — ONLY for flows that also
+    retire the same keys from the exact seen set (true forget, e.g. a
+    purge), keeping filter and set in sync.
 
-    Cuckoo buckets support true deletion (``CuckooFilter.delete_many``)
-    — dropping reopened URLs keeps prune statistics honest for
-    recrawled hosts. Bloom buckets pass through unchanged (bloom cannot
-    delete); that is safe because the prune layer is only ever an
-    optimization in front of the exact anti-join. Same bucket-grouped
-    shape as ``merge_filters``: O(stale) + one small shuffle."""
+    The gate treats a filter miss as definitely-new and SKIPS the exact
+    anti-join for that row (``new_urls`` fast path), so deleting a key
+    that remains in the exact set would spuriously re-enqueue links to
+    it — which is why recrawl does NOT call this (reopened URLs stay
+    seen; they re-enter via the frontier directly). Cuckoo buckets
+    support true deletion (``CuckooFilter.delete_many``); bloom buckets
+    pass through unchanged (bloom cannot delete — callers purging from
+    a bloom-coded set must rebuild with ``build_filters``). Same
+    bucket-grouped shape as ``merge_filters``: O(stale) + one small
+    shuffle."""
     delta = (stale.select("url_hash")
              .withColumn("bucket", bucket_col(F.col("url_hash"))))
 

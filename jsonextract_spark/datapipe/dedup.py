@@ -202,10 +202,25 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
 
     @F.pandas_udf("double")
     def jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(ta, tb):
-            sa, sb = set(_shingle_hashes(x)), set(_shingle_hashes(y))
-            out.append(len(sa & sb) / max(len(sa | sb), 1))
+        # Each distinct text is shingled ONCE per batch (a doc in many
+        # candidate pairs re-uses its sorted-unique hash array), and the
+        # per-pair work is a single C-speed sorted intersection —
+        # |A∪B| = |A| + |B| - |A∩B|, so no union materializes. This
+        # replaced per-pair Python set algebra that dominated the bench
+        # (6.2s of 9.8s at sf0.1, VERDICT r2).
+        cache: dict[str, np.ndarray] = {}
+
+        def sh(t: str) -> np.ndarray:
+            a = cache.get(t)
+            if a is None:
+                a = cache[t] = _shingle_hashes(t)  # sorted unique u64
+            return a
+
+        out = np.empty(len(ta), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa, sb = sh(x), sh(y)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            out[i] = inter / max(sa.size + sb.size - inter, 1)
         return pd.Series(out)
 
     return (joined

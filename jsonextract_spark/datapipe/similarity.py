@@ -140,28 +140,40 @@ def make_cell_udfs(centroids: np.ndarray, n_probe: int):
     return assign_udf, probe_udf
 
 
+_TRAIN_SEED = 20260816
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "query_id",
              n_cells: int = 64, n_probe: int = 8,
-             train_rows: int = 4096) -> DataFrame:
+             train_rows: int = 4096,
+             train_fraction: float = 1.0) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path
     next to ``lsh_topk``.
 
     Train: ONE bounded driver job fits a spherical-k-means coarse
-    quantizer on a deterministic sample (orderBy(id).limit(n), the
-    standard sample→fit→broadcast IVF shape; at 100 TB the sample stays
-    fixed-size). Serve: corpus rows go to their nearest cell, queries
-    probe their ``n_probe`` nearest cells, and only same-cell candidates
-    are scored — an equi-join on cell id, never all-pairs. A query that
-    is also a corpus member always probes its own cell, so
-    self-retrieval at rank 1 is guaranteed (the oracle invariant).
+    quantizer on a deterministic UNIFORM sample: rows ranked by a seeded
+    hash of their id, top ``train_rows`` kept (TakeOrderedAndProject —
+    a per-partition size-n heap + driver merge, bounded memory, no
+    shuffle of vectors, no lexical-id bias). At 100 TB set
+    ``train_fraction`` ≈ ``8 * train_rows / |corpus|`` to pre-thin the
+    scan with a seeded Bernoulli sample before the ranking (the hash
+    ranking then picks uniformly among survivors). Serve: corpus rows go
+    to their nearest cell, queries probe their ``n_probe`` nearest
+    cells, and only same-cell candidates are scored — an equi-join on
+    cell id, never all-pairs. A query that is also a corpus member
+    always probes its own cell, so self-retrieval at rank 1 is
+    guaranteed (the oracle invariant).
     """
     import numpy as np  # noqa: F811 (explicit for the driver-side fit)
 
-    sample = (corpus.select(F.col(vec_col).cast("array<double>")
-                            .alias("v"), F.col(id_col).alias("id"))
-              .orderBy("id").limit(train_rows).collect())
+    src = (corpus if train_fraction >= 1.0
+           else corpus.sample(fraction=train_fraction, seed=_TRAIN_SEED))
+    sample = (src.select(F.col(vec_col).cast("array<double>")
+                         .alias("v"), F.col(id_col).alias("id"))
+              .orderBy(F.xxhash64(F.col("id"), F.lit(_TRAIN_SEED)), "id")
+              .limit(train_rows).collect())
     centroids = _spherical_kmeans(
         np.asarray([r["v"] for r in sample], dtype=np.float64), n_cells)
     assign_udf, probe_udf = make_cell_udfs(centroids, n_probe)

@@ -132,6 +132,20 @@ def test_empty_partitioned_save_stays_readable(spark, tmp_path):
     assert "url_hash" in back.columns
 
 
+def test_crawl_with_explicit_empty_seed_list(spark, tmp_path):
+    """Regression (ADVICE r2): seeds=[] is an advertised empty crawl,
+    not a crash — init must survive the missing is_new=1 partition and
+    subsequent rounds must commit as empty rounds."""
+    from jsonextract_spark.crawl.pipeline import run_crawl
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    wdir = str(tmp_path / "w_empty")
+    stats = run_crawl(spark, wdir, rounds=2, seeds=[])
+    assert [s["fetched"] for s in stats] == [0, 0]
+    wh = Warehouse(wdir)
+    assert wh.last_committed_round() == 2
+
+
 def test_carry_frontier_forward_folds_delta(spark, tmp_path):
     """An empty round republishes the frontier but must NOT republish
     the previous round's seen delta (is_new=1) — otherwise load_seen
@@ -201,6 +215,80 @@ def test_crawl_over_live_http(spark, tmp_path):
         assert stats[1]["fetched"] == 4      # the discovered children
     finally:
         srv.shutdown()
+
+
+def test_live_robots_gate(spark, tmp_path):
+    """Live crawls honor real robots.txt at both layers: the scheduler's
+    host gate (make_robots_provider: root disallowed -> host never
+    popped) and the fetch kernel's per-path check (subtree disallowed ->
+    the URL is never GET'd and yields no fetched row)."""
+    import http.server
+    import threading
+
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel, make_robots_provider)
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    def serve(robots_body: str):
+        seen_paths = []
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                seen_paths.append(self.path)
+                if self.path == "/robots.txt":
+                    body = robots_body.encode()
+                elif self.path.startswith(("/p/", "/q/")):
+                    i = int(self.path.rsplit("/", 1)[-1])
+                    body = (f"<script>var cfg = {{id: {i}, links: []}};"
+                            f"</script>").encode()
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, seen_paths
+
+    # per-path rules: /p/ disallowed, /q/ allowed -> host admitted (root
+    # allowed) but only the /q/ seed is fetched; /p/1 never GET'd
+    srv, paths = serve("User-agent: *\nDisallow: /p/\n")
+    try:
+        port = srv.server_port
+        stats = run_crawl(
+            spark, str(tmp_path / "w_rb_path"), rounds=1,
+            seeds=[f"http://127.0.0.1:{port}/p/1",
+                   f"http://127.0.0.1:{port}/q/1"],
+            host_budget=10, batch_size=10,
+            fetch_kernel=make_fetch_extract_kernel(),
+            robots_provider=make_robots_provider())
+        assert stats[0]["fetched"] == 1
+        assert f"/q/1" in paths and "/p/1" not in paths
+    finally:
+        srv.shutdown()
+
+    # root disallowed -> the host gate drops the host before popping:
+    # nothing is fetched and no page URL is ever requested
+    srv2, paths2 = serve("User-agent: *\nDisallow: /\n")
+    try:
+        port2 = srv2.server_port
+        stats2 = run_crawl(
+            spark, str(tmp_path / "w_rb_host"), rounds=1,
+            seeds=[f"http://127.0.0.1:{port2}/p/1"],
+            host_budget=10, batch_size=10,
+            fetch_kernel=make_fetch_extract_kernel(),
+            robots_provider=make_robots_provider())
+        assert stats2[0]["fetched"] == 0
+        assert all(p == "/robots.txt" for p in paths2)
+    finally:
+        srv2.shutdown()
 
 
 def test_seen_compaction_preserves_set(spark, tmp_path, monkeypatch):
