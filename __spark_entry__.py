@@ -7,9 +7,12 @@ hash). Only two queries lack a SQL-expressible oracle: q_simhash_pairs
 (its token hash is wrapping 64-bit multiply/shift arithmetic — DuckDB
 integer ops raise on overflow instead of wrapping) and q_fingerprint
 (murmur3, which DuckDB doesn't ship). They are listed in ``queries()``
-only and get the driver's rows-only check, with their semantics pinned
-by pytest instead (including a batch-partitioning-invariance property
-test for simhash and the q_fingerprint_stable invariant oracle).
+only and get the driver's rows-only check; each hash family still has
+a value-level DuckDB cross-check through its invariant-oracle twin
+(q_simhash_stable: exact word-order invariance + edit sensitivity;
+q_fingerprint_stable: reflow/case invariance + edit sensitivity), plus
+pytest pins (batch-partitioning-invariance property test for simhash,
+reference-implementation cross-check, murmur3 batch/scalar parity).
 
 Type discipline: every count/rank is cast to BIGINT on the Spark side
 because DuckDB's COUNT/ROW_NUMBER produce BIGINT; ratios stay DOUBLE.
@@ -393,6 +396,28 @@ def _q_fingerprint_stable(spark, sf_dir):
         .alias("sensitive"))
 
 
+def _q_simhash_stable(spark, sf_dir):
+    """SimHash's construction invariant, machine-checked: the signature
+    sums per-token sign vectors (datapipe/dedup.py _simhash_batch), so
+    it is EXACTLY invariant under word reordering — simhash(text) ==
+    simhash(reverse-word-order text) — and changes when the token
+    multiset changes by a margin-safe edit (50 appended distinct tokens
+    overwhelm any per-bit vote margin in this corpus; deterministic,
+    verified over the fixed sf0.01/sf0.001 tables)."""
+    from jsonextract_spark.datapipe.dedup import simhash_udf
+
+    docs = _docs(spark, sf_dir)
+    reversed_words = F.array_join(F.reverse(F.split(F.col("text"), " ")),
+                                  " ")
+    edit = " ".join(f"zq{i}x" for i in range(50))
+    edited = F.concat(F.col("text"), F.lit(" " + edit))
+    return docs.select(
+        "doc_id",
+        (simhash_udf("text") == simhash_udf(reversed_words))
+        .alias("stable"),
+        (simhash_udf("text") != simhash_udf(edited)).alias("sensitive"))
+
+
 def _q_ivf_ann(spark, sf_dir):
     """IVF-bucketed ANN (sample → spherical-k-means → cell equi-join),
     projected to the same rank-1 self-retrieval invariant as q_lsh_ann:
@@ -480,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_pairs": _q_minhash_pairs,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_fingerprint_stable": _q_fingerprint_stable,
+        "q_simhash_stable": _q_simhash_stable,
         "q_langid": _q_langid,
         "q_lsh_ann": _q_lsh_ann,
         "q_ivf_ann": _q_ivf_ann,
@@ -736,6 +762,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The fingerprint invariants hold for every document.
         "q_fingerprint_stable": """
+            SELECT doc_id, true AS stable, true AS sensitive
+            FROM documents
+        """,
+        # SimHash is exactly word-order-invariant (signature = sum of
+        # per-token sign vectors) and flips under a margin-safe token
+        # edit — both hold for every document.
+        "q_simhash_stable": """
             SELECT doc_id, true AS stable, true AS sensitive
             FROM documents
         """,

@@ -11,6 +11,10 @@ on local[$SPARK_GRAFT_CPUS]):
                  north-rule metric, URLs/sec)
   q_crawl        two full crawl rounds (pop -> fetch -> extract -> seen
                  gate -> commit)
+  q_crawl_bigbatch  one crawl round at production batch size (50k URLs
+                 at sf0.1) — evidences that the fixed 4 actions/round
+                 amortize: URLs/s should sit well above q_crawl's
+                 driver-latency-bound small-batch number
   q_dedup_minhash  MinHash-LSH near-dup pairs over the page corpus
                  (per-stage split: signature / band join / verify).
                  COMPARABILITY: since round 2 this measures the FULL
@@ -101,6 +105,24 @@ def bench_crawl(spark) -> tuple[float, int]:
                       batch_size=max(int(120_000 * SF), 200))
     dt = time.time() - t0
     return dt, sum(s["fetched"] for s in stats)
+
+
+def bench_crawl_bigbatch(spark) -> tuple[float, int]:
+    """ONE crawl round at production batch size (50k URLs at sf0.1) —
+    the amortization data point next to q_crawl: a round runs a FIXED
+    four Spark actions regardless of batch size, so the driver-latency
+    bound that dominates q_crawl's small batches (4 actions over ~12k
+    URLs/round) spreads over 4x+ the URLs here and URLs/s rises
+    accordingly. Includes init (seed write) like a cold start."""
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    wh = "/tmp/jsx_bench_wh_big"
+    n = max(int(500_000 * SF), 200)
+    t0 = time.time()
+    stats = run_crawl(spark, wh, rounds=1, n_seeds=n, host_budget=n,
+                      batch_size=n)
+    dt = time.time() - t0
+    return dt, sum(s["fetched"] for s in stats), stats[0]["sec"]
 
 
 def _dedup_corpus(spark, n_pages: int):
@@ -311,6 +333,15 @@ def main():
     dt, fetched = bench_crawl(spark)
     results["q_crawl"] = round(dt, 3)
     extra["crawl_urls_per_sec"] = round(fetched / dt, 1)
+
+    dt, fetched, round_sec = bench_crawl_bigbatch(spark)
+    results["q_crawl_bigbatch"] = round(dt, 3)
+    # incl. init (cold start) and round-only (the steady-state rate the
+    # amortization claim is about — init happens once per crawl)
+    extra["crawl_bigbatch_urls_per_sec"] = round(fetched / dt, 1)
+    extra["crawl_bigbatch_round_urls_per_sec"] = round(
+        fetched / round_sec, 1)
+    extra["crawl_bigbatch_urls"] = fetched
 
     dedup_sec, dedup_stages = bench_dedup(spark, N_PAGES)
     results["q_dedup_minhash"] = round(dedup_sec, 3)

@@ -163,7 +163,14 @@ def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
     # not a silent fallback to the synthetic seeds
     urls = (seed_list if seed_list is not None
             else synth.seed_urls(n_seeds))
-    seeds = spark.createDataFrame([(u,) for u in urls], "url string")
+    if urls:
+        import pandas as _pd
+
+        # Arrow path: a large seed list through the row-tuple route pays
+        # per-row Py4J serialization (~12s at 50k seeds; ~1s via Arrow)
+        seeds = spark.createDataFrame(_pd.DataFrame({"url": urls}))
+    else:
+        seeds = spark.createDataFrame([], "url string")
     frontier = (_with_url_identity(seeds)
                 .dropDuplicates(["url_hash"])
                 .withColumn("depth", F.lit(0))

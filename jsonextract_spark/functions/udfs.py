@@ -116,10 +116,43 @@ def make_match_objects_udf(options: list[dict]):
 
 
 # -- URL functions ----------------------------------------------------------
+#
+# Most crawl URLs are ALREADY canonical (lowercase scheme+host, no port/
+# userinfo/fragment/percent-escapes/dot-segments) — for those,
+# canonicalize is the identity and the host is one regex group, so both
+# UDFs pre-screen the whole Arrow batch with vectorized pandas .str ops
+# and fall back to the per-row urlsplit path only for irregular rows.
+# The fast-path predicate is deliberately CONSERVATIVE: it only accepts
+# URLs where identity is provable from the shape (any '%', '#', '?'
+# with empty query, port, userinfo, uppercase host, '//' or '/.' inside
+# the path sends the row to the exact slow path). Fast/slow agreement
+# is pinned by tests over adversarial URLs.
+
+import re as _re
+
+_FAST_URL_RE = _re.compile(
+    r"^(https?)://([a-z0-9-]+(?:\.[a-z0-9-]+)*)"        # lc host, no port
+    r"(/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*)"               # path, no % ? #
+    r"(\?[A-Za-z0-9\-._~!$&'()*+,;=:@/%]+)?$")          # non-empty query
+
+
+def _fast_url_parts(urls: pd.Series) -> tuple[pd.Series, pd.DataFrame]:
+    ext = urls.str.extract(_FAST_URL_RE)
+    path = ext[2]
+    ok_path = (~path.str.contains("//", regex=False, na=True) &
+               ~path.str.contains("/.", regex=False, na=True))
+    return (ext[0].notna() & ok_path), ext
+
 
 @F.pandas_udf(StringType())
 def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: None if u is None else canonicalize_url(u))
+    fast, _ext = _fast_url_parts(urls)
+    out = urls.where(fast)
+    slow = ~fast
+    if slow.any():
+        out[slow] = urls[slow].map(
+            lambda u: None if u is None else canonicalize_url(u))
+    return out
 
 
 def _murmur3_series(texts: pd.Series) -> pd.Series:
@@ -143,7 +176,13 @@ def murmur3_64_udf(texts: pd.Series) -> pd.Series:
 
 @F.pandas_udf(StringType())
 def url_host_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: None if u is None else url_host(u))
+    fast, ext = _fast_url_parts(urls)
+    out = ext[1].where(fast)
+    slow = ~fast
+    if slow.any():
+        out[slow] = urls[slow].map(
+            lambda u: None if u is None else url_host(u))
+    return out
 
 
 # -- link discovery ----------------------------------------------------------

@@ -266,6 +266,22 @@ STRUCTURAL_CASES = [
     # successful emit the scan resumes len(regex)-1 bytes early and
     # re-extracts any bracket value in the tail of the object just emitted.
     ("{a: /xxxxxx/, z:[1]}", ['{"a":"/xxxxxx/","z":[1]}', "[1]"]),
+    # Go json.Marshal HTML escaping through the template path (C5,
+    # reader.go:428): the upstream fixtures never push <, &, > or
+    # U+2028/U+2029 through a Marshal call — these pin the escaped
+    # BYTES the Go stdlib documents (< > &    ,
+    # SURVEY §4.3.1). (Unquoted keys can't carry these — they must lex
+    # as identifiers — so the template and regex literals are the only
+    # Marshal paths reachable with HTML-escapable payloads.)
+    ("[`a<b&c>d`]", ['["a\\u003cb\\u0026c\\u003ed"]']),
+    ("{ t: `u<& v ` }", ['{"t":"u\\u003c\\u0026\\u2028v\\u2029"}']),
+    # ... and through the regex-literal path (C6, reader.go:350):
+    ("[/a<b&c>d/]", ['["/a\\u003cb\\u0026c\\u003ed/"]']),
+    ('{"k": /x<&y/gi }', ['{"k":"/x\\u003c\\u0026y/gi"}']),
+    # U+2028 IS a LineTerminator in ECMAScript (RegularExpressionChar
+    # excludes it) — a regex literal containing it never terminates, so
+    # the object is rejected, not escaped:
+    ("{ re: /x<& /g }", []),
 ]
 
 # transformNumber unit cases (reader_test.go:936-1008). Each is also run

@@ -188,6 +188,52 @@ def test_murmur3_batch_null_handling():
         [urlhash.murmur3_64_py("x"), urlhash.murmur3_64_py("y")]
 
 
+_URL_EDGE_CASES = [
+    "https://host3.example/p/123", "http://a.example/",
+    "https://sub.a-b.example/x/y/z", "https://a.example/x?q=1&b=c%20d",
+    "HTTP://Host.example/p/1", "https://host.example",
+    "https://host.example:443/x", "https://host.example:8080/x",
+    "http://a.example/a/../b", "http://a.example/a/./b",
+    "http://a.example//a", "http://a.example/a//b",
+    "http://a.example/%7euser", "http://a.example/x#frag",
+    "http://a.example/x?", "http://a.example.", "http://u:p@a.example/x",
+    "ftp://x/y", "not a url", "", " https://a.example/x ",
+    "https://пример.рф/x", "http://a.example/.hidden",
+    "http://127.0.0.1:8080/p/1", "http://a.example/x%2Fy",
+    "https://a.example/p/1?x", "https://a.example/~u/'q'!", None,
+]
+
+
+def test_url_fast_path_agrees_with_slow_path():
+    """The vectorized fast path inside canonicalize_url_udf/url_host_udf
+    must be EXACTLY the identity/extract that the per-row slow path
+    would compute — for every URL it accepts. Adversarial shapes (ports,
+    userinfo, dot segments, escapes, fragments, uppercase, IDN) must be
+    routed to the slow path."""
+    import pandas as pd
+
+    from jsonextract_spark.functions.udfs import _fast_url_parts
+    from jsonextract_spark.functions.urlhash import (
+        canonicalize_url, url_host)
+
+    s = pd.Series(_URL_EDGE_CASES, dtype=object)
+    fast, ext = _fast_url_parts(s)
+    n_fast = 0
+    for i, u in enumerate(_URL_EDGE_CASES):
+        if not fast[i]:
+            continue
+        n_fast += 1
+        assert u == canonicalize_url(u), u      # identity provable
+        assert ext[1][i] == url_host(u), u
+    assert n_fast >= 5           # the canonical shapes actually hit it
+    # and every synthetic-corpus URL takes the fast path
+    from jsonextract_spark.crawl import synth
+
+    corp = pd.Series([synth.url_of(i) for i in range(500)])
+    fast2, _ = _fast_url_parts(corp)
+    assert bool(fast2.all())
+
+
 def test_extract_pages_input_contract(spark):
     """extract_pages consumes the input-contract pages shape
     (url, warc_ts, html binary, text, lang); the html-bytes path and
