@@ -68,21 +68,38 @@ def _planes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
     return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
 
 
+def _stack_vecs(vs, dim: int) -> np.ndarray:
+    """(n, dim) float64 matrix from a sequence of array-likes (short
+    rows zero-pad, long rows truncate — the per-row np.resize contract,
+    batched)."""
+    x = np.zeros((len(vs), dim), dtype=np.float64)
+    for i, v in enumerate(vs):
+        a = np.asarray(v, dtype=np.float64)[:dim]
+        if a.shape[0] == dim:
+            x[i] = a
+        else:                       # np.resize semantics: tile to fit
+            x[i] = np.resize(a, dim)
+    return x
+
+
 def make_signature_udf(n_tables: int = N_TABLES, n_planes: int = N_PLANES,
                        dim: int = DIM):
     planes = _planes(n_tables, n_planes, dim)
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(vecs: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None:
-                return None
-            x = np.asarray(v, dtype=np.float64)
-            if x.shape[0] != dim:
-                x = np.resize(x, dim)
-            bits = (np.einsum("tpd,d->tp", planes, x) > 0)
-            return [int(b.dot(1 << np.arange(n_planes))) for b in bits]
-        return vecs.map(one)
+        """Whole-batch signatures: ONE einsum over the (n, dim) matrix
+        and vectorized bit packing — no per-row Python linear algebra."""
+        mask = vecs.notna().to_numpy()
+        vals = [None] * len(vecs)
+        if mask.any():
+            x = _stack_vecs(vecs[mask].tolist(), dim)
+            bits = np.einsum("tpd,nd->ntp", planes, x) > 0   # (n, t, p)
+            sigs = bits @ pows                               # (n, t)
+            for row, i in zip(sigs, np.flatnonzero(mask)):
+                vals[i] = [int(v) for v in row]
+        return pd.Series(vals, index=vecs.index, dtype=object)
 
     return sig_udf
 
@@ -120,14 +137,23 @@ def make_cell_udfs(centroids: np.ndarray, n_probe: int):
     c = centroids
 
     def _cells(vecs: pd.Series, top: int) -> pd.Series:
-        def one(v):
-            if v is None:
-                return None
-            x = np.asarray(v, dtype=np.float64)
-            x = x / max(np.linalg.norm(x), 1e-12)
-            order = np.argsort(-(c @ x))[:top]
-            return [int(i) for i in order]
-        return vecs.map(one)
+        """Whole-batch assignment: one (n, dim) @ (dim, k) matmul and
+        one argsort pass — no per-row Python linear algebra. Rows are
+        L2-normalized batch-wise (cosine == dot on normalized rows)."""
+        mask = vecs.notna().to_numpy()
+        vals = [None] * len(vecs)
+        if mask.any():
+            x = _stack_vecs(vecs[mask].tolist(), c.shape[1])
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                            1e-12)
+            sims = x @ c.T                                  # (n, k)
+            # argsort for every `top` (incl. 1) so assign and probe
+            # break centroid ties identically — the self-retrieval
+            # invariant needs a member's assigned cell ∈ its probe set
+            order = np.argsort(-sims, axis=1)[:, :top]
+            for row, i in zip(order, np.flatnonzero(mask)):
+                vals[i] = [int(v) for v in row]
+        return pd.Series(vals, index=vecs.index, dtype=object)
 
     @F.pandas_udf(ArrayType(LongType()))
     def assign_udf(vecs: pd.Series) -> pd.Series:
