@@ -24,11 +24,7 @@ from jsonextract_spark.crawl import seen as seen_mod
 from jsonextract_spark.crawl import synth
 from jsonextract_spark.crawl.scheduler import pop_batch, priority_of
 from jsonextract_spark.crawl.tables import Warehouse
-from jsonextract_spark.functions.udfs import (
-    canonicalize_url_udf,
-    murmur3_64_udf,
-    url_host_udf,
-)
+from jsonextract_spark.functions.udfs import url_identity_udf
 
 DEFAULT_HOST_BUDGET = 5
 DEFAULT_BATCH_SIZE = 512
@@ -67,11 +63,17 @@ def make_robots(spark: SparkSession) -> DataFrame:
 
 
 def _with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """canonical url + murmur3 hash + host in ONE ArrowEvalPython node
+    (url_identity_udf) — this runs on every candidate link every round,
+    so the three identity columns must not cost three Python round
+    trips."""
     return (df
-            .withColumn("url", canonicalize_url_udf(F.col(url_col)))
-            .filter(F.col("url").isNotNull())
-            .withColumn("url_hash", murmur3_64_udf("url"))
-            .withColumn("host", url_host_udf("url")))
+            .withColumn("_uid", url_identity_udf(F.col(url_col)))
+            .filter(F.col("_uid.url").isNotNull())
+            .withColumn("url", F.col("_uid.url"))
+            .withColumn("url_hash", F.col("_uid.url_hash"))
+            .withColumn("host", F.col("_uid.host"))
+            .drop("_uid"))
 
 
 def _seen_delta_path(wh: Warehouse, round_no: int) -> str:

@@ -73,8 +73,7 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
     """
     import time as _time
 
-    from jsonextract_spark.functions.udfs import (
-        canonicalize_url_udf, murmur3_64_udf, url_host_udf)
+    from jsonextract_spark.functions.udfs import url_identity_udf
 
     now_ts = _time.time() if now_ts is None else now_ts
     round_ts = {r["round"]: float(r["ts"])
@@ -93,10 +92,12 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
               .agg(F.max("fetched_ts").alias("fetched_ts"),
                    F.min("depth").alias("depth")))
     stale = (latest
-             .withColumn("url", canonicalize_url_udf(F.col("url")))
-             .filter(F.col("url").isNotNull())
-             .withColumn("url_hash", murmur3_64_udf("url"))
-             .withColumn("host", url_host_udf("url")))
+             .withColumn("_uid", url_identity_udf(F.col("url")))
+             .filter(F.col("_uid.url").isNotNull())
+             .withColumn("url", F.col("_uid.url"))
+             .withColumn("url_hash", F.col("_uid.url_hash"))
+             .withColumn("host", F.col("_uid.host"))
+             .drop("_uid"))
     refresh = refresh_candidates(stale, now_ts, max_age_sec,
                                  refresh_boost).cache()
     n = refresh.count()

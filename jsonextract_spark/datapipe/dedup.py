@@ -59,36 +59,16 @@ def _minhash_sig(text: str) -> list[int]:
     return [int(v) for v in mins]
 
 
-_SIG_CHUNK = 256     # docs per splitmix matrix (bounds temp memory)
-
-
-def _minhash_sig_series(texts: pd.Series) -> pd.Series:
-    """Batch twin of ``_minhash_sig`` (bit-identical, pinned by test):
-    shingle per doc, then ONE (total_shingles, 64) splitmix pass and a
-    segment-min (``np.minimum.reduceat``) per chunk of docs — the
-    permutation mixing never runs doc-at-a-time. Chunking bounds the
-    temporary matrix to ~20 MB regardless of Arrow batch size."""
-    out: list = [None] * len(texts)
-    vals_np = texts.to_numpy()
-    idxs = [i for i, t in enumerate(vals_np) if t is not None]
-    for c0 in range(0, len(idxs), _SIG_CHUNK):
-        chunk = idxs[c0:c0 + _SIG_CHUNK]
-        arrays = [_shingle_hashes(vals_np[i]) for i in chunk]
-        counts = np.fromiter((len(a) for a in arrays), np.int64,
-                             len(arrays))
-        offs = np.zeros(len(arrays), dtype=np.int64)
-        np.cumsum(counts[:-1], out=offs[1:])
-        vals = _splitmix64(np.concatenate(arrays)[:, None] ^
-                           _SEEDS[None, :])
-        mins = np.minimum.reduceat(vals, offs, axis=0).astype(np.int64)
-        for j, i in enumerate(chunk):
-            out[i] = [int(v) for v in mins[j]]
-    return pd.Series(out, index=texts.index, dtype=object)
-
-
 @F.pandas_udf(ArrayType(LongType()))
 def minhash_udf(texts: pd.Series) -> pd.Series:
-    return _minhash_sig_series(texts)
+    # Deliberately PER-DOC: each doc's (n_shingles, 64) splitmix matrix
+    # is a few hundred KB and stays cache-resident. A chunked variant
+    # that concatenated shingles across docs (one big splitmix +
+    # minimum.reduceat) was bit-identical and faster single-threaded,
+    # but its ~100 MB-per-chunk temporaries thrashed memory bandwidth
+    # under 32 parallel Python workers (sig stage 1.5s -> 52s at sf0.1)
+    # — measured and reverted in round 3.
+    return texts.map(lambda t: None if t is None else _minhash_sig(t))
 
 
 _FNV_PRIME = np.uint64(1099511628211)

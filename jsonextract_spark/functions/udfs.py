@@ -185,6 +185,48 @@ def url_host_udf(urls: pd.Series) -> pd.Series:
     return out
 
 
+_URL_IDENTITY_TYPE = StructType([
+    StructField("url", StringType()),
+    StructField("url_hash", LongType()),
+    StructField("host", StringType()),
+])
+
+
+@F.pandas_udf(_URL_IDENTITY_TYPE)
+def _url_identity(urls: pd.Series) -> pd.DataFrame:
+    """Fused canonicalize + murmur3 + host in ONE Python crossing.
+
+    The link gate needs all three per candidate URL every round; as
+    three chained scalar UDFs they are three ArrowEvalPython round
+    trips (dependent UDFs cannot fuse). One struct-returning UDF makes
+    it a single round trip: vectorized already-canonical screen, per-
+    row urlsplit only for irregular rows, batch murmur3 over the
+    canonical strings. url=NULL marks non-crawlable input (callers
+    filter), matching canonicalize_url's contract."""
+    fast, ext = _fast_url_parts(urls)
+    canon = urls.where(fast)
+    host = ext[1].where(fast)
+    slow = ~fast
+    if slow.any():
+        canon[slow] = urls[slow].map(
+            lambda u: None if u is None else canonicalize_url(u))
+        # host comes from the CANONICAL form (already lowercased,
+        # trailing dot stripped) — same as url_host(canonical)
+        host[slow] = canon[slow].map(
+            lambda u: None if u is None else url_host(u))
+    return pd.DataFrame({"url": canon,
+                         "url_hash": _murmur3_series(canon),
+                         "host": host})
+
+
+# The function IS deterministic — the nondeterministic mark is purely
+# an optimizer barrier: without it Catalyst pushes the url-IS-NOT-NULL
+# filter below the projection by DUPLICATING the UDF call, paying two
+# Python round trips per row (pinned by
+# test_url_identity_fused_single_crossing).
+url_identity_udf = _url_identity.asNondeterministic()
+
+
 # -- link discovery ----------------------------------------------------------
 
 def _links_from_objs(objs: list[str]) -> list[str]:

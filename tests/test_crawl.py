@@ -132,6 +132,34 @@ def test_empty_partitioned_save_stays_readable(spark, tmp_path):
     assert "url_hash" in back.columns
 
 
+def test_url_identity_fused_single_crossing(spark):
+    """url_identity_udf must (a) agree exactly with the scalar
+    canonicalize/murmur3/host functions and (b) cost ONE
+    ArrowEvalPython node in the executed plan — the link gate runs it
+    on every candidate URL every round, and three chained scalar UDFs
+    would be three Python round trips."""
+    from jsonextract_spark.crawl.pipeline import _with_url_identity
+    from jsonextract_spark.functions.urlhash import (
+        canonicalize_url, murmur3_64_py, url_host)
+
+    raw = ["https://host1.example/p/7",            # fast path
+           "HTTP://Host2.Example/a/../b",          # slow path, rewrites
+           "https://host3.example:443/x",          # default port strip
+           "ftp://nope/x", "garbage",              # dropped
+           "https://host4.example/q?x=1"]
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    out = _with_url_identity(df)
+    got = {r["url"]: (r["url_hash"], r["host"]) for r in out.collect()}
+    want = {}
+    for u in raw:
+        c = canonicalize_url(u)
+        if c is not None:
+            want[c] = (murmur3_64_py(c), url_host(c))
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
 def test_crawl_with_explicit_empty_seed_list(spark, tmp_path):
     """Regression (ADVICE r2): seeds=[] is an advertised empty crawl,
     not a crash — init must survive the missing is_new=1 partition and

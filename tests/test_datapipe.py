@@ -47,25 +47,6 @@ def test_minhash_finds_planted_dups(spark):
     assert not any(a == 102 or b == 102 for a, b in pairs)
 
 
-def test_minhash_sig_batch_matches_scalar():
-    """The chunked batch signature path (splitmix over ALL shingles +
-    segment-min) is bit-identical to the per-doc scalar twin, across
-    chunk boundaries, nulls and degenerate short/empty texts."""
-    import pandas as pd
-
-    from jsonextract_spark.datapipe.dedup import (
-        _SIG_CHUNK, _minhash_sig, _minhash_sig_series)
-
-    texts = [("w%d " % (i % 53)) * (1 + i % 40)
-             for i in range(_SIG_CHUNK + 17)]
-    texts[3] = ""
-    texts[7] = "ab"                 # shorter than the shingle width
-    s = pd.Series(texts + [None], dtype=object)
-    got = _minhash_sig_series(s)
-    for i, t in enumerate(s):
-        assert got[i] == (None if t is None else _minhash_sig(t)), i
-
-
 def test_simhash_finds_planted_dups(spark):
     from jsonextract_spark.datapipe.dedup import simhash_candidates
 
