@@ -25,6 +25,12 @@ on local[$SPARK_GRAFT_CPUS]):
   q_ann          brute-force cosine top-k over embeddings
   q_oracle_suite one pass of the oracle'd relational queries
 
+COMPARABILITY (r03+): every query except q_crawl/q_crawl_bigbatch is
+the MEDIAN of 3 back-to-back reps — this shared VM's deliverable
+throughput swings 2-6x across minutes, so single-shot 1-20s numbers
+measured the host's moment, not the code (r01/r02 were single-shot;
+treat small cross-round deltas accordingly).
+
 Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N): the same
 fused fetch+extract job at local[4] vs local[16] under equal total
 machine occupancy (see the scaling block for why), >=4 interleaved reps
@@ -318,6 +324,22 @@ def _extract_throughput_at(master: str, n_pages: int):
     return d["rate"], d["sec"]
 
 
+def _median_run(fn, reps: int = 3, key=None):
+    """Run ``fn`` ``reps`` times, return the run with the MEDIAN key.
+
+    This shared VM's deliverable throughput swings 2-6x across minutes
+    (throttling windows — see BENCH/BASELINE.md methodology), so a
+    single-shot number for a 1-20s query measures the host's moment,
+    not the code. The short queries therefore publish the median of 3
+    back-to-back reps (since round 3); q_crawl / q_crawl_bigbatch stay
+    single-shot — they are long enough to average over windows and are
+    internally multi-phase."""
+    runs = [fn() for _ in range(reps)]
+    vals = [key(r) if key else r for r in runs]
+    order = sorted(range(reps), key=lambda i: vals[i])
+    return runs[order[reps // 2]]
+
+
 def main():
     from jsonextract_spark.session import build_session
 
@@ -326,7 +348,8 @@ def main():
 
     spark = build_session("jsx-bench", master=f"local[{CPUS}]")
     bench_extract(spark, 2000)  # spin JVM + Python workers once
-    dt, n_urls = bench_extract(spark, N_PAGES)
+    dt, n_urls = _median_run(lambda: bench_extract(spark, N_PAGES),
+                             key=lambda r: r[0])
     results["q_extract"] = round(dt, 3)
     extra["urls_per_sec"] = round(n_urls / dt, 1)
 
@@ -343,13 +366,17 @@ def main():
         fetched / round_sec, 1)
     extra["crawl_bigbatch_urls"] = fetched
 
-    dedup_sec, dedup_stages = bench_dedup(spark, N_PAGES)
+    dedup_sec, dedup_stages = _median_run(
+        lambda: bench_dedup(spark, N_PAGES), key=lambda r: r[0])
     results["q_dedup_minhash"] = round(dedup_sec, 3)
     extra["dedup_minhash_stages"] = dedup_stages
-    results["q_dedup_simhash"] = round(bench_simhash(spark, N_PAGES), 3)
-    results["q_ann"] = round(bench_ann(spark), 3)
-    results["q_ann_ivf"] = round(bench_ann_ivf(spark), 3)
-    results["q_oracle_suite"] = round(bench_oracle_suite(spark), 3)
+    results["q_dedup_simhash"] = round(_median_run(
+        lambda: bench_simhash(spark, N_PAGES)), 3)
+    results["q_ann"] = round(_median_run(lambda: bench_ann(spark)), 3)
+    results["q_ann_ivf"] = round(_median_run(
+        lambda: bench_ann_ivf(spark)), 3)
+    results["q_oracle_suite"] = round(_median_run(
+        lambda: bench_oracle_suite(spark)), 3)
     spark.stop()
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
