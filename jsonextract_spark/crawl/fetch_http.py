@@ -103,37 +103,65 @@ def robots_allowed(url: str, user_agent: str,
 
 
 def make_robots_provider(user_agent: str | None = None,
-                         timeout_sec: float = 10.0):
+                         timeout_sec: float = 10.0,
+                         cache_path: str | None = None):
     """Build a ``robots_provider`` for ``run_crawl``: (spark, frontier)
     -> DataFrame(host, allowed). One representative URL per host picks
     the origin (scheme/port live in the URL, not the host column); the
     robots GET + parse runs executor-side over the distinct-host set.
-    Hosts are refetched once per round per worker (cache is per worker
-    process) — production would persist a robots table version per
-    round like host_stats; the per-round distinct-host set is already
-    politeness-bounded."""
+
+    ``cache_path`` makes the cache CROSS-ROUND: known hosts are
+    anti-joined away so each round only fetches robots.txt for hosts
+    discovered since the last round, and the merged table is persisted
+    (tmp-write + atomic rename, same discipline as the Warehouse). At
+    10^10-URL scale the frontier's host set is millions of rows — one
+    robots GET per host per ROUND would dominate politeness budgets;
+    once per host per CRAWL is the production behavior. Without
+    ``cache_path`` the per-round fetch set is still only the distinct
+    frontier hosts (executor-side, never a driver loop), with a
+    per-worker-process parser cache."""
     ua = user_agent or _HEADERS["User-Agent"]
 
+    def kernel(batches: Iterable[pd.DataFrame]
+               ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # host admission = is the ROOT allowed; per-path rules
+            # are enforced in the fetch kernel per URL
+            allowed = []
+            for u in pdf["url"]:
+                org = _origin_of(u)
+                allowed.append(True if org is None else
+                               robots_allowed(org + "/", ua,
+                                              timeout_sec))
+            yield pd.DataFrame({"host": pdf["host"],
+                                "allowed": allowed})
+
     def provider(spark, frontier):
+        import os
+        import shutil
+        import tempfile
+
         from pyspark.sql import functions as F
 
         origins = frontier.groupBy("host").agg(F.min("url").alias("url"))
-
-        def kernel(batches: Iterable[pd.DataFrame]
-                   ) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                # host admission = is the ROOT allowed; per-path rules
-                # are enforced in the fetch kernel per URL
-                allowed = []
-                for u in pdf["url"]:
-                    org = _origin_of(u)
-                    allowed.append(True if org is None else
-                                   robots_allowed(org + "/", ua,
-                                                  timeout_sec))
-                yield pd.DataFrame({"host": pdf["host"],
-                                    "allowed": allowed})
-
-        return origins.mapInPandas(kernel, "host string, allowed boolean")
+        if cache_path is None:
+            return origins.mapInPandas(kernel,
+                                       "host string, allowed boolean")
+        cached = (spark.read.parquet(cache_path)
+                  if os.path.exists(cache_path) else None)
+        fresh_hosts = (origins.join(cached, "host", "left_anti")
+                       if cached is not None else origins)
+        fresh = fresh_hosts.mapInPandas(kernel,
+                                        "host string, allowed boolean")
+        merged = (fresh.unionByName(cached) if cached is not None
+                  else fresh)
+        tmp = cache_path + ".tmp-" + next(
+            tempfile._get_candidate_names())
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cache_path):
+            shutil.rmtree(cache_path)
+        os.replace(tmp, cache_path)
+        return spark.read.parquet(cache_path)
 
     return provider
 

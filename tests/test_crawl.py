@@ -319,6 +319,57 @@ def test_live_robots_gate(spark, tmp_path):
         srv2.shutdown()
 
 
+def test_robots_cache_fetches_once_per_host(spark, tmp_path):
+    """With cache_path set, the robots provider anti-joins known hosts
+    away: robots.txt is GET'd once per host per CRAWL, not once per
+    round — rounds 2..n schedule ZERO robots fetches for known hosts.
+    (Kernel-side per-path checking is disabled here to isolate the
+    provider's requests in the server log.)"""
+    import http.server
+    import threading
+
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel, make_robots_provider)
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    robots_gets = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                robots_gets.append(1)
+                body = b"User-agent: *\nDisallow: /private/\n"
+            else:
+                i = int(self.path.rsplit("/", 1)[-1])
+                kids = (f"'http://127.0.0.1:{self.server.server_port}"
+                        f"/p/{i + 1}'") if i < 6 else ""
+                body = (f"<script>var cfg = {{id: {i}, "
+                        f"links: [{kids}]}};</script>").encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_port
+        stats = run_crawl(
+            spark, str(tmp_path / "w_rbcache"), rounds=3,
+            seeds=[f"http://127.0.0.1:{port}/p/1"],
+            host_budget=10, batch_size=10,
+            fetch_kernel=make_fetch_extract_kernel(respect_robots=False),
+            robots_provider=make_robots_provider(
+                cache_path=str(tmp_path / "robots_cache")))
+        assert sum(s["fetched"] for s in stats) >= 3  # crawl progressed
+        assert len(robots_gets) == 1  # one host -> ONE robots GET total
+    finally:
+        srv.shutdown()
+
+
 def test_seen_compaction_preserves_set(spark, tmp_path, monkeypatch):
     """Compaction bounds load_seen's source list without changing the
     set: after a compact checkpoint, base + later deltas must equal the
