@@ -232,17 +232,27 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
 
 
 def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
-                 max_bytes: int = 4 << 20):
+                 max_bytes: int = 4 << 20,
+                 respect_robots: bool = True,
+                 user_agent: str | None = None):
     """Build the mapInPandas kernel. ``delay_sec`` spaces requests inside
-    a task (politeness within the host bucket)."""
+    a task (politeness within the host bucket). ``respect_robots``
+    (default ON) checks per-path robots rules before each GET; blocked
+    URLs yield a status-0 row with err='robots' (this surface reports
+    per-URL outcomes, unlike the fused crawl kernel which drops them)."""
+    ua = user_agent or _HEADERS["User-Agent"]
 
     def fetch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"url": [], "status": [], "fetched_ts": [],
                     "html": [], "text": [], "err": []}
             for url in pdf["url"]:
-                status, body, err = _fetch_one(url, timeout_sec,
-                                               max_bytes)
+                if respect_robots and not robots_allowed(url, ua,
+                                                         timeout_sec):
+                    status, body, err = 0, b"", "robots"
+                else:
+                    status, body, err = _fetch_one(url, timeout_sec,
+                                                   max_bytes)
                 rows["url"].append(url)
                 rows["status"].append(status)
                 rows["fetched_ts"].append(time.time())

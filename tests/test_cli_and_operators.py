@@ -111,6 +111,47 @@ def test_unmarshal_first(spark):
 # -- HTTP fetch stage ---------------------------------------------------------
 
 @pytest.mark.spark
+def test_http_fetch_stage_respects_robots(spark):
+    """The per-URL fetch surface reports robots-blocked URLs as
+    status-0 rows with err='robots' and never GETs them."""
+    from jsonextract_spark.crawl.fetch_http import (
+        FETCH_HTTP_SCHEMA, make_fetcher)
+
+    paths = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            paths.append(self.path)
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\nDisallow: /p/\n"
+            else:
+                body = b"<script>var p = {pid: 1};</script>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_port
+    try:
+        df = spark.createDataFrame(
+            [(f"http://127.0.0.1:{port}/p/1",),
+             (f"http://127.0.0.1:{port}/q/1",)], "url string")
+        rows = {r["url"]: r for r in df.repartition(1).mapInPandas(
+            make_fetcher(timeout_sec=5), FETCH_HTTP_SCHEMA).collect()}
+        blocked = rows[f"http://127.0.0.1:{port}/p/1"]
+        assert blocked["status"] == 0 and blocked["err"] == "robots"
+        assert rows[f"http://127.0.0.1:{port}/q/1"]["status"] == 200
+        assert "/p/1" not in paths
+    finally:
+        srv.shutdown()
+
+
+@pytest.mark.spark
 def test_http_fetch_stage(spark):
     from jsonextract_spark.crawl.fetch_http import (
         FETCH_HTTP_SCHEMA, make_fetcher)
