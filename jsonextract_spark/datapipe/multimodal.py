@@ -2,12 +2,19 @@
 
 Media ride as opaque ``binary`` columns with a metadata struct; decode /
 feature-extract / resize / frame-sample stages are ``mapInPandas`` over
-Arrow batches so bytes never round-trip through Python row objects. The actual codecs
-(PIL/ffmpeg) are not in this container, so the decode kernel is STUBBED:
-``decode_mode='fake'`` produces deterministic fake features (so the
-Spark-side plumbing — schema, batching, partitioning — is fully real and
-tested), ``decode_mode='real'`` raises NotImplementedError where the
-codec call belongs.
+Arrow batches so bytes never round-trip through Python row objects.
+
+Two decode modes:
+
+* ``decode_mode='fake'`` — deterministic sha256-derived stand-ins, kept
+  as the SQL-oracle-checkable path (DuckDB reproduces the digests).
+* ``decode_mode='real'`` — REAL dependency-free codecs
+  (``datapipe/codecs.py``): netpbm P6 images (decode, feature extract,
+  nearest-neighbor resize, multi-image-stream frame sampling) and
+  RIFF/WAVE 16-bit PCM audio (decode + features). Compressed formats
+  (PNG/JPEG/MP4) still need PIL/ffmpeg, which this container doesn't
+  ship — they surface per-row as ok=false with the reason in ``err``,
+  never failing the job.
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ from typing import Iterable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from jsonextract_spark.datapipe import codecs
 
 MEDIA_SCHEMA = ("doc_id long, media_type string, payload binary,"
                 " width int, height int, n_frames int")
@@ -49,14 +58,13 @@ def decode_features(media: DataFrame,
                         feats.append(_fake_decode(bytes(payload or b""),
                                                   mtype))
                     else:
-                        # Real path: PIL.Image.open / soundfile.read /
-                        # frame-sample via pyav — not available here.
-                        raise NotImplementedError(
-                            f"real decode for {mtype}: codec libs not "
-                            "bundled in this environment")
+                        feats.append(codecs.real_decode_features(
+                            bytes(payload or b""), mtype))
                     oks.append(True)
                     errs.append(None)
-                except NotImplementedError as e:
+                except (NotImplementedError, ValueError) as e:
+                    # per-item error channel: unsupported codec or
+                    # malformed payload never fails the job
                     feats.append(np.zeros(FEAT_DIM, dtype=np.float32))
                     oks.append(False)
                     errs.append(str(e))
@@ -83,24 +91,31 @@ def resize_media(media: DataFrame, width: int, height: int,
     """Resize stage over binary media columns (mapInPandas, one row per
     item). decode_mode='fake' emits a deterministic stand-in payload —
     the sha256 hex of ``payload + b":WxH"`` — so the whole Arrow path is
-    SQL-oracle-checkable (DuckDB computes the same digest); 'real' is
-    where PIL/libvips belongs (not in this container)."""
+    SQL-oracle-checkable (DuckDB computes the same digest); 'real'
+    decodes netpbm P6, nearest-neighbor resamples, and re-encodes
+    canonical P6 bytes (codecs.py — compressed formats report their
+    missing codec per row)."""
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag = f":{width}x{height}".encode()
         for pdf in batches:
             outs, oks, errs = [], [], []
-            for payload in pdf["payload"]:
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 try:
                     if decode_mode == "fake":
                         outs.append(hashlib.sha256(
                             bytes(payload or b"") + tag)
                             .hexdigest().encode())
+                    elif mtype in codecs.PPM_TYPES:
+                        img, _ = codecs.parse_ppm(bytes(payload or b""))
+                        outs.append(codecs.encode_ppm(
+                            codecs.resize_nearest(img, width, height)))
                     else:
                         raise NotImplementedError(
-                            "real resize: PIL/libvips not bundled here")
+                            f"no dependency-free resize for {mtype} "
+                            "(PIL/libvips not bundled here)")
                     oks.append(True)
                     errs.append(None)
-                except NotImplementedError as e:
+                except (NotImplementedError, ValueError) as e:
                     outs.append(b"")
                     oks.append(False)
                     errs.append(str(e))
@@ -120,39 +135,57 @@ def resize_media(media: DataFrame, width: int, height: int,
 def sample_frames(media: DataFrame, k: int = 4,
                   decode_mode: str = "fake") -> DataFrame:
     """Frame-sampling stage: fan each media item out to ``k`` evenly
-    spaced frames (``frame_idx = (j * n_frames) // k``); items with zero
+    spaced frames (``frame_idx = (j * n) // k``); items with zero
     frames emit nothing. Fake frames are the sha256 hex of
-    ``payload + b":f<idx>"`` (SQL-reproducible); 'real' is where
-    pyav/ffmpeg belongs."""
+    ``payload + b":f<idx>"`` (SQL-reproducible, ``n`` from the metadata
+    column). 'real' parses the payload as a netpbm multi-image stream
+    (P6 frames back to back), takes ``n`` from the PARSED frame count —
+    metadata can lie, pixels can't — and emits each selected frame as
+    canonical P6 bytes; unsupported containers / malformed streams emit
+    one ok=false row with frame_idx=-1."""
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, samples, idxs, frames, oks, errs = [], [], [], [], [], []
-            for doc_id, payload, n in zip(pdf["doc_id"], pdf["payload"],
-                                          pdf["n_frames"]):
-                n = int(n or 0)
-                if n <= 0:
-                    continue
-                for j in range(k):
-                    idx = (j * n) // k
-                    try:
-                        if decode_mode == "fake":
-                            frames.append(hashlib.sha256(
-                                bytes(payload or b"")
-                                + f":f{idx}".encode())
-                                .hexdigest().encode())
-                        else:
-                            raise NotImplementedError(
-                                "real frame decode: pyav/ffmpeg not "
-                                "bundled here")
+            for doc_id, payload, mtype, n_meta in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["media_type"],
+                    pdf["n_frames"]):
+                if decode_mode == "fake":
+                    n = int(n_meta or 0)
+                    if n <= 0:
+                        continue
+                    for j in range(k):
+                        idx = (j * n) // k
+                        frames.append(hashlib.sha256(
+                            bytes(payload or b"") + f":f{idx}".encode())
+                            .hexdigest().encode())
                         oks.append(True)
                         errs.append(None)
-                    except NotImplementedError as e:
-                        frames.append(b"")
-                        oks.append(False)
-                        errs.append(str(e))
+                        ids.append(doc_id)
+                        samples.append(j)
+                        idxs.append(idx)
+                    continue
+                try:
+                    if mtype not in codecs.PPM_TYPES:
+                        raise NotImplementedError(
+                            f"no dependency-free frame decode for "
+                            f"{mtype} (pyav/ffmpeg not bundled here)")
+                    imgs = codecs.iter_ppm_frames(bytes(payload or b""))
+                    n = len(imgs)
+                    for j in range(k):
+                        idx = (j * n) // k
+                        frames.append(codecs.encode_ppm(imgs[idx]))
+                        oks.append(True)
+                        errs.append(None)
+                        ids.append(doc_id)
+                        samples.append(j)
+                        idxs.append(idx)
+                except (NotImplementedError, ValueError) as e:
+                    frames.append(b"")
+                    oks.append(False)
+                    errs.append(str(e))
                     ids.append(doc_id)
-                    samples.append(j)
-                    idxs.append(idx)
+                    samples.append(0)
+                    idxs.append(-1)
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "sample_no": pd.Series(samples, dtype="int64"),

@@ -299,9 +299,12 @@ def test_multimodal_resize_and_frames(spark):
         assert all(r["frame_idx"] == (r["sample_no"] * n) // 4
                    for r in rows)
 
-    # real mode is stubbed: errors surface per-row, the job survives
+    # real mode on the synthetic corpus: png has no dependency-free
+    # resize codec; the wav payloads aren't images — every row surfaces
+    # its error per-row and the job survives (real-codec success paths
+    # are pinned in test_multimodal_real.py)
     real = resize_media(media, 8, 8, decode_mode="real").collect()
-    assert all((not r["ok"]) and "not bundled" in r["err"] for r in real)
+    assert all(not r["ok"] and r["err"] for r in real)
 
 
 def test_multimodal_plumbing(spark):
@@ -319,6 +322,11 @@ def test_multimodal_plumbing(spark):
              decode_features(media, decode_mode="fake").collect()}
     for r in rows:
         assert again[r["doc_id"]] == r["feat"]
-    # real mode is stubbed, surfaces the error without failing the job
+    # real mode on the synthetic corpus: png has no dependency-free
+    # codec (err names it), wav payloads are malformed RIFF — errors
+    # surface per-row without failing the job; real-codec success paths
+    # are pinned in test_multimodal_real.py
     real = decode_features(media, decode_mode="real").collect()
-    assert all((not r["ok"]) and "codec" in r["err"] for r in real)
+    assert all(not r["ok"] and r["err"] for r in real)
+    assert any("codec" in r["err"] for r in real)      # png branch
+    assert any("wav:" in r["err"] for r in real)       # real wav parse

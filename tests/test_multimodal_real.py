@@ -1,0 +1,145 @@
+"""Real (dependency-free) multimodal codecs: netpbm P6 + PCM WAV.
+
+These pin decode_mode='real' on actual pixels/samples — handcrafted
+payloads with hand-computed expected values, plus the Spark surfaces
+end-to-end and the per-row error channel for unsupported/malformed
+inputs."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from jsonextract_spark.datapipe import codecs
+
+pytestmark = pytest.mark.spark
+
+
+def ppm(w, h, pixels, comment=False):
+    """P6 bytes from a list of (r, g, b) rows*cols pixels."""
+    head = b"P6\n"
+    if comment:
+        head += b"# a netpbm comment\n"
+    head += b"%d %d\n255\n" % (w, h)
+    return head + bytes(v for px in pixels for v in px)
+
+
+def wav(samples, rate=8000, n_ch=1):
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate,
+                      rate * n_ch * 2, n_ch * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+RED, BLUE, GREEN, BLACK = ((255, 0, 0), (0, 0, 255), (0, 255, 0),
+                           (0, 0, 0))
+
+
+def test_ppm_parse_roundtrip_and_comments():
+    img, end = codecs.parse_ppm(ppm(2, 1, [RED, BLUE], comment=True))
+    assert img.shape == (1, 2, 3)
+    assert tuple(img[0, 0]) == RED and tuple(img[0, 1]) == BLUE
+    back, _ = codecs.parse_ppm(codecs.encode_ppm(img))
+    assert np.array_equal(back, img)
+    for bad in (b"P5\n1 1\n255\nxxx", b"P6\n0 1\n255\n",
+                b"P6\n2 1\n255\n\xff\x00", b"P6\n1 1\n65535\n..",
+                b""):
+        with pytest.raises(ValueError):
+            codecs.parse_ppm(bad)
+
+
+def test_image_features_hand_computed():
+    # one red + one blue pixel: R channel hist = [0.5,0,...,0.5],
+    # means (127.5, 0, 127.5)/255, stds (127.5, 0, 127.5)/255
+    feat = codecs.image_features(
+        codecs.parse_ppm(ppm(2, 1, [RED, BLUE]))[0])
+    assert feat.shape == (32,)
+    assert feat[0] == pytest.approx(0.5) and feat[7] == pytest.approx(0.5)
+    assert feat[8] == pytest.approx(1.0)          # G all in bin 0
+    assert feat[24] == pytest.approx(0.5) and feat[25] == 0.0
+    assert feat[27] == pytest.approx(0.5) and feat[28] == 0.0
+    assert feat[31] == pytest.approx(2.0)         # w/h aspect
+
+
+def test_wav_parse_and_features():
+    x, rate = codecs.parse_wav(wav([0, 16384, -16384, 0], rate=8000))
+    assert rate == 8000
+    assert x == pytest.approx([0.0, 0.5, -0.5, 0.0])
+    feat = codecs.audio_features(x, rate)
+    assert feat[25] == pytest.approx(0.5)         # peak
+    assert feat[29] == pytest.approx(4 / 8000)    # duration
+    assert feat[31] == 1.0
+    # stereo downmix: L=1000, R=3000 -> mono 2000
+    x2, _ = codecs.parse_wav(wav([1000, 3000], n_ch=2))
+    assert x2 == pytest.approx([2000 / 32768.0])
+    for bad in (b"RIFFxxxxWAVE", b"junk", wav([1])[:20]):
+        with pytest.raises(ValueError):
+            codecs.parse_wav(bad)
+
+
+def test_resize_nearest_exact():
+    img = codecs.parse_ppm(ppm(2, 2, [RED, BLUE, GREEN, BLACK]))[0]
+    up = codecs.resize_nearest(img, 4, 4)
+    # NN doubling: each source pixel becomes a 2x2 block
+    assert tuple(up[0, 0]) == RED and tuple(up[0, 3]) == BLUE
+    assert tuple(up[3, 0]) == GREEN and tuple(up[3, 3]) == BLACK
+    assert tuple(up[1, 1]) == RED
+    down = codecs.resize_nearest(up, 2, 2)
+    assert np.array_equal(down, img)
+
+
+def test_real_decode_features_spark(spark):
+    media = spark.createDataFrame(
+        [(1, "image/ppm", bytearray(ppm(2, 1, [RED, BLUE])), 2, 1, 0),
+         (2, "audio/wav", bytearray(wav([0, 16384, -16384, 0])), 0, 0, 0),
+         (3, "image/png", bytearray(b"\x89PNG..."), 0, 0, 0),
+         (4, "image/ppm", bytearray(b"P6 garbage"), 0, 0, 0)],
+        "doc_id long, media_type string, payload binary, width int,"
+        " height int, n_frames int")
+    from jsonextract_spark.datapipe.multimodal import decode_features
+
+    rows = {r["doc_id"]: r for r in
+            decode_features(media, decode_mode="real").collect()}
+    assert rows[1]["ok"] and rows[1]["feat"][24] == pytest.approx(0.5)
+    assert rows[2]["ok"] and rows[2]["feat"][25] == pytest.approx(0.5)
+    assert not rows[3]["ok"] and "codec" in rows[3]["err"]
+    assert not rows[4]["ok"]                      # malformed, job alive
+
+
+def test_real_resize_spark(spark):
+    media = spark.createDataFrame(
+        [(1, "image/ppm", bytearray(ppm(1, 1, [RED])), 1, 1, 0),
+         (2, "audio/wav", bytearray(wav([0])), 0, 0, 0)],
+        "doc_id long, media_type string, payload binary, width int,"
+        " height int, n_frames int")
+    from jsonextract_spark.datapipe.multimodal import resize_media
+
+    rows = {r["doc_id"]: r for r in
+            resize_media(media, 3, 2, decode_mode="real").collect()}
+    img, _ = codecs.parse_ppm(bytes(rows[1]["payload"]))
+    assert img.shape == (2, 3, 3)
+    assert all(tuple(px) == RED for row in img for px in row)
+    assert not rows[2]["ok"]
+
+
+def test_real_frame_sampling_spark(spark):
+    stream = ppm(1, 1, [RED]) + ppm(1, 1, [GREEN]) + ppm(1, 1, [BLUE])
+    media = spark.createDataFrame(
+        [(1, "image/ppm", bytearray(stream), 1, 1, 999),  # metadata lies
+         (2, "video/mp4", bytearray(b"\x00\x00ftyp"), 0, 0, 5)],
+        "doc_id long, media_type string, payload binary, width int,"
+        " height int, n_frames int")
+    from jsonextract_spark.datapipe.multimodal import sample_frames
+
+    rows = [r for r in sample_frames(media, k=3, decode_mode="real")
+            .collect()]
+    ok = {(r["sample_no"]): r for r in rows if r["doc_id"] == 1}
+    # frame_idx from the PARSED count (3), not the lying metadata
+    assert [ok[j]["frame_idx"] for j in range(3)] == [0, 1, 2]
+    colors = [tuple(codecs.parse_ppm(bytes(ok[j]["frame"]))[0][0, 0])
+              for j in range(3)]
+    assert colors == [RED, GREEN, BLUE]
+    bad = [r for r in rows if r["doc_id"] == 2]
+    assert len(bad) == 1 and not bad[0]["ok"] and bad[0]["frame_idx"] == -1
