@@ -396,6 +396,60 @@ def _q_fingerprint_stable(spark, sf_dir):
         .alias("sensitive"))
 
 
+def _q_multimodal_real(spark, sf_dir):
+    """The REAL image codec path (datapipe/codecs.py — netpbm P6 parse
+    + pixel feature extraction, no fake hashing anywhere): solid-color
+    P6 payloads are built per doc_id, so every pixel-derived feature
+    has a closed form DuckDB can compute from doc_id alone — channel
+    means r/255, zero std, exact aspect ratio, and the full-mass
+    histogram bin. Feature values are float32, so the compare uses
+    float32-EXACT representations only: mean*255 rounded to the integer
+    channel value (|f32(r/255)*255 - r| <= 2e-5, so round-to-int is
+    exact; rounding r/255 itself to 6 digits is NOT safe — f32 error
+    crosses the half-boundary for 18/500 docs), plus std 0.0 and the
+    small-rational aspect ratios, both exactly representable."""
+    import numpy as np
+    import pandas as pd
+
+    from jsonextract_spark.datapipe import codecs
+    from jsonextract_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, decode_features)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads, ws, hs = [], [], []
+            for i in ids:
+                w, h = 2 + i % 3, 1 + i % 2
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[..., 0] = i % 256
+                img[..., 1] = (7 * i) % 256
+                img[..., 2] = (13 * i) % 256
+                payloads.append(codecs.encode_ppm(img))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "doc_id": ids, "media_type": "image/ppm",
+                "payload": payloads, "width": ws, "height": hs,
+                "n_frames": 1})
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+    feats = decode_features(media, decode_mode="real")
+    bin_r = (F.pmod(F.col("doc_id"), F.lit(256)) / 32).cast("int") + 1
+    def chan(idx, name):
+        return F.round(F.element_at("feat", idx).cast("double") * 255,
+                       0).alias(name)
+
+    return feats.select(
+        "doc_id", "ok",
+        chan(25, "chan_r"), chan(26, "chan_g"), chan(27, "chan_b"),
+        F.element_at("feat", 28).cast("double").alias("std_r"),
+        F.element_at("feat", 32).cast("double").alias("aspect"),
+        (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
+
+
 def _q_simhash_stable(spark, sf_dir):
     """SimHash's construction invariant, machine-checked: the signature
     sums per-token sign vectors (datapipe/dedup.py _simhash_batch), so
@@ -506,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_fingerprint_stable": _q_fingerprint_stable,
         "q_simhash_stable": _q_simhash_stable,
+        "q_multimodal_real": _q_multimodal_real,
         "q_langid": _q_langid,
         "q_lsh_ann": _q_lsh_ann,
         "q_ivf_ann": _q_ivf_ann,
@@ -770,6 +825,20 @@ def oracle_sql() -> dict[str, str]:
         # edit — both hold for every document.
         "q_simhash_stable": """
             SELECT doc_id, true AS stable, true AS sensitive
+            FROM documents
+        """,
+        # Closed-form pixel features of the solid-color P6 payloads the
+        # Spark side builds from doc_id (real netpbm decode, no fake
+        # hashing): mean_c = c/255, std 0, exact w/h, full-mass hist bin.
+        "q_multimodal_real": """
+            SELECT doc_id, true AS ok,
+                   CAST(doc_id % 256 AS DOUBLE)        AS chan_r,
+                   CAST((doc_id * 7) % 256 AS DOUBLE)  AS chan_g,
+                   CAST((doc_id * 13) % 256 AS DOUBLE) AS chan_b,
+                   CAST(0.0 AS DOUBLE) AS std_r,
+                   CAST(2 + doc_id % 3 AS DOUBLE)
+                       / (1 + doc_id % 2)              AS aspect,
+                   true AS hist_solid
             FROM documents
         """,
         # Exact SQL restatement of textstats._langid: distinct first-200
