@@ -450,6 +450,51 @@ def _q_multimodal_real(spark, sf_dir):
         (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
 
 
+def _q_audio_real(spark, sf_dir):
+    """The REAL audio codec path (RIFF/WAVE 16-bit PCM parse + sample
+    features): two-sample payloads [a, -a] with a = doc_id % 32768 at
+    rate 8192 Hz make every selected feature float32-EXACT — a/32768 is
+    a <=15-bit mantissa times 2^-15, duration 2/8192 = 2^-12 — so
+    DuckDB reproduces them with no rounding step at all."""
+    import struct
+
+    import pandas as pd
+
+    from jsonextract_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, decode_features)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                a = int(i) % 32768
+                data = struct.pack("<hh", a, -a)
+                fmt = struct.pack("<HHIIHH", 1, 1, 8192, 8192 * 2, 2, 16)
+                body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt))
+                        + fmt + b"data" + struct.pack("<I", len(data))
+                        + data)
+                payloads.append(b"RIFF" + struct.pack("<I", len(body))
+                                + body)
+            yield pd.DataFrame({
+                "doc_id": ids, "media_type": "audio/wav",
+                "payload": payloads, "width": 0, "height": 0,
+                "n_frames": 0})
+
+    feats = decode_features(docs.mapInPandas(gen, MEDIA_SCHEMA),
+                            decode_mode="real")
+
+    def f(idx, name):
+        return F.element_at("feat", idx).cast("double").alias(name)
+
+    return feats.select(
+        "doc_id", "ok",
+        f(25, "rms"), f(26, "peak"), f(27, "mean_amp"), f(28, "std_amp"),
+        f(29, "zcr"), f(30, "duration"), f(32, "present"))
+
+
 def _q_simhash_stable(spark, sf_dir):
     """SimHash's construction invariant, machine-checked: the signature
     sums per-token sign vectors (datapipe/dedup.py _simhash_batch), so
@@ -561,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint_stable": _q_fingerprint_stable,
         "q_simhash_stable": _q_simhash_stable,
         "q_multimodal_real": _q_multimodal_real,
+        "q_audio_real": _q_audio_real,
         "q_langid": _q_langid,
         "q_lsh_ann": _q_lsh_ann,
         "q_ivf_ann": _q_ivf_ann,
@@ -839,6 +885,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 + doc_id % 3 AS DOUBLE)
                        / (1 + doc_id % 2)              AS aspect,
                    true AS hist_solid
+            FROM documents
+        """,
+        # Closed-form sample features of the [a, -a] PCM payloads the
+        # Spark side builds from doc_id (real RIFF/WAVE decode). All
+        # values are float32-exact, so no rounding anywhere: rms = peak
+        # = std = a/32768, mean 0, one sign change unless a = 0,
+        # duration 2 samples / 8192 Hz.
+        "q_audio_real": """
+            SELECT doc_id, true AS ok,
+                   (doc_id % 32768) / 32768.0 AS rms,
+                   (doc_id % 32768) / 32768.0 AS peak,
+                   CAST(0.0 AS DOUBLE) AS mean_amp,
+                   (doc_id % 32768) / 32768.0 AS std_amp,
+                   CASE WHEN doc_id % 32768 = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(1.0 AS DOUBLE) END AS zcr,
+                   CAST(2.0 / 8192 AS DOUBLE) AS duration,
+                   CAST(1.0 AS DOUBLE) AS present
             FROM documents
         """,
         # Exact SQL restatement of textstats._langid: distinct first-200
