@@ -136,7 +136,8 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
 # -- operators ---------------------------------------------------------------
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_dedup(df: DataFrame, text_col: str, id_col: str,
+                paranoid: bool = False) -> DataFrame:
     """Keep the min-id representative per exact text. One shuffle on the
     (cheap, uniform) xxhash of the text, not on the text bytes.
 
@@ -144,15 +145,23 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     disambiguates most accidental hash collisions for free. The residual
     risk — two distinct equal-length texts sharing an xxhash64 — is the
     standard birthday bound (~3e-3 expected merges at 10^9 docs per
-    length class); callers needing exactness verify text equality within
-    groups downstream."""
-    return (df
-            .withColumn("_fp", F.xxhash64(F.col(text_col)))
-            .withColumn("_len", F.length(F.col(text_col)))
-            .groupBy("_fp", "_len")
+    length class). ``paranoid=True`` adds a second, independent 64-bit
+    key (xxhash64 of the REVERSED text, so no shared byte stream) to
+    the group-by: a false merge then needs a simultaneous collision in
+    two independent 64-bit hashes at equal length (~2^-128 per pair —
+    negligible at any corpus size), still without ever shuffling the
+    text bytes themselves."""
+    keys = ["_fp", "_len"]
+    out = (df.withColumn("_fp", F.xxhash64(F.col(text_col)))
+             .withColumn("_len", F.length(F.col(text_col))))
+    if paranoid:
+        out = out.withColumn("_fp2",
+                             F.xxhash64(F.reverse(F.col(text_col))))
+        keys.append("_fp2")
+    return (out.groupBy(*keys)
             .agg(F.min(id_col).alias(id_col),
                  F.count(F.lit(1)).alias("dup_count"))
-            .drop("_fp", "_len"))
+            .drop(*keys))
 
 
 def minhash_bands(df: DataFrame, text_col: str, id_col: str,

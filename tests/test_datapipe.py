@@ -35,6 +35,13 @@ def test_exact_dedup(spark):
     assert by_id[102] == 1
     assert len(by_id) == 34       # 35 rows, one collapsed
 
+    # paranoid mode (second independent hash key) changes nothing on a
+    # collision-free corpus — same representatives, same counts
+    par = {r["doc_id"]: r["dup_count"]
+           for r in exact_dedup(_corpus(spark), "text", "doc_id",
+                                paranoid=True).collect()}
+    assert par == by_id
+
 
 def test_minhash_finds_planted_dups(spark):
     from jsonextract_spark.datapipe.dedup import minhash_dedup_pairs

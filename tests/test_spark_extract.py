@@ -234,6 +234,36 @@ def test_url_fast_path_agrees_with_slow_path():
     assert bool(fast2.all())
 
 
+def test_url_fast_path_property():
+    """Property: for ARBITRARY strings, whenever the vectorized screen
+    accepts a URL, the per-row functions must agree that it is already
+    canonical and extract the same host. (Soundness only — the fast
+    path may conservatively decline anything.)"""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from jsonextract_spark.functions.udfs import _fast_url_parts
+    from jsonextract_spark.functions.urlhash import (
+        canonicalize_url, url_host)
+
+    tail = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=40)
+
+    @settings(max_examples=300, deadline=None)
+    @given(tail)
+    def check(s):
+        urls = pd.Series([s, "http://" + s, "https://a-b.example/" + s,
+                          f"https://{s}.example/p/1"], dtype=object)
+        fast, ext = _fast_url_parts(urls)
+        for i, u in enumerate(urls):
+            if fast[i]:
+                assert canonicalize_url(u) == u, u
+                assert url_host(u) == ext[1][i], u
+
+    check()
+
+
 def test_extract_pages_input_contract(spark):
     """extract_pages consumes the input-contract pages shape
     (url, warc_ts, html binary, text, lang); the html-bytes path and
