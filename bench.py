@@ -113,7 +113,7 @@ def bench_crawl(spark) -> tuple[float, int]:
     return dt, sum(s["fetched"] for s in stats)
 
 
-def bench_crawl_bigbatch(spark) -> tuple[float, int]:
+def bench_crawl_bigbatch(spark) -> tuple[float, int, float]:
     """ONE crawl round at production batch size (50k URLs at sf0.1) —
     the amortization data point next to q_crawl: a round runs a FIXED
     four Spark actions regardless of batch size, so the driver-latency

@@ -70,8 +70,8 @@ def _planes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
 
 def _stack_vecs(vs, dim: int) -> np.ndarray:
     """(n, dim) float64 matrix from a sequence of array-likes (short
-    rows zero-pad, long rows truncate — the per-row np.resize contract,
-    batched)."""
+    rows TILE to fit — np.resize repeats the row, it does not zero-pad —
+    long rows truncate; the per-row np.resize contract, batched)."""
     x = np.zeros((len(vs), dim), dtype=np.float64)
     for i, v in enumerate(vs):
         a = np.asarray(v, dtype=np.float64)[:dim]
