@@ -146,19 +146,81 @@ def _fmix64v(k: np.ndarray) -> np.ndarray:
     return k ^ (k >> _U64(33))
 
 
+# Cap on the padded (rows × width) byte matrix one vector pass may
+# allocate. The matrix pads every row to the LONGEST row in the pass, so
+# without a cap one multi-MB document in a 10k-row Arrow batch allocates
+# a multi-GB matrix (executor OOM at web-document length distributions —
+# the sf corpora are uniform and never see it). Passes over length-skewed
+# batches are split into length-homogeneous chunks below; peak transient
+# allocation per pass is ~2× this (matrix + liveness mask).
+_BATCH_BUDGET_BYTES = 32 << 20
+
+# The block loop is sequential (h_i depends on h_{i-1}) — numpy only
+# amortizes its ~30µs/iteration overhead ACROSS rows, never along one
+# row's blocks. A chunk narrower than this many rows is slower than the
+# ~1.6µs/block scalar loop, so rows too long for a >=_MIN_VEC_ROWS-wide
+# pass under the budget hash scalar instead (measured: 4 MB row = 9.8
+# MB/s scalar vs 0.5 MB/s as a 1-row numpy pass).
+_MIN_VEC_ROWS = 24
+
+
+def _width_of(max_len: int) -> int:
+    # pad to a 16-byte multiple with one spare block so the 16-byte tail
+    # gather in the core never reads past the row
+    return (max_len // 16 + 2) * 16
+
+
 def murmur3_x64_128_batch(datas: list[bytes],
                           seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """MurmurHash3_x64_128 of each byte string; returns (h1, h2) uint64
-    arrays, bit-identical to ``murmur3_x64_128`` row by row."""
+    arrays, bit-identical to ``murmur3_x64_128`` row by row.
+
+    Length-skew safe: when padding the whole batch to its longest row
+    would exceed ``_BATCH_BUDGET_BYTES``, rows are argsorted by length
+    and hashed in length-homogeneous chunks (each chunk pads only to its
+    OWN longest row), then scattered back — the hash is per-row, so
+    reordering is semantics-free. Outlier rows too long to share a
+    budget-bounded pass with >=_MIN_VEC_ROWS peers take the scalar path
+    (faster there — see _MIN_VEC_ROWS). Uniform batches (URLs) stay the
+    single full-vector pass."""
     n = len(datas)
     if n == 0:
         e = np.empty(0, dtype=np.uint64)
         return e, e.copy()
     lens = np.fromiter((len(d) for d in datas), np.int64, n)
-    max_len = int(lens.max()) if n else 0
-    # pad to a 16-byte multiple with one spare block so the 16-byte tail
-    # gather below never reads past the row
-    width = (max_len // 16 + 2) * 16
+    if n * _width_of(int(lens.max())) <= _BATCH_BUDGET_BYTES:
+        return _murmur3_batch_core(datas, lens, seed)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+    cutoff = _BATCH_BUDGET_BYTES // _MIN_VEC_ROWS
+    for k in np.flatnonzero(lens > cutoff):
+        h1[k], h2[k] = murmur3_x64_128(datas[k], seed)
+    small = np.flatnonzero(lens <= cutoff)
+    order = small[np.argsort(lens[small], kind="stable")]
+    i, m = 0, len(order)
+    while i < m:
+        # rows are length-sorted, so a chunk's width is its LAST row's
+        # width; grow while the padded matrix stays inside the budget
+        j = i + 1
+        while (j < m and
+               (j - i + 1) * _width_of(int(lens[order[j]]))
+               <= _BATCH_BUDGET_BYTES):
+            j += 1
+        idx = order[i:j]
+        c1, c2 = _murmur3_batch_core([datas[k] for k in idx], lens[idx],
+                                     seed)
+        h1[idx] = c1
+        h2[idx] = c2
+        i = j
+    return h1, h2
+
+
+def _murmur3_batch_core(datas: list[bytes], lens: np.ndarray,
+                        seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """One padded-matrix vector pass (all rows padded to the longest row
+    in THIS list — callers bound rows × width)."""
+    n = len(datas)
+    width = _width_of(int(lens.max()))
     mat = np.zeros((n, width), dtype=np.uint8)
     mat[np.arange(width)[None, :] < lens[:, None]] = np.frombuffer(
         b"".join(datas), dtype=np.uint8)

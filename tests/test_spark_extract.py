@@ -170,6 +170,66 @@ def test_murmur3_batch_parity():
                 urlhash.murmur3_x64_128(s.encode("utf-8"), seed)
 
 
+def test_murmur3_batch_length_skew():
+    """Adversarial mixed-length batch (one huge outlier among thousands
+    of short rows — the web-document shape): the batch path must (a)
+    stay bit-identical to the scalar path and (b) never allocate a
+    padded matrix wider than the budget allows — without chunking, a
+    4 MB outlier in a 10k-row batch pads ALL rows to 4 MB (~40 GB)."""
+    import random
+
+    from jsonextract_spark.functions import urlhash
+
+    rng = random.Random(42)
+    datas = [bytes(rng.randrange(256) for _ in range(rng.randrange(80)))
+             for _ in range(400)]
+    for i in range(100):                       # mid-size band
+        datas.insert(rng.randrange(len(datas)),
+                     bytes([i % 256]) * (25_000 + i))
+    datas.insert(137, b"B" * 300_000)          # outliers -> scalar path
+    datas.insert(301, b"C" * 90_000)
+    lens = [len(d) for d in datas]
+
+    calls: list[tuple[int, int]] = []
+    real_core = urlhash._murmur3_batch_core
+
+    def spy(ds, ls, seed):
+        calls.append((len(ds), urlhash._width_of(int(ls.max()))))
+        return real_core(ds, ls, seed)
+
+    budget = 1 << 20          # 1 MiB: forces chunking on this small set
+    cutoff = budget // urlhash._MIN_VEC_ROWS
+    old_budget = urlhash._BATCH_BUDGET_BYTES
+    urlhash._murmur3_batch_core = spy
+    urlhash._BATCH_BUDGET_BYTES = budget
+    try:
+        h1, h2 = urlhash.murmur3_x64_128_batch(datas, 7)
+    finally:
+        urlhash._murmur3_batch_core = real_core
+        urlhash._BATCH_BUDGET_BYTES = old_budget
+
+    assert len(calls) >= 2, "skewed batch should have been chunked"
+    for rows, width in calls:
+        assert rows * width <= budget, \
+            f"chunk matrix {rows}x{width} exceeds budget"
+        # outlier rows must never reach the vector core
+        assert width <= urlhash._width_of(cutoff)
+    for i, d in enumerate(datas):
+        assert (int(h1[i]), int(h2[i])) == urlhash.murmur3_x64_128(d, 7), \
+            f"row {i} (len {lens[i]}) mismatch"
+
+    # uniform short batch (the URL shape) must remain ONE pass
+    calls.clear()
+    urls = [f"https://host{i}.example/p/{i}".encode() for i in range(5000)]
+    urlhash._murmur3_batch_core = spy
+    try:
+        h1u, _ = urlhash.murmur3_x64_128_batch(urls, 0)
+    finally:
+        urlhash._murmur3_batch_core = real_core
+    assert len(calls) == 1
+    assert int(h1u[17]) == urlhash.murmur3_x64_128(urls[17], 0)[0]
+
+
 def test_murmur3_batch_null_handling():
     """The pandas helper under murmur3_64_udf preserves nulls and hashes
     the rest identically to the scalar function."""
