@@ -56,8 +56,9 @@ def _fetch_one(url: str, timeout_sec: float,
 #   is never popped).
 # * fetch kernel: per-URL ``can_fetch`` check right before the GET (robots
 #   rules are per-path; the host-level gate alone would over-crawl hosts
-#   that only disallow subtrees). Blocked URLs yield NO row — they leave
-#   the frontier via the popped-batch diff and are never fetched.
+#   that only disallow subtrees). Blocked URLs are never GET'd but emit a
+#   zero-byte ``blocked=true`` ledger row so the frontier diff always
+#   subtracts them (an all-blocked batch must not stall the crawl).
 #
 # Parsers are cached per Python worker process keyed by origin; a missing
 # or unfetchable robots.txt allows everything (the de-facto standard).
@@ -180,8 +181,12 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
 
     ``respect_robots`` (default ON) checks each URL against its host's
     robots.txt per-path rules immediately before the GET; disallowed
-    URLs yield NO row (they leave the frontier via the popped-batch
-    diff, unfetched). Pair with
+    URLs are never GET'd but DO emit a zero-byte ledger row with
+    ``blocked=true`` — the row keeps the round's processed count
+    non-zero, so the frontier diff subtracts them (a batch that is
+    100% robots-blocked must not republish the frontier unchanged and
+    deterministically re-pop the same blocked URLs every round while
+    allowed URLs wait deeper in the frontier). Pair with
     ``run_crawl(robots_provider=make_robots_provider())`` so the
     scheduler's host-level gate uses real robots too."""
     import pandas as pd  # noqa: F811 (executor-side import)
@@ -194,21 +199,23 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
         from jsonextract_spark.kernel.scanner import extract_objects_str
 
         for pdf in batches:
-            if respect_robots and len(pdf):
-                ok = pdf["url"].map(
-                    lambda u: robots_allowed(u, ua, timeout_sec))
-                pdf = pdf[ok].reset_index(drop=True)
-                if not len(pdf):
-                    continue  # whole batch robots-blocked: no rows
-            texts, stamps, sizes = [], [], []
+            if not len(pdf):
+                continue
+            texts, stamps, sizes, blocked = [], [], [], []
             for url in pdf["url"]:
-                _status, body, _err = _fetch_one(url, timeout_sec,
-                                                 max_bytes)
+                if respect_robots and not robots_allowed(url, ua,
+                                                         timeout_sec):
+                    body = b""
+                    blocked.append(True)
+                else:
+                    _status, body, _err = _fetch_one(url, timeout_sec,
+                                                     max_bytes)
+                    blocked.append(False)
+                    if delay_sec:
+                        time.sleep(delay_sec)
                 sizes.append(len(body))  # bytes fetched, not chars
                 texts.append(body.decode("utf-8", "replace"))
                 stamps.append(time.time())
-                if delay_sec:
-                    time.sleep(delay_sec)
             objs = [extract_objects_str(t, work_budget=_budget(len(t)))
                     for t in texts]
             yield pd.DataFrame({
@@ -226,6 +233,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                 "n_objects": [len(o) for o in objs],
                 "links": [_links_from_objs(o) for o in objs],
                 "bytes": sizes,
+                "blocked": blocked,
             })
 
     return kernel

@@ -258,14 +258,20 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
 
     fetched = enriched.select(
         "batch_id", "rank", "url", "host", "depth", "n_objects",
-        F.size("links").alias("n_links"), "bytes", "partition_id")
+        F.size("links").alias("n_links"), "bytes", "partition_id",
+        "blocked")
     # ONE job runs pop + politeness + fetch + extract and writes the
     # ledger; batch counts come from the parquet written, not a separate
-    # count() action over the pop.
+    # count() action over the pop. ``blocked`` rows are popped URLs the
+    # robots per-path check stopped before the GET — they count toward
+    # the processed batch (so the frontier diff subtracts them; an
+    # all-blocked batch must not republish the frontier unchanged and
+    # stall the crawl) but not toward fetch metrics or host budgets.
     wh.save(fetched, "fetched", round_no)
     n_actions = 1
-    n_batch, n_objects = (int(v) for v in _duck.sql(
-        f"SELECT count(*), coalesce(sum(n_objects),0) FROM "
+    n_batch, n_objects, n_fetched = (int(v) for v in _duck.sql(
+        f"SELECT count(*), coalesce(sum(n_objects),0),"
+        f" coalesce(sum(CASE WHEN blocked THEN 0 ELSE 1 END),0) FROM "
         f"'{wh._path('fetched', round_no)}/*.parquet'").fetchone())
     t_fetch = time.time()
     if n_batch == 0:
@@ -339,7 +345,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     hosts_tbl = _duck.sql(
         f"SELECT host, CAST(sum(crawled) AS DOUBLE) AS crawled FROM ("
         f"  SELECT host, 1.0 AS crawled FROM "
-        f"  '{wh._path('fetched', round_no)}/*.parquet' {prev_hosts}"
+        f"  '{wh._path('fetched', round_no)}/*.parquet'"
+        f"  WHERE NOT blocked {prev_hosts}"
         f") GROUP BY host").arrow()
     _write_parquet_driver_side(wh, "host_stats", round_no, hosts_tbl)
 
@@ -356,7 +363,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     sc.setLocalProperty("spark.jobGroup.id", None)
     sec = time.time() - t0
     _write_metrics(wh, round_no, {
-        "fetched": float(n_batch), "objects": float(n_objects),
+        "fetched": float(n_fetched), "objects": float(n_objects),
+        "robots_blocked": float(n_batch - n_fetched),
         "new_urls": float(n_new), "sec": sec,
         "spark_actions": float(n_actions),
         "spark_jobs": float(n_jobs),
@@ -365,12 +373,14 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         "sec_gate_seen": t_gate - t_links,
         "sec_frontier_seen": t_frontier - t_gate,
         "sec_filter": t_filter - t_frontier})
-    wh.commit_round(round_no, {"fetched": n_batch, "new": n_new,
+    wh.commit_round(round_no, {"fetched": n_fetched, "new": n_new,
+                               "blocked": n_batch - n_fetched,
                                "sec": round(sec, 3)})
     batch.unpersist()
     enriched.unpersist()
     fresh.unpersist()
-    return {"fetched": n_batch, "new": n_new, "objects": n_objects,
+    return {"fetched": n_fetched, "new": n_new, "objects": n_objects,
+            "blocked": n_batch - n_fetched,
             "sec": sec, "spark_actions": n_actions,
             "spark_jobs": n_jobs}
 
@@ -414,13 +424,17 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
 
 
 def crawl_order(spark: SparkSession, warehouse: str) -> DataFrame:
-    """The reproducible crawl ledger: (batch_id, rank, url)."""
+    """The reproducible crawl ledger: (batch_id, rank, url). Robots-
+    blocked ledger rows are excluded — the ordering is of actual
+    fetches (pre-``blocked``-column warehouses had no such rows)."""
     wh = Warehouse(warehouse)
     last = wh.last_committed_round()
     parts = [wh.load(spark, "fetched", r) for r in range(1, last + 1)
              if wh.exists("fetched", r)]
     if not parts:
         return spark.createDataFrame([], "batch_id int, rank long, url string")
+    parts = [p.filter(~F.col("blocked")) if "blocked" in p.columns else p
+             for p in parts]
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)

@@ -79,7 +79,14 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
     round_ts = {r["round"]: float(r["ts"])
                 for r in wh.ledger()["rounds"]
                 if r.get("status") == "committed"}
-    parts = [wh.load(spark, "fetched", r)
+    def _unblocked(df):
+        # robots-blocked ledger rows were never fetched — nothing to
+        # refresh (they'd only be re-blocked); pre-``blocked``-column
+        # warehouses had no such rows
+        return (df.filter(~F.col("blocked"))
+                if "blocked" in df.columns else df)
+
+    parts = [_unblocked(wh.load(spark, "fetched", r))
              .select("url", "depth", F.lit(round_ts[r]).alias("fetched_ts"))
              for r in range(1, after_round + 1)
              if wh.exists("fetched", r) and r in round_ts]

@@ -133,13 +133,14 @@ def fetch_extract_partition(rows: Iterable[pd.DataFrame]):
             "n_objects": objs.map(len),
             "links": links,
             "bytes": texts.map(len),
+            "blocked": False,
         })
 
 
 FETCH_EXTRACT_SCHEMA = (
     "url string, host string, warc_ts timestamp, text string, lang string,"
     " depth int, batch_id int, rank long, n_objects int,"
-    " links array<string>, bytes int"
+    " links array<string>, bytes int, blocked boolean"
 )
 
 

@@ -25,7 +25,8 @@ seen_compact url_hash — periodic compaction of the deltas (the
              bounded source list
 seen_filter  bucket, kind, bits (binary), m, k, n
 fetched      batch_id, rank, url, host, depth, n_objects, n_links,
-             bytes, partition_id (lineage)
+             bytes, partition_id (lineage), blocked (popped but stopped
+             by the robots per-path check — never GET'd)
 host_stats   host, crawled (cumulative; written driver-side via DuckDB
              from the fetched parquet)
 metrics      batch_id, key, value (incl. per-phase secs + spark_jobs)

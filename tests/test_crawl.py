@@ -319,6 +319,68 @@ def test_live_robots_gate(spark, tmp_path):
         srv2.shutdown()
 
 
+def test_all_blocked_batch_does_not_stall_crawl(spark, tmp_path):
+    """A popped batch that is 100% robots-blocked must still subtract
+    those URLs from the frontier. Regression: blocked URLs yielded NO
+    ledger row, so an all-blocked batch looked like 'nothing fetched',
+    the frontier was republished unchanged, and the same blocked URLs
+    were re-popped every round — starving allowed URLs that sorted
+    later in pop order (e.g. seeds under a disallowed subtree on a host
+    whose root is allowed)."""
+    import http.server
+    import threading
+
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel, make_robots_provider)
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    seen_paths = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen_paths.append(self.path)
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\nDisallow: /p/\n"
+            elif self.path.startswith(("/p/", "/q/")):
+                i = int(self.path.rsplit("/", 1)[-1])
+                body = (f"<script>var cfg = {{id: {i}, links: []}};"
+                        f"</script>").encode()
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_port
+        # batch_size=2: round 1 pops exactly the two /p/ URLs (url-asc
+        # pop order) and BOTH are blocked; /q/1 must still get fetched
+        # in round 2 instead of the /p/ pair re-popping forever
+        stats = run_crawl(
+            spark, str(tmp_path / "w_allblocked"), rounds=2,
+            seeds=[f"http://127.0.0.1:{port}/p/1",
+                   f"http://127.0.0.1:{port}/p/2",
+                   f"http://127.0.0.1:{port}/q/1"],
+            host_budget=2, batch_size=2,
+            fetch_kernel=make_fetch_extract_kernel(),
+            robots_provider=make_robots_provider())
+        assert stats[0]["fetched"] == 0 and stats[0]["blocked"] == 2
+        assert stats[1]["fetched"] == 1, \
+            "allowed URL starved behind re-popped blocked batch"
+        assert "/q/1" in seen_paths
+        assert not any(p.startswith("/p/") for p in seen_paths)
+    finally:
+        srv.shutdown()
+
+
 def test_robots_cache_fetches_once_per_host(spark, tmp_path):
     """With cache_path set, the robots provider anti-joins known hosts
     away: robots.txt is GET'd once per host per CRAWL, not once per
