@@ -35,13 +35,20 @@ _HEADERS = {
 def _fetch_one(url: str, timeout_sec: float,
                max_bytes: int) -> tuple[int, bytes, str | None]:
     """One isolated GET shared by both fetch stages: returns
-    (status, body, err); failures never raise."""
+    (status, body, err); failures never raise. HTTP error statuses
+    (4xx/5xx) return their REAL code — robots handling must tell
+    'no robots.txt' (4xx -> allow) from 'server broken' (5xx ->
+    temporary disallow, RFC 9309); status 0 means no HTTP response at
+    all (network/DNS/timeout)."""
+    from urllib.error import HTTPError
     from urllib.request import Request, urlopen
 
     try:
         req = Request(url, headers=_HEADERS)
         with urlopen(req, timeout=timeout_sec) as resp:
             return resp.status, resp.read(max_bytes), None
+    except HTTPError as e:
+        return e.code, b"", f"HTTPError: {e.code}"
     except Exception as e:  # noqa: BLE001 — per-url isolation
         return 0, b"", f"{type(e).__name__}: {e}"
 
@@ -60,28 +67,68 @@ def _fetch_one(url: str, timeout_sec: float,
 #   zero-byte ``blocked=true`` ledger row so the frontier diff always
 #   subtracts them (an all-blocked batch must not stall the crawl).
 #
-# Parsers are cached per Python worker process keyed by origin; a missing
-# or unfetchable robots.txt allows everything (the de-facto standard).
+# Parsers are cached per Python worker process keyed by origin. Response
+# handling follows RFC 9309 §2.3.1: 200 -> parse; 4xx (robots.txt
+# "unavailable") -> allow-all; 5xx ("unreachable") -> complete DISALLOW;
+# no HTTP response at all -> de-facto allow-all. 5xx and no-response
+# verdicts are marked non-definitive so they are retried rather than
+# persisted — a transient outage must not freeze an allow/deny decision
+# into a long-lived cache.
 
 _ROBOTS_CACHE: dict = {}
 
 
-def _robots_for(origin: str, timeout_sec: float = 10.0):
-    """Fetch+parse ``<origin>/robots.txt`` with per-worker caching.
-    Returns a RobotFileParser, or None when robots.txt is missing /
-    unfetchable (treat as allow-all)."""
+def _parse_robots(text: str):
     import urllib.robotparser
 
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(text.splitlines())
+    return rp
+
+
+def _robots_for(origin: str, timeout_sec: float = 10.0):
+    """Fetch+parse ``<origin>/robots.txt`` with per-worker caching.
+    Returns ``(rp, definitive)``: ``rp`` is a RobotFileParser or None
+    for allow-all; ``definitive`` is False for 5xx/unreachable verdicts
+    (temporary disallow — callers must not persist them)."""
     if origin in _ROBOTS_CACHE:
         return _ROBOTS_CACHE[origin]
     status, body, _err = _fetch_one(origin + "/robots.txt", timeout_sec,
                                     1 << 20)
-    rp = None
     if status == 200:
-        rp = urllib.robotparser.RobotFileParser()
-        rp.parse(body.decode("utf-8", "replace").splitlines())
-    _ROBOTS_CACHE[origin] = rp
-    return rp
+        out = (_parse_robots(body.decode("utf-8", "replace")), True)
+    elif status >= 500:
+        # server ERRORED on robots.txt: RFC 9309 "unreachable" ->
+        # complete disallow, retried later (non-definitive)
+        out = (_parse_robots("User-agent: *\nDisallow: /"), False)
+    elif status == 0:
+        # no HTTP response at all (network/DNS/timeout): de-facto
+        # allow-all, but never persist the verdict — retry next time
+        out = (None, False)
+    else:  # 4xx: no robots.txt -> everything allowed (definitive)
+        out = (None, True)
+    _ROBOTS_CACHE[origin] = out
+    return out
+
+
+def robots_crawl_delay(url: str, user_agent: str,
+                       timeout_sec: float = 10.0) -> float | None:
+    """Seconds the host asks crawlers to wait between requests:
+    ``Crawl-delay`` if present, else derived from ``Request-rate``
+    (seconds/requests); None when unspecified or no robots.txt."""
+    org = _origin_of(url)
+    if org is None:
+        return None
+    rp, _ = _robots_for(org, timeout_sec)
+    if rp is None:
+        return None
+    d = rp.crawl_delay(user_agent)
+    if d is not None:
+        return float(d)
+    rr = rp.request_rate(user_agent)
+    if rr is not None and rr.requests:
+        return rr.seconds / rr.requests
+    return None
 
 
 def _origin_of(url: str) -> str | None:
@@ -98,73 +145,143 @@ def _origin_of(url: str) -> str | None:
 
 def robots_allowed(url: str, user_agent: str,
                    timeout_sec: float = 10.0) -> bool:
-    rp = _robots_for(_origin_of(url) or "", timeout_sec) \
-        if _origin_of(url) else None
+    org = _origin_of(url)
+    if org is None:
+        return True
+    rp, _definitive = _robots_for(org, timeout_sec)
     return True if rp is None else rp.can_fetch(user_agent, url)
+
+
+ROBOTS_SCHEMA = ("host string, allowed boolean, crawl_delay double,"
+                 " fetched_at double, definitive boolean")
 
 
 def make_robots_provider(user_agent: str | None = None,
                          timeout_sec: float = 10.0,
-                         cache_path: str | None = None):
+                         cache_path: str | None = None,
+                         ttl_sec: float = 7 * 24 * 3600.0):
     """Build a ``robots_provider`` for ``run_crawl``: (spark, frontier)
-    -> DataFrame(host, allowed). One representative URL per host picks
-    the origin (scheme/port live in the URL, not the host column); the
-    robots GET + parse runs executor-side over the distinct-host set.
+    -> DataFrame(host, allowed, crawl_delay). One representative URL per
+    host picks the origin (scheme/port live in the URL, not the host
+    column); the robots GET + parse runs executor-side over the
+    distinct-host set. ``crawl_delay`` is the host's Crawl-delay /
+    Request-rate ask (null when unspecified) — the scheduler uses it
+    with host_stats.last_fetch_ts to keep a host from being hit at full
+    rate in consecutive rounds.
 
-    ``cache_path`` makes the cache CROSS-ROUND: known hosts are
+    ``cache_path`` makes the cache CROSS-ROUND: cached hosts are
     anti-joined away so each round only fetches robots.txt for hosts
     discovered since the last round, and the merged table is persisted
-    (tmp-write + atomic rename, same discipline as the Warehouse). At
-    10^10-URL scale the frontier's host set is millions of rows — one
-    robots GET per host per ROUND would dominate politeness budgets;
-    once per host per CRAWL is the production behavior. Without
-    ``cache_path`` the per-round fetch set is still only the distinct
-    frontier hosts (executor-side, never a driver loop), with a
-    per-worker-process parser cache."""
+    via the Warehouse's tmp-write + atomic-rename discipline. Rows
+    expire after ``ttl_sec`` and 5xx/unreachable verdicts (temporary
+    disallow per RFC 9309) are never treated as cached — both are
+    refetched on the next round that sees the host, so a long-lived
+    cache can't freeze stale allow/deny decisions. At 10^10-URL scale
+    the frontier's host set is millions of rows — one robots GET per
+    host per ROUND would dominate politeness budgets; once per host per
+    TTL is the production behavior. Without ``cache_path`` the
+    per-round fetch set is still only the distinct frontier hosts
+    (executor-side, never a driver loop), with a per-worker-process
+    parser cache. (Caches from the pre-TTL layout lack the bookkeeping
+    columns and are ignored, then rewritten in the new layout.)"""
     ua = user_agent or _HEADERS["User-Agent"]
 
-    def kernel(batches: Iterable[pd.DataFrame]
-               ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # host admission = is the ROOT allowed; per-path rules
-            # are enforced in the fetch kernel per URL
-            allowed = []
-            for u in pdf["url"]:
-                org = _origin_of(u)
-                allowed.append(True if org is None else
-                               robots_allowed(org + "/", ua,
-                                              timeout_sec))
-            yield pd.DataFrame({"host": pdf["host"],
-                                "allowed": allowed})
+    def make_kernel(refresh: bool):
+        # refresh=True drops the per-worker parser cache entry first:
+        # executor Python workers are reused across rounds, so a host
+        # the CROSS-ROUND cache declared expired must not be answered
+        # from a stale in-process parser
+        def kernel(batches: Iterable[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                # host admission = is the ROOT allowed; per-path rules
+                # are enforced in the fetch kernel per URL
+                allowed, delays, definitive = [], [], []
+                for u in pdf["url"]:
+                    org = _origin_of(u)
+                    if org is None:
+                        allowed.append(True)
+                        delays.append(None)
+                        definitive.append(True)
+                        continue
+                    if refresh:
+                        _ROBOTS_CACHE.pop(org, None)
+                    rp, dfn = _robots_for(org, timeout_sec)
+                    allowed.append(rp is None or
+                                   rp.can_fetch(ua, org + "/"))
+                    delays.append(robots_crawl_delay(org + "/", ua,
+                                                     timeout_sec))
+                    definitive.append(dfn)
+                yield pd.DataFrame({
+                    "host": pdf["host"],
+                    "allowed": allowed,
+                    # nullable Float64: None must reach Spark as NULL,
+                    # not NaN (NaN survives coalesce() and would poison
+                    # the scheduler's eligibility comparison)
+                    "crawl_delay": pd.array(delays, dtype="Float64"),
+                    "fetched_at": time.time(),
+                    "definitive": definitive,
+                })
+
+        return kernel
 
     def provider(spark, frontier):
         import os
-        import shutil
-        import tempfile
 
         from pyspark.sql import functions as F
 
+        from jsonextract_spark.crawl.tables import \
+            atomic_parquet_overwrite
+
         origins = frontier.groupBy("host").agg(F.min("url").alias("url"))
         if cache_path is None:
-            return origins.mapInPandas(kernel,
-                                       "host string, allowed boolean")
-        cached = (spark.read.parquet(cache_path)
-                  if os.path.exists(cache_path) else None)
+            return (origins.mapInPandas(make_kernel(refresh=False),
+                                        ROBOTS_SCHEMA)
+                    .select("host", "allowed", "crawl_delay"))
+        cached = None
+        if os.path.exists(cache_path):
+            c = spark.read.parquet(cache_path)
+            if {"fetched_at", "definitive", "crawl_delay"} <= \
+                    set(c.columns):
+                cached = c.filter(
+                    F.col("definitive") &
+                    (F.col("fetched_at") >= F.lit(time.time() - ttl_sec)))
         fresh_hosts = (origins.join(cached, "host", "left_anti")
                        if cached is not None else origins)
-        fresh = fresh_hosts.mapInPandas(kernel,
-                                        "host string, allowed boolean")
+        # the cross-round cache is authoritative here: hosts it did not
+        # vouch for must be re-GET'd even if a reused worker still holds
+        # a parser for them
+        fresh = fresh_hosts.mapInPandas(make_kernel(refresh=True),
+                                        ROBOTS_SCHEMA)
         merged = (fresh.unionByName(cached) if cached is not None
                   else fresh)
-        tmp = cache_path + ".tmp-" + next(
-            tempfile._get_candidate_names())
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(cache_path):
-            shutil.rmtree(cache_path)
-        os.replace(tmp, cache_path)
-        return spark.read.parquet(cache_path)
+        atomic_parquet_overwrite(merged, cache_path)
+        return (spark.read.parquet(cache_path)
+                .select("host", "allowed", "crawl_delay"))
 
     return provider
+
+
+def _make_pacer():
+    """Per-task request pacer: ``pace(key, ask)`` sleeps so consecutive
+    requests with the same key (host/origin) are at least ``ask``
+    seconds apart, then stamps the key. The pipeline routes a
+    crawl-delay-asking host's URLs to ONE task (no salting for such
+    hosts), so this per-task clock is the host's clock within a round;
+    the scheduler's host_stats.last_fetch_ts gate spaces rounds."""
+    last_hit: dict = {}
+
+    def pace(key, ask):
+        if key is None:
+            return
+        if ask and ask > 0:
+            wait = last_hit.get(key, float("-inf")) + float(ask) \
+                - time.time()
+            if wait > 0:
+                time.sleep(min(wait, 60.0))
+        last_hit[key] = time.time()
+
+    return pace
 
 
 def make_fetch_extract_kernel(timeout_sec: float = 30.0,
@@ -198,16 +315,22 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
             _budget, _links_from_objs)
         from jsonextract_spark.kernel.scanner import extract_objects_str
 
+        pace = _make_pacer()
         for pdf in batches:
             if not len(pdf):
                 continue
             texts, stamps, sizes, blocked = [], [], [], []
-            for url in pdf["url"]:
+            for url, host in zip(pdf["url"], pdf["host"]):
                 if respect_robots and not robots_allowed(url, ua,
                                                          timeout_sec):
                     body = b""
                     blocked.append(True)
                 else:
+                    if respect_robots:
+                        # honor the host's Crawl-delay/Request-rate ask
+                        # between consecutive requests to it
+                        pace(host, robots_crawl_delay(url, ua,
+                                                      timeout_sec))
                     _status, body, _err = _fetch_one(url, timeout_sec,
                                                      max_bytes)
                     blocked.append(False)
@@ -251,6 +374,7 @@ def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
     ua = user_agent or _HEADERS["User-Agent"]
 
     def fetch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pace = _make_pacer()
         for pdf in batches:
             rows = {"url": [], "status": [], "fetched_ts": [],
                     "html": [], "text": [], "err": []}
@@ -259,6 +383,9 @@ def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
                                                          timeout_sec):
                     status, body, err = 0, b"", "robots"
                 else:
+                    if respect_robots:
+                        pace(_origin_of(url),
+                             robots_crawl_delay(url, ua, timeout_sec))
                     status, body, err = _fetch_one(url, timeout_sec,
                                                    max_bytes)
                 rows["url"].append(url)

@@ -234,17 +234,24 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     host_stats = (wh.load(spark, "host_stats", prev)
                   if wh.exists("host_stats", prev) else None)
 
-    # 1. pop (robots gate + host-budget discount + salted per-host top-k
-    #    + global cap)
+    # 1. pop (robots gate + crawl-delay eligibility + host-budget
+    #    discount + salted per-host top-k + global cap)
     batch = pop_batch(frontier, robots, host_budget, batch_size,
-                      host_stats=host_stats)
+                      host_stats=host_stats, now_ts=time.time())
     batch = batch.withColumn("batch_id", F.lit(round_no)).cache()
 
     # 2. politeness repartition: salted host key spreads a hot host over
-    #    slots while keeping slot assignment deterministic.
+    #    slots while keeping slot assignment deterministic. Hosts that
+    #    ASK for a crawl delay are NOT salted — their URLs land in one
+    #    task so the kernel's per-task pacer is the host's real clock
+    #    (salting would let up to 8 tasks hit the host concurrently).
+    salt = (F.when(F.col("crawl_delay").isNotNull(), F.lit(0))
+            .otherwise(F.pmod(F.col("url_hash"), F.lit(8)))
+            if "crawl_delay" in batch.columns
+            else F.pmod(F.col("url_hash"), F.lit(8)))
     fetch_input = batch.repartition(
         max(spark.sparkContext.defaultParallelism, 4),
-        F.col("host"), F.pmod(F.col("url_hash"), F.lit(8)))
+        F.col("host"), salt)
 
     # 3+4. FUSED fetch + extract + link discovery: one Arrow stage, one
     # Python worker per core (see PLANS.md on oversubscription). The
@@ -257,9 +264,9 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                 .cache())
 
     fetched = enriched.select(
-        "batch_id", "rank", "url", "host", "depth", "n_objects",
-        F.size("links").alias("n_links"), "bytes", "partition_id",
-        "blocked")
+        "batch_id", "rank", "url", "host", "depth", "warc_ts",
+        "n_objects", F.size("links").alias("n_links"), "bytes",
+        "partition_id", "blocked")
     # ONE job runs pop + politeness + fetch + extract and writes the
     # ledger; batch counts come from the parquet written, not a separate
     # count() action over the pop. ``blocked`` rows are popped URLs the
@@ -339,12 +346,26 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # cumulative per-host fetch counts drive next round's budget scoring;
     # tiny table — aggregated driver-side from the fetched parquet just
     # written (plus last round's totals), not with a Spark job.
-    prev_hosts = (f"UNION ALL SELECT host, crawled FROM "
-                  f"'{wh._path('host_stats', prev)}/*.parquet'"
-                  if wh.exists("host_stats", prev) else "")
+    prev_hosts = ""
+    if wh.exists("host_stats", prev):
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        prev_path = wh._path("host_stats", prev)
+        pfs = _glob.glob(f"{prev_path}/*.parquet")
+        ts_expr = ("last_fetch_ts"
+                   if pfs and "last_fetch_ts" in
+                   _pq.read_schema(pfs[0]).names
+                   else "CAST(NULL AS DOUBLE)")  # pre-column warehouses
+        prev_hosts = (f"UNION ALL SELECT host, crawled,"
+                      f" {ts_expr} AS last_fetch_ts"
+                      f" FROM '{prev_path}/*.parquet'")
     hosts_tbl = _duck.sql(
-        f"SELECT host, CAST(sum(crawled) AS DOUBLE) AS crawled FROM ("
-        f"  SELECT host, 1.0 AS crawled FROM "
+        f"SELECT host, CAST(sum(crawled) AS DOUBLE) AS crawled,"
+        f" max(last_fetch_ts) AS last_fetch_ts FROM ("
+        f"  SELECT host, 1.0 AS crawled,"
+        f"  CAST(epoch(warc_ts) AS DOUBLE) AS last_fetch_ts FROM "
         f"  '{wh._path('fetched', round_no)}/*.parquet'"
         f"  WHERE NOT blocked {prev_hosts}"
         f") GROUP BY host").arrow()

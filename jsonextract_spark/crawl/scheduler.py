@@ -43,15 +43,26 @@ def salted_top_k_per_group(df: DataFrame, group_cols: list[str],
 
 def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
               batch_size: int, salts: int = SALT_PARTS,
-              host_stats: DataFrame | None = None) -> DataFrame:
+              host_stats: DataFrame | None = None,
+              now_ts: float | None = None) -> DataFrame:
     """Select this round's fetch set.
 
     frontier:   url, url_hash, host, depth, priority
-    robots:     host, allowed (small; broadcast)
-    host_stats: host, crawled (cumulative fetch count; small; broadcast).
-                When given, effective priority is discounted by how much
-                of the host's budget history is already spent
-                (north_star: "depth + host-budget scoring").
+    robots:     host, allowed (small; broadcast), optionally crawl_delay
+                (the host's robots Crawl-delay ask in seconds, null when
+                unspecified — carried onto the batch)
+    host_stats: host, crawled (cumulative fetch count; small; broadcast),
+                optionally last_fetch_ts (epoch seconds of the host's
+                newest fetch). When given, effective priority is
+                discounted by how much of the host's budget history is
+                already spent (north_star: "depth + host-budget
+                scoring").
+    now_ts:     when given alongside crawl_delay + last_fetch_ts, hosts
+                whose last fetch is younger than their crawl_delay are
+                ineligible THIS round (their frontier rows simply aren't
+                popped) — without this gate, within-task pacing honors
+                the delay inside a round but consecutive rounds hit the
+                host at full rate.
     Returns the batch with a deterministic global ``rank``.
     """
     allowed = (frontier
@@ -65,8 +76,14 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
                        "priority",
                        F.col("priority") /
                        (F.lit(1.0) + F.log1p(
-                           F.coalesce(F.col("crawled"), F.lit(0.0)))))
-                   .drop("crawled"))
+                           F.coalesce(F.col("crawled"), F.lit(0.0))))))
+        if (now_ts is not None and "crawl_delay" in robots.columns
+                and "last_fetch_ts" in host_stats.columns):
+            allowed = allowed.filter(
+                F.coalesce(F.col("last_fetch_ts"), F.lit(float("-inf")))
+                + F.coalesce(F.col("crawl_delay"), F.lit(0.0))
+                <= F.lit(float(now_ts)))
+        allowed = allowed.drop("crawled", "last_fetch_ts")
 
     order = [F.col("priority").desc(), F.col("depth").asc(),
              F.col("url").asc()]

@@ -24,10 +24,12 @@ seen_compact url_hash — periodic compaction of the deltas (the
              pipeline.COMPACT_EVERY rounds so load_seen unions a
              bounded source list
 seen_filter  bucket, kind, bits (binary), m, k, n
-fetched      batch_id, rank, url, host, depth, n_objects, n_links,
-             bytes, partition_id (lineage), blocked (popped but stopped
-             by the robots per-path check — never GET'd)
-host_stats   host, crawled (cumulative; written driver-side via DuckDB
+fetched      batch_id, rank, url, host, depth, warc_ts, n_objects,
+             n_links, bytes, partition_id (lineage), blocked (popped
+             but stopped by the robots per-path check — never GET'd)
+host_stats   host, crawled (cumulative), last_fetch_ts (epoch seconds
+             of the host's newest real fetch — drives cross-round
+             crawl-delay politeness; written driver-side via DuckDB
              from the fetched parquet)
 metrics      batch_id, key, value (incl. per-phase secs + spark_jobs)
 """
@@ -39,9 +41,29 @@ import os
 import shutil
 import tempfile
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def _tmp_dir_name(final: str) -> str:
+    return f"{final}.tmp-{uuid.uuid4().hex[:12]}"
+
+
+def atomic_parquet_overwrite(df: DataFrame, final: str):
+    """Publish ``df`` at ``final`` with the warehouse's tmp-write +
+    atomic-rename discipline — for side tables that live outside the
+    round-versioned layout (e.g. the robots cross-round cache), so every
+    persisted state table shares one publish mechanism. NOTE: directory
+    rename is atomic on POSIX filesystems, not on object stores — the
+    production swap point is an Iceberg table commit, same as
+    ``Warehouse.save``."""
+    tmp = _tmp_dir_name(final)
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
 
 FRONTIER_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
@@ -109,7 +131,7 @@ class Warehouse:
         to carve a table into sub-tables in a single write job (e.g. the
         frontier's ``is_new`` split doubles as the seen-set delta)."""
         final = self._path(table, round_no)
-        tmp = final + ".tmp-" + next(tempfile._get_candidate_names())
+        tmp = _tmp_dir_name(final)
         w = df if partitions is None else df.repartition(partitions)
         writer = w.write.mode("overwrite")
         if partition_by is not None:

@@ -319,6 +319,200 @@ def test_live_robots_gate(spark, tmp_path):
         srv2.shutdown()
 
 
+def _serve(handler_body):
+    """Tiny threaded HTTP server; handler_body(path) -> bytes | None
+    (None = 404). Returns (server, port, request_log)."""
+    import http.server
+    import threading
+
+    log = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            log.append(self.path)
+            body = handler_body(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            if body == b"__5xx__":
+                self.send_response(503)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_port, log
+
+
+def test_robots_5xx_is_temporary_disallow():
+    """RFC 9309: a 5xx robots.txt means 'unreachable' -> complete
+    disallow, but the verdict is non-definitive (never persisted by the
+    cross-round cache) so a transient outage can't freeze the decision.
+    4xx stays allow-all and definitive."""
+    from jsonextract_spark.crawl import fetch_http
+
+    srv, port, _log = _serve(lambda p: b"__5xx__"
+                             if p == "/robots.txt" else b"hi")
+    try:
+        url = f"http://127.0.0.1:{port}/page"
+        assert fetch_http.robots_allowed(url, "UA") is False
+        rp, definitive = fetch_http._ROBOTS_CACHE[
+            f"http://127.0.0.1:{port}"]
+        assert rp is not None and definitive is False
+    finally:
+        srv.shutdown()
+
+    srv2, port2, _ = _serve(lambda p: None if p == "/robots.txt"
+                            else b"hi")
+    try:
+        url2 = f"http://127.0.0.1:{port2}/page"
+        assert fetch_http.robots_allowed(url2, "UA") is True
+        rp2, definitive2 = fetch_http._ROBOTS_CACHE[
+            f"http://127.0.0.1:{port2}"]
+        assert rp2 is None and definitive2 is True
+    finally:
+        srv2.shutdown()
+
+
+def test_robots_crawl_delay_parsed():
+    """Crawl-delay and Request-rate both surface as a per-host delay
+    ask in seconds (Crawl-delay wins when both are present)."""
+    from jsonextract_spark.crawl import fetch_http
+
+    srv, port, _ = _serve(
+        lambda p: b"User-agent: *\nCrawl-delay: 2\n"
+        if p == "/robots.txt" else b"hi")
+    try:
+        assert fetch_http.robots_crawl_delay(
+            f"http://127.0.0.1:{port}/x", "UA") == 2.0
+    finally:
+        srv.shutdown()
+
+    srv2, port2, _ = _serve(
+        lambda p: b"User-agent: *\nRequest-rate: 1/5\n"
+        if p == "/robots.txt" else b"hi")
+    try:
+        assert fetch_http.robots_crawl_delay(
+            f"http://127.0.0.1:{port2}/x", "UA") == 5.0
+    finally:
+        srv2.shutdown()
+
+    srv3, port3, _ = _serve(
+        lambda p: b"User-agent: *\nDisallow: /private/\n"
+        if p == "/robots.txt" else b"hi")
+    try:
+        assert fetch_http.robots_crawl_delay(
+            f"http://127.0.0.1:{port3}/x", "UA") is None
+    finally:
+        srv3.shutdown()
+
+
+def test_pop_batch_crawl_delay_gates_hosts_across_rounds(spark):
+    """A host whose last fetch is younger than its robots crawl_delay
+    is ineligible for the round (its frontier rows stay pending); once
+    the delay has elapsed it pops again. Hosts with no delay ask are
+    never gated."""
+    from jsonextract_spark.crawl.scheduler import pop_batch
+
+    frontier = spark.createDataFrame(
+        [("http://a.example/1", 1, "a.example", 0, 1.0),
+         ("http://b.example/1", 2, "b.example", 0, 1.0)],
+        "url string, url_hash long, host string, depth int,"
+        " priority double")
+    robots = spark.createDataFrame(
+        [("a.example", True, 10.0), ("b.example", True, None)],
+        "host string, allowed boolean, crawl_delay double")
+    host_stats = spark.createDataFrame(
+        [("a.example", 1.0, 100.0), ("b.example", 1.0, 100.0)],
+        "host string, crawled double, last_fetch_ts double")
+
+    def hosts(now_ts, hs=host_stats):
+        return {r["host"] for r in pop_batch(
+            frontier, robots, 5, 10, host_stats=hs,
+            now_ts=now_ts).collect()}
+
+    assert hosts(105.0) == {"b.example"}       # 5s ago < 10s ask
+    assert hosts(110.0) == {"a.example", "b.example"}
+    # first round (no host_stats yet): nothing is gated
+    assert {r["host"] for r in pop_batch(
+        frontier, robots, 5, 10, now_ts=105.0).collect()} \
+        == {"a.example", "b.example"}
+    # unknown host in stats (never fetched): not gated
+    hs2 = spark.createDataFrame(
+        [("a.example", 1.0, None)],
+        "host string, crawled double, last_fetch_ts double")
+    assert hosts(105.0, hs2) == {"a.example", "b.example"}
+
+
+def test_fetch_kernel_paces_same_host_by_crawl_delay():
+    """Within a task, consecutive requests to a host with
+    ``Crawl-delay: 1`` are spaced >= 1s apart (3 URLs -> >= 2s total),
+    enforced by the kernel's per-host pacer."""
+    import time
+
+    import pandas as pd
+
+    from jsonextract_spark.crawl.fetch_http import make_fetcher
+
+    srv, port, log = _serve(
+        lambda p: b"User-agent: *\nCrawl-delay: 1\n"
+        if p == "/robots.txt" else b"<html>ok</html>")
+    try:
+        urls = [f"http://127.0.0.1:{port}/x/{i}" for i in range(3)]
+        fetch = make_fetcher(timeout_sec=5)
+        t0 = time.time()
+        out = pd.concat(list(fetch([pd.DataFrame({"url": urls})])))
+        dt = time.time() - t0
+        assert list(out["status"]) == [200, 200, 200]
+        assert dt >= 2.0, f"crawl-delay not honored: {dt:.2f}s for 3"
+    finally:
+        srv.shutdown()
+
+
+def test_robots_cache_ttl_expires_entries(spark, tmp_path):
+    """With ttl_sec=0 every round refetches robots.txt for hosts it
+    sees (cache rows expire immediately); the persisted cache carries
+    the TTL bookkeeping columns."""
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel, make_robots_provider)
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    def body(p):
+        if p == "/robots.txt":
+            return b"User-agent: *\nDisallow: /private/\n"
+        i = int(p.rsplit("/", 1)[-1])
+        return (f"<script>var cfg = {{id: {i},"
+                f" links: []}};</script>").encode()
+
+    srv, port, log = _serve(body)
+    try:
+        cache = str(tmp_path / "robots_cache_ttl")
+        run_crawl(
+            spark, str(tmp_path / "w_ttl"), rounds=2,
+            seeds=[f"http://127.0.0.1:{port}/p/1",
+                   f"http://127.0.0.1:{port}/p/2"],
+            host_budget=1, batch_size=1,
+            fetch_kernel=make_fetch_extract_kernel(respect_robots=False),
+            robots_provider=make_robots_provider(cache_path=cache,
+                                                 ttl_sec=0.0))
+        robots_gets = [p for p in log if p == "/robots.txt"]
+        assert len(robots_gets) >= 2, \
+            "ttl=0 cache rows should be refetched every round"
+        cached = spark.read.parquet(cache)
+        assert {"host", "allowed", "crawl_delay", "fetched_at",
+                "definitive"} <= set(cached.columns)
+    finally:
+        srv.shutdown()
+
+
 def test_all_blocked_batch_does_not_stall_crawl(spark, tmp_path):
     """A popped batch that is 100% robots-blocked must still subtract
     those URLs from the frontier. Regression: blocked URLs yielded NO
