@@ -264,6 +264,32 @@ def _q_bpe_tokens(spark, sf_dir):
         .cast("bigint").alias("n_bpe_tokens"))
 
 
+def _q_bpe_real(spark, sf_dir):
+    """REAL byte-level BPE (datapipe/bpe.py): the merge table is
+    LEARNED from a seeded bounded sample of this corpus (classic
+    greedy pair-frequency BPE, deterministic tie-breaks), then every
+    document is encoded with rank-ordered merges. Two independent exact
+    checks: (a) decode(encode(text)) must equal text byte-for-byte
+    (base vocab = all 256 bytes), (b) the corpus's word vocabulary is
+    small enough that training SATURATES — every space-prefixed word
+    becomes exactly one token — so the token count must equal the word
+    count, which DuckDB computes with no BPE at all. The reference repo
+    has no tokenizer; this is an LLM-datapipe operator the brief adds
+    beyond it."""
+    from jsonextract_spark.datapipe.bpe import (
+        learn_merges_from_df, make_bpe_roundtrip_udf, make_bpe_udfs)
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_merges_from_df(docs, "text", n_merges=4096,
+                                  sample_docs=2000)
+    _ids_udf, count_udf = make_bpe_udfs(merges)
+    roundtrip_udf = make_bpe_roundtrip_udf(merges)
+    return docs.select(
+        "doc_id",
+        roundtrip_udf("text").alias("roundtrip_ok"),
+        count_udf("text").alias("n_tokens"))
+
+
 def _q_embed_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: corpus ∪ exact copy (ids+10000)
     → pairs with cosine ≥ 0.999 (the planted copies), found through the
@@ -600,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_reachable": _q_crawl_reachable,
         "q_sessionize": _q_sessionize,
         "q_bpe_tokens": _q_bpe_tokens,
+        "q_bpe_real": _q_bpe_real,
         "q_embed_dup": _q_embed_dup,
         "q_minhash_pairs": _q_minhash_pairs,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -754,6 +781,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                         '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
                        AS n_bpe_tokens
+            FROM documents
+        """,
+        # Real-BPE invariants, both independently checkable in SQL:
+        # decode-roundtrip is exact by construction, and the learned
+        # merge table saturates this corpus's small word vocabulary, so
+        # BPE token count == whitespace word count (computed here with
+        # no BPE at all).
+        "q_bpe_real": """
+            SELECT doc_id, true AS roundtrip_ok,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens
             FROM documents
         """,
         "q_embed_dup": """

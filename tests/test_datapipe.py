@@ -337,3 +337,78 @@ def test_multimodal_plumbing(spark):
     assert all(not r["ok"] and r["err"] for r in real)
     assert any("codec" in r["err"] for r in real)      # png branch
     assert any("wav:" in r["err"] for r in real)       # real wav parse
+
+
+def test_bpe_golden_merges_and_roundtrip():
+    """Hand-computed classic BPE on a tiny corpus: 'ab ab ab'
+    pre-tokenizes to ['ab', ' ab', ' ab'], so the most frequent pair is
+    (a,b) x3, then (space, ab) x2 — exactly two merges, and encoding
+    uses ids 256/257 in piece order."""
+    from jsonextract_spark.datapipe.bpe import (BpeTokenizer,
+                                                train_bpe_merges)
+
+    merges = train_bpe_merges(["ab ab ab"], n_merges=10)
+    assert merges == [(b"a", b"b"), (b" ", b"ab")]
+    tok = BpeTokenizer(merges)
+    assert tok.encode("ab ab ab") == [256, 257, 257]
+    assert tok.decode([256, 257, 257]) == "ab ab ab"
+    # unseen bytes fall back to the base vocab, still exact roundtrip
+    assert tok.decode(tok.encode("xyz ab!")) == "xyz ab!"
+
+
+def test_bpe_training_is_order_invariant():
+    """The merge table is a function of the corpus MULTISET (word-freq
+    aggregate + deterministic tie-breaks), never of input order."""
+    from jsonextract_spark.datapipe.bpe import train_bpe_merges
+
+    docs = ["the cat sat on the mat", "the bat and the cat",
+            "mats and bats", "on and on and on"]
+    a = train_bpe_merges(docs, n_merges=50)
+    b = train_bpe_merges(list(reversed(docs)), n_merges=50)
+    assert a == b and len(a) > 5
+
+
+def test_bpe_roundtrip_property():
+    """decode(encode(x)) == x for arbitrary unicode text — the
+    byte-level base vocabulary makes the tokenizer lossless regardless
+    of what the merge table was trained on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jsonextract_spark.datapipe.bpe import (BpeTokenizer,
+                                                train_bpe_merges)
+
+    tok = BpeTokenizer(train_bpe_merges(
+        ["the quick brown fox 123 !? été " * 5], n_merges=64))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300))
+    def check(t):
+        ids = tok.encode(t)
+        assert tok.decode(ids) == t
+        assert all(0 <= i < len(tok.vocab) for i in ids)
+
+    check()
+
+
+def test_bpe_saturated_corpus_token_count(spark):
+    """On a corpus whose word vocabulary the training saturates, every
+    space-prefixed word is one token, so the UDF token count equals the
+    plain word count — the q_bpe_real oracle's exact invariant."""
+    from jsonextract_spark.datapipe.bpe import (learn_merges_from_df,
+                                                make_bpe_udfs)
+
+    # saturation needs every word's merge path to have pair support
+    # (freq >= min_pair_count): double the corpus so _corpus's singleton
+    # doc-102 words occur twice — mirroring the real testdata corpus,
+    # whose small vocabulary repeats across documents
+    one = _corpus(spark)
+    docs = one.unionByName(
+        one.select((F.col("doc_id") + 1000).alias("doc_id"), "text"))
+    merges = learn_merges_from_df(docs, "text", n_merges=4096,
+                                  sample_docs=200)
+    _ids, count_udf = make_bpe_udfs(merges)
+    rows = docs.select(
+        "doc_id", count_udf("text").alias("n"),
+        F.size(F.split("text", " ")).cast("long").alias("w")).collect()
+    assert rows and all(r["n"] == r["w"] for r in rows)
