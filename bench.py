@@ -25,11 +25,12 @@ on local[$SPARK_GRAFT_CPUS]):
   q_ann          brute-force cosine top-k over embeddings
   q_oracle_suite one pass of the oracle'd relational queries
 
-COMPARABILITY (r03+): every query except q_crawl/q_crawl_bigbatch is
-the MEDIAN of 3 back-to-back reps — this shared VM's deliverable
-throughput swings 2-6x across minutes, so single-shot 1-20s numbers
-measured the host's moment, not the code (r01/r02 were single-shot;
-treat small cross-round deltas accordingly).
+COMPARABILITY: every query is the MEDIAN of 3 back-to-back reps — this
+shared VM's deliverable throughput swings 2-6x across minutes, so
+single-shot 1-20s numbers measured the host's moment, not the code
+(r01/r02 were single-shot everywhere; r03 was single-shot for
+q_crawl/q_crawl_bigbatch, which drifted 676<->848 URLs/s on identical
+code — medians everywhere since r04).
 
 Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N): the same
 fused fetch+extract job at local[4] vs local[16] under equal total
@@ -330,10 +331,11 @@ def _median_run(fn, reps: int = 3, key=None):
     This shared VM's deliverable throughput swings 2-6x across minutes
     (throttling windows — see BENCH/BASELINE.md methodology), so a
     single-shot number for a 1-20s query measures the host's moment,
-    not the code. The short queries therefore publish the median of 3
-    back-to-back reps (since round 3); q_crawl / q_crawl_bigbatch stay
-    single-shot — they are long enough to average over windows and are
-    internally multi-phase."""
+    not the code. Every query therefore publishes the median of 3
+    back-to-back reps (short queries since round 3; the crawl benches
+    too since round 4 — single-shot q_crawl drifted 676<->848 URLs/s
+    across runs of identical code, so 'long enough to average over
+    windows' was empirically false)."""
     runs = [fn() for _ in range(reps)]
     vals = [key(r) if key else r for r in runs]
     order = sorted(range(reps), key=lambda i: vals[i])
@@ -353,11 +355,13 @@ def main():
     results["q_extract"] = round(dt, 3)
     extra["urls_per_sec"] = round(n_urls / dt, 1)
 
-    dt, fetched = bench_crawl(spark)
+    dt, fetched = _median_run(lambda: bench_crawl(spark),
+                              key=lambda r: r[0])
     results["q_crawl"] = round(dt, 3)
     extra["crawl_urls_per_sec"] = round(fetched / dt, 1)
 
-    dt, fetched, round_sec = bench_crawl_bigbatch(spark)
+    dt, fetched, round_sec = _median_run(
+        lambda: bench_crawl_bigbatch(spark), key=lambda r: r[0])
     results["q_crawl_bigbatch"] = round(dt, 3)
     # incl. init (cold start) and round-only (the steady-state rate the
     # amortization claim is about — init happens once per crawl)

@@ -1,0 +1,124 @@
+"""Grammar-directed fuzzing of the extraction kernel.
+
+Three generator families, each with an exact oracle that needs no Go
+binary:
+
+* STRICT-JSON EMBED — hypothesis generates arbitrary JSON values,
+  embeds their ``json.dumps`` renderings between brace-free garbage,
+  and every embedded object must be found, in order, SEMANTICALLY
+  intact (``json.loads(extracted) == original``).
+* JS-LITERAL EMBED — objects rendered in the JavaScript notations the
+  reference accepts (unquoted identifier keys, single-quoted strings),
+  checked for validity (every output parses as strict JSON) and for the
+  FIXPOINT property: extraction output is in normal form, so
+  re-extracting an output reproduces it byte-for-byte.
+* ARBITRARY BYTES — anything at all must never crash the scanner, and
+  whatever comes out must still be valid JSON.
+
+These complement the 93-case golden corpus (exact reference fixtures):
+the corpus pins known tricky cases; the grammar fuzz searches the
+neighborhood the corpus never wrote down.
+"""
+
+import json
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsonextract_spark.kernel import extract_objects
+
+# garbage alphabet: no { [ " ' ` (cannot open or extend a candidate)
+_GARBAGE = st.text(
+    alphabet=" abcdefgXYZ0123456789.,;:!?()<>=+-*&^%$#@~|\n\t",
+    max_size=30)
+
+_KEY = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+_SCALAR = (st.none() | st.booleans()
+           | st.integers(-10**12, 10**12)
+           | st.text(st.characters(blacklist_categories=("Cs",)),
+                     max_size=16))
+_JSON_VALUE = st.recursive(
+    _SCALAR,
+    lambda kids: (st.lists(kids, max_size=4)
+                  | st.dictionaries(_KEY, kids, max_size=4)),
+    max_leaves=10)
+_TOP = (st.dictionaries(_KEY, _JSON_VALUE, max_size=4)
+        | st.lists(_JSON_VALUE, min_size=1, max_size=4))
+
+
+@settings(max_examples=150, deadline=None)
+@given(objs=st.lists(_TOP, min_size=1, max_size=4),
+       seps=st.lists(_GARBAGE, min_size=5, max_size=5))
+def test_embedded_strict_json_found_in_order(objs, seps):
+    page = seps[0]
+    for o, sep in zip(objs, seps[1:]):
+        page += json.dumps(o) + sep
+    out = extract_objects(page.encode("utf-8"))
+    assert len(out) == len(objs), page
+    for got, want in zip(out, objs):
+        assert json.loads(got) == want
+
+
+def _js_render(value) -> str:
+    """Render a JSON value in the reference-accepted JS notation:
+    unquoted identifier keys, single-quoted strings."""
+    if value is None:
+        return "null"
+    if value is True:
+        return "true"
+    if value is False:
+        return "false"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return "'" + value.replace("\\", "\\\\").replace("'", "\\'") \
+            + "'"
+    if isinstance(value, list):
+        return "[" + ", ".join(_js_render(v) for v in value) + "]"
+    return "{" + ", ".join(f"{k}: {_js_render(v)}"
+                           for k, v in value.items()) + "}"
+
+
+_JS_STR = st.text(alphabet=string.ascii_letters + string.digits + " '",
+                  max_size=12)
+_JS_VALUE = st.recursive(
+    st.none() | st.booleans() | st.integers(-10**9, 10**9) | _JS_STR,
+    lambda kids: (st.lists(kids, max_size=3)
+                  | st.dictionaries(_KEY, kids, max_size=3)),
+    max_leaves=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(objs=st.lists(st.dictionaries(_KEY, _JS_VALUE, min_size=1,
+                                     max_size=3),
+                     min_size=1, max_size=3),
+       seps=st.lists(_GARBAGE, min_size=4, max_size=4))
+def test_js_literals_valid_json_and_fixpoint(objs, seps):
+    page = seps[0]
+    for o, sep in zip(objs, seps[1:]):
+        page += _js_render(o) + sep
+    out = extract_objects(page.encode("utf-8"))
+    assert len(out) == len(objs), page
+    for got, want in zip(out, objs):
+        assert json.loads(got) == want       # JS notation -> same value
+        # normal form: extracting an extraction output reproduces it
+        again = extract_objects(b"noise " + got + b" tail")
+        assert again == [got]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_arbitrary_bytes_never_crash(data):
+    for obj in extract_objects(data):
+        json.loads(obj)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="{}[]'\"`,:0 ab\\\n", max_size=60))
+def test_bracket_soup_never_crashes_outputs_valid(text):
+    """Dense candidate-opening soup (the adversarial alphabet IS the
+    scanner's control characters) — outputs must still be valid JSON
+    and extraction must terminate."""
+    for obj in extract_objects(text.encode("utf-8")):
+        json.loads(obj)
