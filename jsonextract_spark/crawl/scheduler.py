@@ -44,7 +44,8 @@ def salted_top_k_per_group(df: DataFrame, group_cols: list[str],
 def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
               batch_size: int, salts: int = SALT_PARTS,
               host_stats: DataFrame | None = None,
-              now_ts: float | None = None) -> DataFrame:
+              now_ts: float | None = None,
+              politeness_budget_sec: float = 15.0) -> DataFrame:
     """Select this round's fetch set.
 
     frontier:   url, url_hash, host, depth, priority
@@ -89,6 +90,22 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
              F.col("url").asc()]
     per_host = salted_top_k_per_group(
         allowed, ["host"], order, host_budget, salts)
+    if "crawl_delay" in robots.columns:
+        # a delay-asking host's URLs run sequentially in ONE task spaced
+        # crawl_delay apart, so popping k of them occupies that task
+        # ~(k-1)*delay seconds — cap k by ``politeness_budget_sec`` so a
+        # single polite host can't straggle the whole round (its
+        # remaining URLs simply stay in the frontier for later rounds)
+        limit = F.when(
+            F.col("crawl_delay").isNotNull()
+            & (F.col("crawl_delay") > 0),
+            F.least(
+                F.lit(host_budget),
+                (F.lit(1) + F.floor(
+                    F.lit(float(politeness_budget_sec))
+                    / F.col("crawl_delay"))).cast("int"))
+        ).otherwise(F.lit(host_budget))
+        per_host = per_host.filter(F.col("rank_in_group") <= limit)
 
     # Global cap: orderBy+limit compiles to TakeOrderedAndProject — a
     # distributed tree top-k, NOT a single-task global sort. The dense

@@ -441,6 +441,23 @@ def test_pop_batch_crawl_delay_gates_hosts_across_rounds(spark):
 
     assert hosts(105.0) == {"b.example"}       # 5s ago < 10s ask
     assert hosts(110.0) == {"a.example", "b.example"}
+    # per-round pop budget: a delay-asking host's pop count is capped
+    # by the politeness time budget (k <= 1 + floor(budget/delay)); a
+    # no-ask host keeps the full host_budget
+    many = spark.createDataFrame(
+        [(f"http://a.example/{i}", 10 + i, "a.example", 0, 1.0)
+         for i in range(8)]
+        + [(f"http://b.example/{i}", 100 + i, "b.example", 0, 1.0)
+           for i in range(8)],
+        "url string, url_hash long, host string, depth int,"
+        " priority double")
+    from jsonextract_spark.crawl.scheduler import pop_batch as pb
+    got = pb(many, robots, host_budget=8, batch_size=100,
+             politeness_budget_sec=20.0).collect()
+    per = {}
+    for r in got:
+        per[r["host"]] = per.get(r["host"], 0) + 1
+    assert per == {"a.example": 3, "b.example": 8}  # 1+floor(20/10)=3
     # first round (no host_stats yet): nothing is gated
     assert {r["host"] for r in pop_batch(
         frontier, robots, 5, 10, now_ts=105.0).collect()} \
