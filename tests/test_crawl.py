@@ -469,7 +469,31 @@ def test_pop_batch_crawl_delay_gates_hosts_across_rounds(spark):
     assert hosts(105.0, hs2) == {"a.example", "b.example"}
 
 
-def test_fetch_kernel_paces_same_host_by_crawl_delay():
+def test_pop_batch_plan_broadcasts_side_tables(spark):
+    """The pop's robots and host_stats joins must stay broadcast hash
+    joins (both sides are per-host tables, tiny next to a 10^10-row
+    frontier) — a sort-merge join here would shuffle the whole frontier
+    twice per round. The crawl-delay eligibility filter rides those
+    joins and must not change the join strategy."""
+    from jsonextract_spark.crawl.scheduler import pop_batch
+
+    frontier = spark.createDataFrame(
+        [(f"http://h{i % 7}.example/{i}", i, f"h{i % 7}.example",
+          0, 1.0) for i in range(100)],
+        "url string, url_hash long, host string, depth int,"
+        " priority double")
+    robots = spark.createDataFrame(
+        [(f"h{i}.example", True, None) for i in range(7)],
+        "host string, allowed boolean, crawl_delay double")
+    host_stats = spark.createDataFrame(
+        [(f"h{i}.example", 2.0, 50.0) for i in range(7)],
+        "host string, crawled double, last_fetch_ts double")
+    batch = pop_batch(frontier, robots, 5, 50, host_stats=host_stats,
+                      now_ts=100.0)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert len(batch.collect()) > 0
     """Within a task, consecutive requests to a host with
     ``Crawl-delay: 1`` are spaced >= 1s apart (3 URLs -> >= 2s total),
     enforced by the kernel's per-host pacer."""
