@@ -67,15 +67,20 @@ def _fetch_one(url: str, timeout_sec: float,
 #   zero-byte ``blocked=true`` ledger row so the frontier diff always
 #   subtracts them (an all-blocked batch must not stall the crawl).
 #
-# Parsers are cached per Python worker process keyed by origin. Response
-# handling follows RFC 9309 §2.3.1: 200 -> parse; 4xx (robots.txt
-# "unavailable") -> allow-all; 5xx ("unreachable") -> complete DISALLOW;
-# no HTTP response at all -> de-facto allow-all. 5xx and no-response
-# verdicts are marked non-definitive so they are retried rather than
-# persisted — a transient outage must not freeze an allow/deny decision
-# into a long-lived cache.
+# Parsers are cached per Python worker process keyed by origin, with
+# per-entry TTLs (executor Python workers are REUSED across rounds and
+# jobs — without expiry a worker would enforce a host's old rules for
+# its whole process lifetime). Response handling follows RFC 9309
+# §2.3.1: 200 -> parse; 4xx (robots.txt "unavailable") -> allow-all;
+# 5xx ("unreachable") -> complete DISALLOW; no HTTP response at all ->
+# de-facto allow-all. 5xx and no-response verdicts are marked
+# non-definitive: they expire on the short TTL, are never persisted by
+# the cross-round cache, and the fetch kernel DEFERS (not consumes)
+# URLs they block.
 
 _ROBOTS_CACHE: dict = {}
+_ROBOTS_TTL_SEC = 3600.0        # definitive verdicts (per worker)
+_ROBOTS_ERR_TTL_SEC = 120.0     # 5xx / no-response: retry quickly
 
 
 def _parse_robots(text: str):
@@ -87,12 +92,18 @@ def _parse_robots(text: str):
 
 
 def _robots_for(origin: str, timeout_sec: float = 10.0):
-    """Fetch+parse ``<origin>/robots.txt`` with per-worker caching.
-    Returns ``(rp, definitive)``: ``rp`` is a RobotFileParser or None
-    for allow-all; ``definitive`` is False for 5xx/unreachable verdicts
-    (temporary disallow — callers must not persist them)."""
-    if origin in _ROBOTS_CACHE:
-        return _ROBOTS_CACHE[origin]
+    """Fetch+parse ``<origin>/robots.txt`` with per-worker TTL'd
+    caching. Returns ``(rp, definitive)``: ``rp`` is a RobotFileParser
+    or None for allow-all; ``definitive`` is False for 5xx/unreachable
+    verdicts (temporary disallow — callers must not persist them, and
+    the fetch kernel defers rather than consumes the URLs)."""
+    now = time.time()
+    hit = _ROBOTS_CACHE.get(origin)
+    if hit is not None:
+        rp, definitive, fetched_at = hit
+        ttl = _ROBOTS_TTL_SEC if definitive else _ROBOTS_ERR_TTL_SEC
+        if now - fetched_at < ttl:
+            return rp, definitive
     status, body, _err = _fetch_one(origin + "/robots.txt", timeout_sec,
                                     1 << 20)
     if status == 200:
@@ -107,7 +118,7 @@ def _robots_for(origin: str, timeout_sec: float = 10.0):
         out = (None, False)
     else:  # 4xx: no robots.txt -> everything allowed (definitive)
         out = (None, True)
-    _ROBOTS_CACHE[origin] = out
+    _ROBOTS_CACHE[origin] = (*out, now)
     return out
 
 
@@ -143,13 +154,23 @@ def _origin_of(url: str) -> str | None:
     return f"{p.scheme}://{p.netloc}"
 
 
-def robots_allowed(url: str, user_agent: str,
-                   timeout_sec: float = 10.0) -> bool:
+def robots_verdict(url: str, user_agent: str,
+                   timeout_sec: float = 10.0) -> tuple[bool, bool]:
+    """(allowed, definitive) for ``url``. A non-definitive disallow
+    (robots.txt 5xx/unreachable) is TEMPORARY: callers that consume
+    URLs (the fused crawl kernel) must defer such URLs for retry, not
+    drop them."""
     org = _origin_of(url)
     if org is None:
-        return True
-    rp, _definitive = _robots_for(org, timeout_sec)
-    return True if rp is None else rp.can_fetch(user_agent, url)
+        return True, True
+    rp, definitive = _robots_for(org, timeout_sec)
+    allowed = True if rp is None else rp.can_fetch(user_agent, url)
+    return allowed, definitive
+
+
+def robots_allowed(url: str, user_agent: str,
+                   timeout_sec: float = 10.0) -> bool:
+    return robots_verdict(url, user_agent, timeout_sec)[0]
 
 
 ROBOTS_SCHEMA = ("host string, allowed boolean, crawl_delay double,"
@@ -303,7 +324,11 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
     non-zero, so the frontier diff subtracts them (a batch that is
     100% robots-blocked must not republish the frontier unchanged and
     deterministically re-pop the same blocked URLs every round while
-    allowed URLs wait deeper in the frontier). Pair with
+    allowed URLs wait deeper in the frontier). A NON-definitive
+    disallow (robots.txt 5xx/unreachable — temporary per RFC 9309)
+    additionally sets ``retry=true``: the pipeline returns those URLs
+    to the frontier, so a momentary outage defers instead of
+    blackholing them. Pair with
     ``run_crawl(robots_provider=make_robots_provider())`` so the
     scheduler's host-level gate uses real robots too."""
     import pandas as pd  # noqa: F811 (executor-side import)
@@ -319,12 +344,22 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
         for pdf in batches:
             if not len(pdf):
                 continue
-            texts, stamps, sizes, blocked = [], [], [], []
+            texts, stamps, sizes = [], [], []
+            blocked, retry = [], []
             for url, host in zip(pdf["url"], pdf["host"]):
-                if respect_robots and not robots_allowed(url, ua,
-                                                         timeout_sec):
+                allowed, definitive = (robots_verdict(url, ua,
+                                                      timeout_sec)
+                                       if respect_robots
+                                       else (True, True))
+                if not allowed:
                     body = b""
                     blocked.append(True)
+                    # non-definitive disallow (robots.txt 5xx /
+                    # unreachable) is TEMPORARY: mark the row for
+                    # retry so the pipeline returns the URL to the
+                    # frontier instead of consuming it — a momentary
+                    # outage must not blackhole a host's batch
+                    retry.append(not definitive)
                 else:
                     if respect_robots:
                         # honor the host's Crawl-delay/Request-rate ask
@@ -334,6 +369,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                     _status, body, _err = _fetch_one(url, timeout_sec,
                                                      max_bytes)
                     blocked.append(False)
+                    retry.append(False)
                     if delay_sec:
                         time.sleep(delay_sec)
                 sizes.append(len(body))  # bytes fetched, not chars
@@ -357,6 +393,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                 "links": [_links_from_objs(o) for o in objs],
                 "bytes": sizes,
                 "blocked": blocked,
+                "retry": retry,
             })
 
     return kernel
@@ -379,9 +416,13 @@ def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
             rows = {"url": [], "status": [], "fetched_ts": [],
                     "html": [], "text": [], "err": []}
             for url in pdf["url"]:
-                if respect_robots and not robots_allowed(url, ua,
-                                                         timeout_sec):
-                    status, body, err = 0, b"", "robots"
+                allowed, definitive = (robots_verdict(url, ua,
+                                                      timeout_sec)
+                                       if respect_robots
+                                       else (True, True))
+                if not allowed:
+                    status, body = 0, b""
+                    err = "robots" if definitive else "robots_unreachable"
                 else:
                     if respect_robots:
                         pace(_origin_of(url),

@@ -266,7 +266,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     fetched = enriched.select(
         "batch_id", "rank", "url", "host", "depth", "warc_ts",
         "n_objects", F.size("links").alias("n_links"), "bytes",
-        "partition_id", "blocked")
+        "partition_id", "blocked", "retry")
     # ONE job runs pop + politeness + fetch + extract and writes the
     # ledger; batch counts come from the parquet written, not a separate
     # count() action over the pop. ``blocked`` rows are popped URLs the
@@ -274,11 +274,15 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # the processed batch (so the frontier diff subtracts them; an
     # all-blocked batch must not republish the frontier unchanged and
     # stall the crawl) but not toward fetch metrics or host budgets.
+    # ``retry`` rows are blocked by a NON-definitive verdict (robots
+    # 5xx/unreachable = temporary disallow): they are returned to the
+    # frontier below instead of being consumed.
     wh.save(fetched, "fetched", round_no)
     n_actions = 1
-    n_batch, n_objects, n_fetched = (int(v) for v in _duck.sql(
+    n_batch, n_objects, n_fetched, n_deferred = (int(v) for v in _duck.sql(
         f"SELECT count(*), coalesce(sum(n_objects),0),"
-        f" coalesce(sum(CASE WHEN blocked THEN 0 ELSE 1 END),0) FROM "
+        f" coalesce(sum(CASE WHEN blocked THEN 0 ELSE 1 END),0),"
+        f" coalesce(sum(CASE WHEN retry THEN 1 ELSE 0 END),0) FROM "
         f"'{wh._path('fetched', round_no)}/*.parquet'").fetchone())
     t_fetch = time.time()
     if n_batch == 0:
@@ -328,7 +332,14 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     #    as this round's append-only seen delta (see _seen_delta_path).
     remaining = frontier.join(batch.select("url_hash"), "url_hash",
                               "left_anti")
+    # temporarily-blocked URLs (robots unreachable) go BACK into the
+    # frontier for a later round — they were popped but never consumed
+    deferred = (enriched.filter("retry").select("url")
+                .join(batch.select("url", "url_hash", "host", "depth",
+                                   "priority"), "url")
+                .select("url", "url_hash", "host", "depth", "priority"))
     next_frontier = (remaining.withColumn("is_new", F.lit(0))
+                     .unionByName(deferred.withColumn("is_new", F.lit(0)))
                      .unionByName(fresh.withColumn("is_new", F.lit(1))))
 
     t_links = time.time()
@@ -393,7 +404,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     sec = time.time() - t0
     _write_metrics(wh, round_no, {
         "fetched": float(n_fetched), "objects": float(n_objects),
-        "robots_blocked": float(n_batch - n_fetched),
+        "robots_blocked": float(n_batch - n_fetched - n_deferred),
+        "robots_deferred": float(n_deferred),
         "new_urls": float(n_new), "sec": sec,
         "spark_actions": float(n_actions),
         "spark_jobs": float(n_jobs),
@@ -403,13 +415,15 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         "sec_frontier_seen": t_frontier - t_gate,
         "sec_filter": t_filter - t_frontier})
     wh.commit_round(round_no, {"fetched": n_fetched, "new": n_new,
-                               "blocked": n_batch - n_fetched,
+                               "blocked": n_batch - n_fetched - n_deferred,
+                               "deferred": n_deferred,
                                "sec": round(sec, 3)})
     batch.unpersist()
     enriched.unpersist()
     fresh.unpersist()
     return {"fetched": n_fetched, "new": n_new, "objects": n_objects,
-            "blocked": n_batch - n_fetched,
+            "blocked": n_batch - n_fetched - n_deferred,
+            "deferred": n_deferred,
             "sec": sec, "spark_actions": n_actions,
             "spark_jobs": n_jobs}
 

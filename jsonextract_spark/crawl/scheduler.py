@@ -80,10 +80,16 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
                            F.coalesce(F.col("crawled"), F.lit(0.0))))))
         if (now_ts is not None and "crawl_delay" in robots.columns
                 and "last_fetch_ts" in host_stats.columns):
+            # gate ONLY hosts that ask for a delay: a null-delay host
+            # must never be filtered — a coalesce(delay, 0) form would
+            # reduce to last_fetch_ts <= now for every host, which is
+            # vacuous locally but stalls whole rounds under
+            # executor-vs-driver clock skew on a real cluster
             allowed = allowed.filter(
-                F.coalesce(F.col("last_fetch_ts"), F.lit(float("-inf")))
-                + F.coalesce(F.col("crawl_delay"), F.lit(0.0))
-                <= F.lit(float(now_ts)))
+                F.col("crawl_delay").isNull()
+                | F.col("last_fetch_ts").isNull()
+                | (F.col("last_fetch_ts") + F.col("crawl_delay")
+                   <= F.lit(float(now_ts))))
         allowed = allowed.drop("crawled", "last_fetch_ts")
 
     order = [F.col("priority").desc(), F.col("depth").asc(),

@@ -134,13 +134,14 @@ def fetch_extract_partition(rows: Iterable[pd.DataFrame]):
             "links": links,
             "bytes": texts.map(len),
             "blocked": False,
+            "retry": False,
         })
 
 
 FETCH_EXTRACT_SCHEMA = (
     "url string, host string, warc_ts timestamp, text string, lang string,"
     " depth int, batch_id int, rank long, n_objects int,"
-    " links array<string>, bytes int, blocked boolean"
+    " links array<string>, bytes int, blocked boolean, retry boolean"
 )
 
 

@@ -26,7 +26,9 @@ seen_compact url_hash — periodic compaction of the deltas (the
 seen_filter  bucket, kind, bits (binary), m, k, n
 fetched      batch_id, rank, url, host, depth, warc_ts, n_objects,
              n_links, bytes, partition_id (lineage), blocked (popped
-             but stopped by the robots per-path check — never GET'd)
+             but stopped by the robots per-path check — never GET'd),
+             retry (blocked by a NON-definitive verdict, i.e. robots
+             5xx/unreachable: returned to the frontier, not consumed)
 host_stats   host, crawled (cumulative), last_fetch_ts (epoch seconds
              of the host's newest real fetch — drives cross-round
              crawl-delay politeness; written driver-side via DuckDB

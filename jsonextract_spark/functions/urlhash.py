@@ -207,10 +207,17 @@ def murmur3_x64_128_batch(datas: list[bytes],
                <= _BATCH_BUDGET_BYTES):
             j += 1
         idx = order[i:j]
-        c1, c2 = _murmur3_batch_core([datas[k] for k in idx], lens[idx],
-                                     seed)
-        h1[idx] = c1
-        h2[idx] = c2
+        if len(idx) < _MIN_VEC_ROWS:
+            # a narrow tail chunk (possible when rows sit just under
+            # the cutoff) is slower vectorized than scalar — same
+            # reasoning as the oversize-row route above
+            for k in idx:
+                h1[k], h2[k] = murmur3_x64_128(datas[k], seed)
+        else:
+            c1, c2 = _murmur3_batch_core([datas[k] for k in idx],
+                                         lens[idx], seed)
+            h1[idx] = c1
+            h2[idx] = c2
         i = j
     return h1, h2
 

@@ -359,14 +359,33 @@ def test_robots_5xx_is_temporary_disallow():
     4xx stays allow-all and definitive."""
     from jsonextract_spark.crawl import fetch_http
 
-    srv, port, _log = _serve(lambda p: b"__5xx__"
-                             if p == "/robots.txt" else b"hi")
+    healthy = []
+
+    def body(p):
+        if p == "/robots.txt":
+            return b"User-agent: *\nAllow: /\n" if healthy \
+                else b"__5xx__"
+        return b"hi"
+
+    srv, port, _log = _serve(body)
     try:
         url = f"http://127.0.0.1:{port}/page"
-        assert fetch_http.robots_allowed(url, "UA") is False
-        rp, definitive = fetch_http._ROBOTS_CACHE[
+        assert fetch_http.robots_verdict(url, "UA") == (False, False)
+        rp, definitive, _ts = fetch_http._ROBOTS_CACHE[
             f"http://127.0.0.1:{port}"]
         assert rp is not None and definitive is False
+        # the broken verdict is cached only for the SHORT error TTL:
+        # once the server heals and the TTL lapses, the next check
+        # refetches and allows (per-worker caches must not pin a
+        # transient outage)
+        healthy.append(True)
+        assert fetch_http.robots_allowed(url, "UA") is False  # cached
+        old = fetch_http._ROBOTS_ERR_TTL_SEC
+        fetch_http._ROBOTS_ERR_TTL_SEC = 0.0
+        try:
+            assert fetch_http.robots_verdict(url, "UA") == (True, True)
+        finally:
+            fetch_http._ROBOTS_ERR_TTL_SEC = old
     finally:
         srv.shutdown()
 
@@ -375,11 +394,78 @@ def test_robots_5xx_is_temporary_disallow():
     try:
         url2 = f"http://127.0.0.1:{port2}/page"
         assert fetch_http.robots_allowed(url2, "UA") is True
-        rp2, definitive2 = fetch_http._ROBOTS_CACHE[
+        rp2, definitive2, _ts2 = fetch_http._ROBOTS_CACHE[
             f"http://127.0.0.1:{port2}"]
         assert rp2 is None and definitive2 is True
     finally:
         srv2.shutdown()
+
+
+def test_fused_kernel_defers_on_robots_5xx():
+    """The fused kernel must not consume URLs blocked by a robots 5xx:
+    rows come back blocked=True AND retry=True, and the page itself is
+    never GET'd (a momentary robots outage must not blackhole the
+    batch)."""
+    import pandas as pd
+
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel)
+
+    srv, port, log = _serve(
+        lambda p: b"__5xx__" if p == "/robots.txt" else b"hi")
+    try:
+        pdf = pd.DataFrame({
+            "url": [f"http://127.0.0.1:{port}/p/{i}" for i in (1, 2)],
+            "host": ["127.0.0.1"] * 2, "depth": [0, 0],
+            "batch_id": [1, 1], "rank": [1, 2]})
+        kernel = make_fetch_extract_kernel(timeout_sec=5)
+        out = pd.concat(list(kernel([pdf])))
+        assert list(out["blocked"]) == [True, True]
+        assert list(out["retry"]) == [True, True]
+        assert list(out["bytes"]) == [0, 0]
+        assert all(p == "/robots.txt" for p in log)
+    finally:
+        srv.shutdown()
+
+
+def test_deferred_urls_return_to_frontier(spark, tmp_path):
+    """Pipeline plumbing for retry rows: a URL the kernel defers
+    (blocked+retry) goes BACK into the frontier and is fetched in a
+    later round — deferral consumes nothing. Uses a deterministic fake
+    kernel that defers u2 only in round 1."""
+    import pandas as pd
+
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            defer = (pdf["batch_id"] == 1) & \
+                pdf["url"].str.contains("/u2")
+            n = len(pdf)
+            yield pd.DataFrame({
+                "url": pdf["url"], "host": pdf["host"],
+                "warc_ts": pd.to_datetime([1_700_000_000_000_000] * n,
+                                          unit="us"),
+                "text": ["" if d else "<script>var c = {id: 1,"
+                         " links: []};</script>" for d in defer],
+                "lang": "und", "depth": pdf["depth"],
+                "batch_id": pdf["batch_id"], "rank": pdf["rank"],
+                "n_objects": [0 if d else 1 for d in defer],
+                "links": [[] for _ in range(n)],
+                "bytes": [0 if d else 10 for d in defer],
+                "blocked": list(defer), "retry": list(defer),
+            })
+
+    stats = run_crawl(spark, str(tmp_path / "w_defer"), rounds=2,
+                      seeds=["http://h.example/u1",
+                             "http://h.example/u2"],
+                      host_budget=5, batch_size=5, fetch_kernel=kernel)
+    assert stats[0]["fetched"] == 1 and stats[0]["deferred"] == 1
+    assert stats[0]["blocked"] == 0
+    # round 2 re-pops the deferred URL and fetches it
+    assert stats[1]["fetched"] == 1 and stats[1]["deferred"] == 0
 
 
 def test_robots_crawl_delay_parsed():
@@ -494,6 +580,9 @@ def test_pop_batch_plan_broadcasts_side_tables(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert len(batch.collect()) > 0
+
+
+def test_fetch_kernel_paces_same_host_by_crawl_delay():
     """Within a task, consecutive requests to a host with
     ``Crawl-delay: 1`` are spaced >= 1s apart (3 URLs -> >= 2s total),
     enforced by the kernel's per-host pacer."""
@@ -562,40 +651,21 @@ def test_all_blocked_batch_does_not_stall_crawl(spark, tmp_path):
     were re-popped every round — starving allowed URLs that sorted
     later in pop order (e.g. seeds under a disallowed subtree on a host
     whose root is allowed)."""
-    import http.server
-    import threading
-
     from jsonextract_spark.crawl.fetch_http import (
         make_fetch_extract_kernel, make_robots_provider)
     from jsonextract_spark.crawl.pipeline import run_crawl
 
-    seen_paths = []
+    def body(p):
+        if p == "/robots.txt":
+            return b"User-agent: *\nDisallow: /p/\n"
+        if p.startswith(("/p/", "/q/")):
+            i = int(p.rsplit("/", 1)[-1])
+            return (f"<script>var cfg = {{id: {i}, links: []}};"
+                    f"</script>").encode()
+        return None
 
-    class H(http.server.BaseHTTPRequestHandler):
-        def do_GET(self):
-            seen_paths.append(self.path)
-            if self.path == "/robots.txt":
-                body = b"User-agent: *\nDisallow: /p/\n"
-            elif self.path.startswith(("/p/", "/q/")):
-                i = int(self.path.rsplit("/", 1)[-1])
-                body = (f"<script>var cfg = {{id: {i}, links: []}};"
-                        f"</script>").encode()
-            else:
-                self.send_response(404)
-                self.end_headers()
-                return
-            self.send_response(200)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def log_message(self, *a):
-            pass
-
-    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv, port, seen_paths = _serve(body)
     try:
-        port = srv.server_port
         # batch_size=2: round 1 pops exactly the two /p/ URLs (url-asc
         # pop order) and BOTH are blocked; /q/1 must still get fetched
         # in round 2 instead of the /p/ pair re-popping forever
