@@ -369,7 +369,11 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                     _status, body, _err = _fetch_one(url, timeout_sec,
                                                      max_bytes)
                     blocked.append(False)
-                    retry.append(False)
+                    # transient fetch failures (5xx / no response) are
+                    # retried like temporary robots blocks — the
+                    # pipeline re-frontiers them with a bounded
+                    # attempts count; 4xx is a definitive answer
+                    retry.append(_status == 0 or _status >= 500)
                     if delay_sec:
                         time.sleep(delay_sec)
                 sizes.append(len(body))  # bytes fetched, not chars

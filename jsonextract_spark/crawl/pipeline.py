@@ -29,6 +29,13 @@ from jsonextract_spark.functions.udfs import url_identity_udf
 DEFAULT_HOST_BUDGET = 5
 DEFAULT_BATCH_SIZE = 512
 
+# Bounded retry of deferred URLs (temporary robots blocks / transient
+# fetch failures): a URL is re-frontiered at most MAX_DEFERS times,
+# with its priority decayed per attempt so retries never starve fresh
+# work; past the cap the URL is consumed like any other popped URL.
+MAX_DEFERS = 3
+DEFER_PRIORITY_DECAY = 0.5
+
 
 def _write_parquet_driver_side(wh: Warehouse, table: str, round_no: int,
                                tbl):
@@ -177,6 +184,7 @@ def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
                 .dropDuplicates(["url_hash"])
                 .withColumn("depth", F.lit(0))
                 .withColumn("priority", priority_of(F.lit(0)))
+                .withColumn("attempts", F.lit(0))
                 .withColumn("is_new", F.lit(1)))
     wh.save(frontier, "frontier", 0, partition_by="is_new")
     import os
@@ -224,6 +232,9 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     sc.setJobGroup(job_group, f"crawl round {round_no}")
     prev = round_no - 1
     frontier = wh.load(spark, "frontier", prev).drop("is_new")
+    if "attempts" not in frontier.columns:
+        # warehouses from before the bounded-retry column
+        frontier = frontier.withColumn("attempts", F.lit(0))
     seen = load_seen(spark, wh, prev)
     filters = wh.load(spark, "seen_filter", prev) if use_bloom else None
     # robots: synthetic table by default; live crawls pass
@@ -281,7 +292,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     n_actions = 1
     n_batch, n_objects, n_fetched, n_deferred = (int(v) for v in _duck.sql(
         f"SELECT count(*), coalesce(sum(n_objects),0),"
-        f" coalesce(sum(CASE WHEN blocked THEN 0 ELSE 1 END),0),"
+        f" coalesce(sum(CASE WHEN blocked OR retry THEN 0 ELSE 1"
+        f" END),0),"
         f" coalesce(sum(CASE WHEN retry THEN 1 ELSE 0 END),0) FROM "
         f"'{wh._path('fetched', round_no)}/*.parquet'").fetchone())
     t_fetch = time.time()
@@ -307,7 +319,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         wh.commit_round(round_no, {"fetched": 0, "new": 0, "empty": True})
         batch.unpersist()
         enriched.unpersist()
-        return {"fetched": 0, "new": 0, "sec": time.time() - t0}
+        return {"fetched": 0, "new": 0, "blocked": 0, "deferred": 0,
+                "sec": time.time() - t0}
 
     # 5. link discovery -> candidate identity
     discovered = (enriched
@@ -324,7 +337,9 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     fresh = seen_mod.new_urls(cand, seen, filters)
     fresh = fresh.join(frontier.select("url_hash"), "url_hash", "left_anti")
     fresh = (fresh.withColumn("priority", priority_of(F.col("depth")))
-                  .select("url", "url_hash", "host", "depth", "priority")
+                  .withColumn("attempts", F.lit(0))
+                  .select("url", "url_hash", "host", "depth", "priority",
+                          "attempts")
                   .cache())
 
     # 7. state update in ONE write job: frontier = (frontier - fetched)
@@ -332,12 +347,19 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     #    as this round's append-only seen delta (see _seen_delta_path).
     remaining = frontier.join(batch.select("url_hash"), "url_hash",
                               "left_anti")
-    # temporarily-blocked URLs (robots unreachable) go BACK into the
-    # frontier for a later round — they were popped but never consumed
+    # temporarily-blocked URLs (robots unreachable / transient fetch
+    # failure) go BACK into the frontier for a later round — they were
+    # popped but not consumed. Bounded: at most MAX_DEFERS re-adds per
+    # URL, priority decayed per attempt (the ledger's retry rows past
+    # the cap stay consumed, like any popped URL).
     deferred = (enriched.filter("retry").select("url")
                 .join(batch.select("url", "url_hash", "host", "depth",
-                                   "priority"), "url")
-                .select("url", "url_hash", "host", "depth", "priority"))
+                                   "priority", "attempts"), "url")
+                .filter(F.col("attempts") < F.lit(MAX_DEFERS))
+                .select("url", "url_hash", "host", "depth",
+                        (F.col("priority")
+                         * F.lit(DEFER_PRIORITY_DECAY)).alias("priority"),
+                        (F.col("attempts") + 1).alias("attempts")))
     next_frontier = (remaining.withColumn("is_new", F.lit(0))
                      .unionByName(deferred.withColumn("is_new", F.lit(0)))
                      .unionByName(fresh.withColumn("is_new", F.lit(1))))

@@ -38,20 +38,29 @@ def refresh_candidates(fetched: DataFrame, now_ts: float,
     return (stale
             .withColumn("priority",
                         priority_of(F.col("depth")) * F.lit(refresh_boost))
-            .select("url", "url_hash", "host", "depth", "priority"))
+            .withColumn("attempts", F.lit(0))  # a refresh starts over
+            .select("url", "url_hash", "host", "depth", "priority",
+                    "attempts"))
 
 
 def reopen_in_frontier(frontier: DataFrame,
                        refresh: DataFrame) -> DataFrame:
     """Union refresh rows into the frontier, newest priority wins for
     duplicates already pending."""
+    for col in ("attempts",):            # pre-column callers/warehouses
+        if col not in frontier.columns:
+            frontier = frontier.withColumn(col, F.lit(0))
+        if col not in refresh.columns:
+            refresh = refresh.withColumn(col, F.lit(0))
     return (frontier.unionByName(refresh)
             .groupBy("url_hash")
             .agg(F.min("url").alias("url"),
                  F.min("host").alias("host"),
                  F.min("depth").alias("depth"),
-                 F.max("priority").alias("priority"))
-            .select("url", "url_hash", "host", "depth", "priority"))
+                 F.max("priority").alias("priority"),
+                 F.min("attempts").alias("attempts"))
+            .select("url", "url_hash", "host", "depth", "priority",
+                    "attempts"))
 
 
 def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
@@ -114,6 +123,8 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
         return 0
     rn = after_round + 1
     frontier = wh.load(spark, "frontier", after_round).drop("is_new")
+    if "attempts" not in frontier.columns:  # pre-column warehouses
+        frontier = frontier.withColumn("attempts", F.lit(0))
     merged = (reopen_in_frontier(frontier, refresh)
               .withColumn("is_new", F.lit(0)))
     wh.save(merged, "frontier", rn, partition_by="is_new")

@@ -16,8 +16,9 @@ On a real cluster, swap ``save``/``load`` for
 
 Schemas
 -------
-frontier     url, url_hash, host, depth, priority, hive-partitioned on
-             is_new (0/1) — the is_new=1 partition IS the round's
+frontier     url, url_hash, host, depth, priority, attempts (deferral
+             count, bounded by pipeline.MAX_DEFERS), hive-partitioned
+             on is_new (0/1) — the is_new=1 partition IS the round's
              append-only seen delta (one write job for both tables)
 seen_compact url_hash — periodic compaction of the deltas (the
              IcebergLite analogue of rewrite_data_files), written every
@@ -73,6 +74,9 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("host", T.StringType()),
     T.StructField("depth", T.IntegerType()),
     T.StructField("priority", T.DoubleType()),
+    # deferral count (temporary robots block / transient fetch
+    # failure); re-added at most pipeline.MAX_DEFERS times
+    T.StructField("attempts", T.IntegerType()),
 ])
 
 SEEN_SCHEMA = T.StructType([T.StructField("url_hash", T.LongType())])

@@ -468,6 +468,81 @@ def test_deferred_urls_return_to_frontier(spark, tmp_path):
     assert stats[1]["fetched"] == 1 and stats[1]["deferred"] == 0
 
 
+def test_deferral_is_bounded_by_attempts(spark, tmp_path):
+    """A URL that keeps failing transiently is retried at most
+    MAX_DEFERS times, then consumed — a permanently-down host can't
+    park its URLs in the frontier forever."""
+    import pandas as pd
+
+    from jsonextract_spark.crawl.pipeline import MAX_DEFERS, run_crawl
+
+    def kernel(batches):  # u2 ALWAYS defers; u1 fetches fine
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            defer = pdf["url"].str.contains("/u2")
+            n = len(pdf)
+            yield pd.DataFrame({
+                "url": pdf["url"], "host": pdf["host"],
+                "warc_ts": pd.to_datetime([1_700_000_000_000_000] * n,
+                                          unit="us"),
+                "text": ["" if d else "<script>var c = {id: 1,"
+                         " links: []};</script>" for d in defer],
+                "lang": "und", "depth": pdf["depth"],
+                "batch_id": pdf["batch_id"], "rank": pdf["rank"],
+                "n_objects": [0 if d else 1 for d in defer],
+                "links": [[] for _ in range(n)],
+                "bytes": [0 if d else 10 for d in defer],
+                "blocked": [False] * n, "retry": list(defer),
+            })
+
+    rounds = MAX_DEFERS + 3
+    stats = run_crawl(spark, str(tmp_path / "w_defercap"),
+                      rounds=rounds,
+                      seeds=["http://h.example/u1",
+                             "http://h.example/u2"],
+                      host_budget=5, batch_size=5, fetch_kernel=kernel)
+    # u2 is popped 1 + MAX_DEFERS times (each marked deferred in the
+    # ledger), then never again: the frontier is drained
+    deferred_rounds = [s["deferred"] for s in stats]
+    assert deferred_rounds[:MAX_DEFERS + 1] == [1] * (MAX_DEFERS + 1)
+    assert all(d == 0 for d in deferred_rounds[MAX_DEFERS + 1:])
+    assert stats[0]["fetched"] == 1            # u1, round 1
+    assert all(s["fetched"] == 0 for s in stats[1:])
+
+
+def test_fused_kernel_retries_transient_fetch_failures():
+    """A page GET that returns 5xx (or no response) yields a
+    retry=True, blocked=False row — the pipeline will re-frontier it;
+    a 404 is a definitive answer and is consumed normally."""
+    import pandas as pd
+
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel)
+
+    def body(p):
+        if p == "/boom/1":
+            return b"__5xx__"
+        if p == "/ok/1":
+            return b"<script>var c = {id: 1, links: []};</script>"
+        return None                      # /gone/1 -> 404
+
+    srv, port, _log = _serve(body)
+    try:
+        pdf = pd.DataFrame({
+            "url": [f"http://127.0.0.1:{port}/{x}/1"
+                    for x in ("boom", "ok", "gone")],
+            "host": ["127.0.0.1"] * 3, "depth": [0] * 3,
+            "batch_id": [1] * 3, "rank": [1, 2, 3]})
+        kernel = make_fetch_extract_kernel(timeout_sec=5)
+        out = pd.concat(list(kernel([pdf]))).reset_index(drop=True)
+        assert list(out["blocked"]) == [False, False, False]
+        assert list(out["retry"]) == [True, False, False]
+        assert out["n_objects"][1] == 1
+    finally:
+        srv.shutdown()
+
+
 def test_robots_crawl_delay_parsed():
     """Crawl-delay and Request-rate both surface as a per-host delay
     ask in seconds (Crawl-delay wins when both are present)."""

@@ -114,6 +114,22 @@ def test_arbitrary_bytes_never_crash(data):
         json.loads(obj)
 
 
+@settings(max_examples=100, deadline=None)
+@given(objs=st.lists(_TOP, min_size=1, max_size=4),
+       seps=st.lists(_GARBAGE, min_size=5, max_size=5),
+       k=st.integers(1, 4))
+def test_limit_is_a_prefix_of_full_extraction(objs, seps, k):
+    """``limit=k`` must return exactly the first k objects of the full
+    extraction (the reader's early-stop path takes a different exit
+    but must not change what was already emitted)."""
+    page = seps[0]
+    for o, sep in zip(objs, seps[1:]):
+        page += json.dumps(o) + sep
+    data = page.encode("utf-8")
+    full = extract_objects(data)
+    assert extract_objects(data, limit=k) == full[:k]
+
+
 @settings(max_examples=150, deadline=None)
 @given(st.text(alphabet="{}[]'\"`,:0 ab\\\n", max_size=60))
 def test_bracket_soup_never_crashes_outputs_valid(text):
