@@ -154,6 +154,12 @@ CASES = [
     # :497-502
     ("[`Template quotes inside of template quotes can be escaped using \\``]",
      ['["Template quotes inside of template quotes can be escaped using `"]']),
+    # reader.go:421-423 — an EMPTY template (``) trips the "expected
+    # string to have at least quotes" guard (len(text) <= 2), so the
+    # whole candidate is rejected; a one-char template is the minimum.
+    # (Found by grammar fuzzing, round 4.)
+    ("x {a: ``} y", []),
+    ("x {a: ` `} y", ['{"a":" "}']),
     # :503-508 — literal-looking strings stay strings
     ("{\t\t\ta: 'null',\tb: `true`, c: \"false\"\t\t }",
      ['{"a":"null","b":"true","c":"false"}']),

@@ -107,6 +107,38 @@ def test_js_literals_valid_json_and_fixpoint(objs, seps):
         assert again == [got]
 
 
+_COMMENT_TEXT = st.text(alphabet=string.ascii_letters + " .,!", max_size=8)
+# no backticks/backslashes in the alphabet, and min_size=1: an EMPTY
+# template (``) is rejected by the scanner (reference parity), so the
+# generator must not produce one
+_TPL_TEXT = st.text(alphabet=string.ascii_letters + " \n\t'\"",
+                    min_size=1, max_size=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(kvs=st.lists(st.tuples(_KEY, st.integers(-999, 999) | _TPL_TEXT),
+                    min_size=1, max_size=4, unique_by=lambda kv: kv[0]),
+       comments=st.lists(st.tuples(st.booleans(), _COMMENT_TEXT),
+                         min_size=4, max_size=4),
+       sep=_GARBAGE)
+def test_comments_and_templates_strip_to_values(kvs, comments, sep):
+    """JS comments between members vanish from the output, and
+    template-literal strings (no ``${}``) come through as plain JSON
+    strings with identical content — the fuzz analogue of the corpus's
+    comment/template cases."""
+    parts = []
+    for i, (k, v) in enumerate(kvs):
+        block, text = comments[i % len(comments)]
+        comment = f"/* {text} */" if block else f"// {text}\n"
+        rendered = str(v) if isinstance(v, int) else "`" + v + "`"
+        parts.append(f"{k}: {comment} {rendered}")
+    page = sep + "{" + ", ".join(parts) + "}" + sep
+    out = extract_objects(page.encode("utf-8"))
+    assert len(out) == 1, page
+    got = json.loads(out[0])
+    assert got == dict(kvs)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.binary(max_size=400))
 def test_arbitrary_bytes_never_crash(data):
