@@ -139,6 +139,31 @@ def test_comments_and_templates_strip_to_values(kvs, comments, sep):
     assert got == dict(kvs)
 
 
+# regex bodies: no '/' (terminator), no '\\' (escape semantics covered
+# by golden cases), no '[' ']' (an unbalanced class makes the closing
+# '/' literal), and never starting with '*' ('/*' is a block comment)
+_REGEX_BODY = st.text(
+    alphabet=string.ascii_letters + string.digits + "+?()|. ^$",
+    min_size=1, max_size=10).filter(lambda s: not s.startswith("*"))
+_REGEX_FLAGS = st.sampled_from(["", "g", "i", "gi", "gim"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(items=st.lists(st.tuples(_KEY, _REGEX_BODY, _REGEX_FLAGS),
+                      min_size=1, max_size=3,
+                      unique_by=lambda t: t[0]),
+       sep=_GARBAGE)
+def test_regex_literals_become_their_source_string(items, sep):
+    """A regex literal value turns into a JSON string of its FULL
+    source text — slashes and flags included (scalar transform C6)."""
+    page = (sep + "{"
+            + ", ".join(f"{k}: /{b}/{f}" for k, b, f in items)
+            + "}" + sep)
+    out = extract_objects(page.encode("utf-8"))
+    assert len(out) == 1, page
+    assert json.loads(out[0]) == {k: f"/{b}/{f}" for k, b, f in items}
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.binary(max_size=400))
 def test_arbitrary_bytes_never_crash(data):
