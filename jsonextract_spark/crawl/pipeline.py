@@ -18,7 +18,8 @@ from __future__ import annotations
 import argparse
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import (DataFrame, Observation, SparkSession,
+                         functions as F)
 
 from jsonextract_spark.crawl import seen as seen_mod
 from jsonextract_spark.crawl import synth
@@ -212,20 +213,26 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     """Execute round ``round_no`` (requires round_no-1 committed).
 
     Fixed Spark-ACTION budget per non-empty round (recorded as the
-    ``spark_actions`` metric, counted at the call sites): THREE — the
+    ``spark_actions`` metric, counted at the call sites): FOUR — the
     fused pop+fetch+extract ledger write, the frontier save (which
-    doubles as the seen delta via the ``is_new`` partition), and the
-    filter merge save — plus one amortized compaction write every
-    COMPACT_EVERY rounds. Batch counts, n_new, host_stats and round
-    metrics are all computed driver-side from the parquet those
-    actions already wrote (no counting actions). The separate
-    ``spark_jobs`` metric is what the Spark scheduler counted for the
-    round's job group — with AQE enabled that is one job per
-    materialized query stage, NOT the action count. Driver-side action
-    latency is what bounds small-round throughput; at production batch
-    sizes the same three actions amortize over millions of URLs."""
-    import duckdb as _duck
-
+    doubles as the seen delta via the ``is_new`` partition), the
+    host_stats aggregate save, and the filter merge save — plus one
+    amortized compaction write every COMPACT_EVERY rounds. All scalar
+    round metrics (batch size, objects, fetched/blocked/deferred
+    splits, n_new) ride the first two writes for FREE via
+    ``Dataset.observe`` — CollectMetrics nodes aggregate inside the
+    write job itself, so there are no counting actions and no
+    driver-side re-reads of just-written parquet. host_stats is the
+    one grouped aggregate ``observe`` cannot express (observations are
+    scalar); it is a distributed groupBy over the round's CACHED fetch
+    output — at 10^10-URL scale the host table is millions of rows,
+    which is exactly why it must not be a driver-side single-node
+    re-read (the pre-r5 DuckDB form). The separate ``spark_jobs``
+    metric is what the Spark scheduler counted for the round's job
+    group — with AQE enabled that is one job per materialized query
+    stage, NOT the action count. Driver-side action latency is what
+    bounds small-round throughput; at production batch sizes the same
+    four actions amortize over millions of URLs."""
     t0 = time.time()
     sc = spark.sparkContext
     job_group = f"crawl-round-{round_no}"
@@ -279,23 +286,34 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         "n_objects", F.size("links").alias("n_links"), "bytes",
         "partition_id", "blocked", "retry")
     # ONE job runs pop + politeness + fetch + extract and writes the
-    # ledger; batch counts come from the parquet written, not a separate
-    # count() action over the pop. ``blocked`` rows are popped URLs the
-    # robots per-path check stopped before the GET — they count toward
-    # the processed batch (so the frontier diff subtracts them; an
-    # all-blocked batch must not republish the frontier unchanged and
-    # stall the crawl) but not toward fetch metrics or host budgets.
-    # ``retry`` rows are blocked by a NON-definitive verdict (robots
-    # 5xx/unreachable = temporary disallow): they are returned to the
-    # frontier below instead of being consumed.
+    # ledger; batch counts ride the write itself as a CollectMetrics
+    # observation (aggregated executor-side during the write — no
+    # counting action, no driver re-read of the written parquet).
+    # ``blocked`` rows are popped URLs the robots per-path check
+    # stopped before the GET — they count toward the processed batch
+    # (so the frontier diff subtracts them; an all-blocked batch must
+    # not republish the frontier unchanged and stall the crawl) but
+    # not toward fetch metrics or host budgets. ``retry`` rows are
+    # marked by a NON-definitive verdict (robots 5xx/unreachable or a
+    # transient page-fetch failure): those still under the attempts
+    # cap are returned to the frontier below instead of being consumed.
+    obs_fetch = Observation(f"fetched-r{round_no}")
+    fetched = fetched.observe(
+        obs_fetch,
+        F.count(F.lit(1)).alias("n_batch"),
+        F.coalesce(F.sum("n_objects"), F.lit(0)).alias("n_objects"),
+        F.coalesce(F.sum((~F.col("blocked") & ~F.col("retry"))
+                         .cast("long")), F.lit(0)).alias("n_fetched"),
+        F.coalesce(F.sum((F.col("blocked") & ~F.col("retry"))
+                         .cast("long")), F.lit(0)).alias("n_blocked"),
+        F.coalesce(F.sum(F.col("retry").cast("long")),
+                   F.lit(0)).alias("n_retry_marked"))
     wh.save(fetched, "fetched", round_no)
     n_actions = 1
-    n_batch, n_objects, n_fetched, n_deferred = (int(v) for v in _duck.sql(
-        f"SELECT count(*), coalesce(sum(n_objects),0),"
-        f" coalesce(sum(CASE WHEN blocked OR retry THEN 0 ELSE 1"
-        f" END),0),"
-        f" coalesce(sum(CASE WHEN retry THEN 1 ELSE 0 END),0) FROM "
-        f"'{wh._path('fetched', round_no)}/*.parquet'").fetchone())
+    om = obs_fetch.get
+    n_batch, n_objects = int(om["n_batch"]), int(om["n_objects"])
+    n_fetched, n_blocked = int(om["n_fetched"]), int(om["n_blocked"])
+    n_retry_marked = int(om["n_retry_marked"])
     t_fetch = time.time()
     if n_batch == 0:
         # nothing fetched: carry state forward driver-side
@@ -320,7 +338,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         batch.unpersist()
         enriched.unpersist()
         return {"fetched": 0, "new": 0, "blocked": 0, "deferred": 0,
-                "sec": time.time() - t0}
+                "retry_marked": 0, "sec": time.time() - t0}
 
     # 5. link discovery -> candidate identity
     discovered = (enriched
@@ -350,16 +368,28 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # temporarily-blocked URLs (robots unreachable / transient fetch
     # failure) go BACK into the frontier for a later round — they were
     # popped but not consumed. Bounded: at most MAX_DEFERS re-adds per
-    # URL, priority decayed per attempt (the ledger's retry rows past
-    # the cap stay consumed, like any popped URL).
+    # URL (the ledger's retry rows past the cap stay consumed, like
+    # any popped URL). Priority is REBUILT from the depth base so the
+    # decay is exactly DEFER_PRIORITY_DECAY^attempts — the popped
+    # row's priority column already carries pop_batch's host-budget
+    # discount, and decaying that value would compound the discount
+    # into the decay on every retry.
+    obs_defer = Observation(f"deferred-r{round_no}")
     deferred = (enriched.filter("retry").select("url")
                 .join(batch.select("url", "url_hash", "host", "depth",
-                                   "priority", "attempts"), "url")
+                                   "attempts"), "url")
                 .filter(F.col("attempts") < F.lit(MAX_DEFERS))
                 .select("url", "url_hash", "host", "depth",
-                        (F.col("priority")
-                         * F.lit(DEFER_PRIORITY_DECAY)).alias("priority"),
-                        (F.col("attempts") + 1).alias("attempts")))
+                        (priority_of(F.col("depth"))
+                         * F.pow(F.lit(DEFER_PRIORITY_DECAY),
+                                 F.col("attempts") + 1)).alias("priority"),
+                        (F.col("attempts") + 1).alias("attempts"))
+                # n_deferred = URLs actually RE-FRONTIERED (retry rows
+                # past the attempts cap are consumed, not deferred —
+                # counting every retry-marked ledger row would report a
+                # URL as deferred on the very round it is dropped);
+                # rides the frontier write action below
+                .observe(obs_defer, F.count(F.lit(1)).alias("n")))
     next_frontier = (remaining.withColumn("is_new", F.lit(0))
                      .unionByName(deferred.withColumn("is_new", F.lit(0)))
                      .unionByName(fresh.withColumn("is_new", F.lit(1))))
@@ -367,50 +397,46 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     t_links = time.time()
     t_gate = time.time()
     # ONE write job runs the whole gate pipeline and publishes the
-    # frontier; n_new is then read driver-side from the just-written
-    # is_new=1 partition instead of a separate materializing count()
-    # (A/B-measured this round: 16.7s -> 11.5s median for 2 rounds at
-    # 6k batch, identical deltas — the round-2-era 3-5x regression
-    # from dropping the count predates the fused identity UDF and no
-    # longer reproduces). ``fresh`` stays cached: the write job
-    # populates the cache and the filter merge below reuses it.
-    import os as _os
-
+    # frontier; n_new and n_deferred ride the SAME action as
+    # CollectMetrics observations (no separate materializing count(),
+    # no driver re-read of the written is_new=1 partition). ``fresh``
+    # stays cached: the write job populates the cache and the filter
+    # merge below reuses it.
+    obs_front = Observation(f"frontier-r{round_no}")
+    next_frontier = next_frontier.observe(
+        obs_front, F.coalesce(F.sum("is_new"), F.lit(0)).alias("n_new"))
     wh.save(next_frontier, "frontier", round_no, partition_by="is_new")
     n_actions += 1
-    delta = _seen_delta_path(wh, round_no)
-    n_new = (int(_duck.sql(
-        f"SELECT count(*) FROM '{delta}/*.parquet'").fetchone()[0])
-        if _os.path.exists(delta) else 0)
+    n_new = int(obs_front.get["n_new"])
+    n_deferred = int(obs_defer.get["n"])
     t_frontier = time.time()
 
-    # cumulative per-host fetch counts drive next round's budget scoring;
-    # tiny table — aggregated driver-side from the fetched parquet just
-    # written (plus last round's totals), not with a Spark job.
-    prev_hosts = ""
+    # cumulative per-host fetch counts + newest fetch timestamp drive
+    # next round's budget scoring and crawl-delay gate. This is a
+    # grouped aggregate (``observe`` is scalar-only), computed as a
+    # DISTRIBUTED groupBy over the round's cached fetch output unioned
+    # with last round's totals — at 10^10-URL scale the host table is
+    # millions of rows, so a driver-side single-node aggregation (the
+    # pre-r5 DuckDB form) would be the round's scale bottleneck.
+    cur_hosts = (enriched.filter(~F.col("blocked"))
+                 .groupBy("host")
+                 .agg(F.count(F.lit(1)).cast("double").alias("crawled"),
+                      F.max(F.col("warc_ts").cast("double"))
+                      .alias("last_fetch_ts")))
     if wh.exists("host_stats", prev):
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
-        prev_path = wh._path("host_stats", prev)
-        pfs = _glob.glob(f"{prev_path}/*.parquet")
-        ts_expr = ("last_fetch_ts"
-                   if pfs and "last_fetch_ts" in
-                   _pq.read_schema(pfs[0]).names
-                   else "CAST(NULL AS DOUBLE)")  # pre-column warehouses
-        prev_hosts = (f"UNION ALL SELECT host, crawled,"
-                      f" {ts_expr} AS last_fetch_ts"
-                      f" FROM '{prev_path}/*.parquet'")
-    hosts_tbl = _duck.sql(
-        f"SELECT host, CAST(sum(crawled) AS DOUBLE) AS crawled,"
-        f" max(last_fetch_ts) AS last_fetch_ts FROM ("
-        f"  SELECT host, 1.0 AS crawled,"
-        f"  CAST(epoch(warc_ts) AS DOUBLE) AS last_fetch_ts FROM "
-        f"  '{wh._path('fetched', round_no)}/*.parquet'"
-        f"  WHERE NOT blocked {prev_hosts}"
-        f") GROUP BY host").arrow()
-    _write_parquet_driver_side(wh, "host_stats", round_no, hosts_tbl)
+        prev_df = wh.load(spark, "host_stats", prev)
+        if "last_fetch_ts" not in prev_df.columns:  # pre-column layout
+            prev_df = prev_df.withColumn(
+                "last_fetch_ts", F.lit(None).cast("double"))
+        cur_hosts = cur_hosts.unionByName(
+            prev_df.select("host", F.col("crawled").cast("double"),
+                           "last_fetch_ts"))
+    host_stats_df = (cur_hosts.groupBy("host")
+                     .agg(F.sum("crawled").alias("crawled"),
+                          F.max("last_fetch_ts").alias("last_fetch_ts")))
+    wh.save(host_stats_df, "host_stats", round_no,
+            partitions=max(spark.sparkContext.defaultParallelism // 8, 1))
+    n_actions += 1
 
     if filters is not None:
         # Incremental OR-merge: touches only buckets that gained keys.
@@ -426,7 +452,10 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     sec = time.time() - t0
     _write_metrics(wh, round_no, {
         "fetched": float(n_fetched), "objects": float(n_objects),
-        "robots_blocked": float(n_batch - n_fetched - n_deferred),
+        "robots_blocked": float(n_blocked),
+        # retry-marked ledger rows vs URLs actually re-frontiered; the
+        # difference is final-attempt rows consumed at the cap
+        "retry_marked": float(n_retry_marked),
         "robots_deferred": float(n_deferred),
         "new_urls": float(n_new), "sec": sec,
         "spark_actions": float(n_actions),
@@ -437,15 +466,15 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         "sec_frontier_seen": t_frontier - t_gate,
         "sec_filter": t_filter - t_frontier})
     wh.commit_round(round_no, {"fetched": n_fetched, "new": n_new,
-                               "blocked": n_batch - n_fetched - n_deferred,
+                               "blocked": n_blocked,
                                "deferred": n_deferred,
                                "sec": round(sec, 3)})
     batch.unpersist()
     enriched.unpersist()
     fresh.unpersist()
     return {"fetched": n_fetched, "new": n_new, "objects": n_objects,
-            "blocked": n_batch - n_fetched - n_deferred,
-            "deferred": n_deferred,
+            "blocked": n_blocked, "deferred": n_deferred,
+            "retry_marked": n_retry_marked,
             "sec": sec, "spark_actions": n_actions,
             "spark_jobs": n_jobs}
 

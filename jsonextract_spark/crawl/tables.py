@@ -32,8 +32,9 @@ fetched      batch_id, rank, url, host, depth, warc_ts, n_objects,
              5xx/unreachable: returned to the frontier, not consumed)
 host_stats   host, crawled (cumulative), last_fetch_ts (epoch seconds
              of the host's newest real fetch — drives cross-round
-             crawl-delay politeness; written driver-side via DuckDB
-             from the fetched parquet)
+             crawl-delay politeness; a distributed groupBy over the
+             round's fetch output — millions of hosts at 10^10-URL
+             scale, so never a driver-side aggregate)
 metrics      batch_id, key, value (incl. per-phase secs + spark_jobs)
 """
 

@@ -502,11 +502,17 @@ def test_deferral_is_bounded_by_attempts(spark, tmp_path):
                       seeds=["http://h.example/u1",
                              "http://h.example/u2"],
                       host_budget=5, batch_size=5, fetch_kernel=kernel)
-    # u2 is popped 1 + MAX_DEFERS times (each marked deferred in the
-    # ledger), then never again: the frontier is drained
+    # u2 is popped 1 + MAX_DEFERS times, RE-FRONTIERED after the first
+    # MAX_DEFERS pops (deferred counts actual re-frontiers, so the
+    # final-attempt pop that consumes it reports deferred=0 while its
+    # ledger row is still retry-marked), then never popped again: the
+    # frontier is drained
     deferred_rounds = [s["deferred"] for s in stats]
-    assert deferred_rounds[:MAX_DEFERS + 1] == [1] * (MAX_DEFERS + 1)
-    assert all(d == 0 for d in deferred_rounds[MAX_DEFERS + 1:])
+    retry_rounds = [s["retry_marked"] for s in stats]
+    assert deferred_rounds[:MAX_DEFERS] == [1] * MAX_DEFERS
+    assert all(d == 0 for d in deferred_rounds[MAX_DEFERS:])
+    assert retry_rounds[:MAX_DEFERS + 1] == [1] * (MAX_DEFERS + 1)
+    assert all(r == 0 for r in retry_rounds[MAX_DEFERS + 1:])
     assert stats[0]["fetched"] == 1            # u1, round 1
     assert all(s["fetched"] == 0 for s in stats[1:])
 
