@@ -70,17 +70,53 @@ def _fetch_one(url: str, timeout_sec: float,
 # Parsers are cached per Python worker process keyed by origin, with
 # per-entry TTLs (executor Python workers are REUSED across rounds and
 # jobs — without expiry a worker would enforce a host's old rules for
-# its whole process lifetime). Response handling follows RFC 9309
-# §2.3.1: 200 -> parse; 4xx (robots.txt "unavailable") -> allow-all;
-# 5xx ("unreachable") -> complete DISALLOW; no HTTP response at all ->
-# de-facto allow-all. 5xx and no-response verdicts are marked
-# non-definitive: they expire on the short TTL, are never persisted by
-# the cross-round cache, and the fetch kernel DEFERS (not consumes)
-# URLs they block.
+# its whole process lifetime) and a bounded entry count (a long-lived
+# worker sees millions of distinct hosts at frontier scale; TTLs
+# refresh entries but would never shrink the dict). Response handling:
+# 200 -> parse; 4xx (robots.txt "unavailable" per RFC 9309 §2.3.1) ->
+# allow-all; 5xx ("unreachable") -> complete DISALLOW as the RFC
+# prescribes. No HTTP response at all (network/DNS/timeout) ->
+# de-facto allow-all — a DELIBERATE DEVIATION from RFC 9309, which
+# treats an unreachable robots.txt as complete disallow: connection-
+# level failures are overwhelmingly the CLIENT's environment (DNS
+# hiccup, route flap, our own timeout), and disallowing on them would
+# let a transient local fault blackhole whole hosts. The deviation is
+# bounded: the verdict is non-definitive, so it expires on the short
+# TTL, is never persisted by the cross-round cache, and is re-asked on
+# the next batch that sees the host. 5xx and no-response verdicts are
+# both marked non-definitive, and the fetch kernel DEFERS (not
+# consumes) URLs a non-definitive verdict blocks.
+from typing import NamedTuple
 
-_ROBOTS_CACHE: dict = {}
+
+class _RobotsEntry(NamedTuple):
+    rp: object            # RobotFileParser, or None for allow-all
+    definitive: bool      # False: 5xx / no-response, never persisted
+    fetched_at: float
+
+
+_ROBOTS_CACHE: dict[str, _RobotsEntry] = {}
+_ROBOTS_CACHE_MAX = 100_000     # per-worker entry bound
 _ROBOTS_TTL_SEC = 3600.0        # definitive verdicts (per worker)
 _ROBOTS_ERR_TTL_SEC = 120.0     # 5xx / no-response: retry quickly
+
+
+def _evict_robots_cache(now: float):
+    """Keep the per-worker parser cache bounded: drop expired entries
+    first; if the cache is still full, drop the oldest 10% in one pass
+    (amortized — eviction runs only when an insert finds the cache
+    full, so the O(n log n) sort is paid once per ~10k inserts, not
+    per insert)."""
+    expired = [k for k, e in _ROBOTS_CACHE.items()
+               if now - e.fetched_at >= (_ROBOTS_TTL_SEC if e.definitive
+                                         else _ROBOTS_ERR_TTL_SEC)]
+    for k in expired:
+        del _ROBOTS_CACHE[k]
+    if len(_ROBOTS_CACHE) >= _ROBOTS_CACHE_MAX:
+        oldest = sorted(_ROBOTS_CACHE,
+                        key=lambda k: _ROBOTS_CACHE[k].fetched_at)
+        for k in oldest[:max(_ROBOTS_CACHE_MAX // 10, 1)]:
+            del _ROBOTS_CACHE[k]
 
 
 def _parse_robots(text: str):
@@ -100,10 +136,10 @@ def _robots_for(origin: str, timeout_sec: float = 10.0):
     now = time.time()
     hit = _ROBOTS_CACHE.get(origin)
     if hit is not None:
-        rp, definitive, fetched_at = hit
-        ttl = _ROBOTS_TTL_SEC if definitive else _ROBOTS_ERR_TTL_SEC
-        if now - fetched_at < ttl:
-            return rp, definitive
+        ttl = (_ROBOTS_TTL_SEC if hit.definitive
+               else _ROBOTS_ERR_TTL_SEC)
+        if now - hit.fetched_at < ttl:
+            return hit.rp, hit.definitive
     status, body, _err = _fetch_one(origin + "/robots.txt", timeout_sec,
                                     1 << 20)
     if status == 200:
@@ -114,11 +150,16 @@ def _robots_for(origin: str, timeout_sec: float = 10.0):
         out = (_parse_robots("User-agent: *\nDisallow: /"), False)
     elif status == 0:
         # no HTTP response at all (network/DNS/timeout): de-facto
-        # allow-all, but never persist the verdict — retry next time
+        # allow-all — a deliberate deviation from RFC 9309's disallow
+        # (see the module comment above: connection-level failures are
+        # usually the client's own environment); never persisted —
+        # re-asked on the short TTL
         out = (None, False)
     else:  # 4xx: no robots.txt -> everything allowed (definitive)
         out = (None, True)
-    _ROBOTS_CACHE[origin] = (*out, now)
+    if len(_ROBOTS_CACHE) >= _ROBOTS_CACHE_MAX:
+        _evict_robots_cache(now)
+    _ROBOTS_CACHE[origin] = _RobotsEntry(*out, now)
     return out
 
 
@@ -309,7 +350,9 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                               delay_sec: float = 0.0,
                               max_bytes: int = 4 << 20,
                               respect_robots: bool = True,
-                              user_agent: str | None = None):
+                              user_agent: str | None = None,
+                              default_delay_sec: float = 1.0,
+                              hot_hosts=None):
     """Compose the real HTTP fetcher with extraction + link discovery
     into the pipeline's fused kernel shape (synth.FETCH_EXTRACT_SCHEMA),
     so ``run_crawl(..., fetch_kernel=make_fetch_extract_kernel(...))``
@@ -330,10 +373,27 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
     to the frontier, so a momentary outage defers instead of
     blackholing them. Pair with
     ``run_crawl(robots_provider=make_robots_provider())`` so the
-    scheduler's host-level gate uses real robots too."""
+    scheduler's host-level gate uses real robots too.
+
+    ``default_delay_sec`` (default 1s — a crawler must be polite even
+    to hosts that don't ask) is the per-host pacing FLOOR applied when
+    robots.txt is silent about rate; an explicit Crawl-delay /
+    Request-rate ask always wins, and hosts in ``hot_hosts`` (an
+    operator-marked collection with clearance for full-rate fetching)
+    are exempt. Pass the same value to ``run_crawl`` so the scheduler
+    routes floor-paced hosts to a single task (the pacer's clock is
+    per task) and gates them across rounds."""
     import pandas as pd  # noqa: F811 (executor-side import)
 
     ua = user_agent or _HEADERS["User-Agent"]
+    hot = frozenset(hot_hosts or ())
+
+    def _ask_for(url: str, host: str) -> float | None:
+        ask = (robots_crawl_delay(url, ua, timeout_sec)
+               if respect_robots else None)
+        if ask is None and host not in hot and default_delay_sec > 0:
+            ask = default_delay_sec
+        return ask
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from jsonextract_spark.functions.udfs import (
@@ -361,11 +421,10 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                     # outage must not blackhole a host's batch
                     retry.append(not definitive)
                 else:
-                    if respect_robots:
-                        # honor the host's Crawl-delay/Request-rate ask
-                        # between consecutive requests to it
-                        pace(host, robots_crawl_delay(url, ua,
-                                                      timeout_sec))
+                    # honor the host's Crawl-delay/Request-rate ask —
+                    # or the politeness floor when robots is silent —
+                    # between consecutive requests to it
+                    pace(host, _ask_for(url, host))
                     _status, body, _err = _fetch_one(url, timeout_sec,
                                                      max_bytes)
                     blocked.append(False)
@@ -406,13 +465,19 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
 def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
                  max_bytes: int = 4 << 20,
                  respect_robots: bool = True,
-                 user_agent: str | None = None):
+                 user_agent: str | None = None,
+                 default_delay_sec: float = 1.0,
+                 hot_hosts=None):
     """Build the mapInPandas kernel. ``delay_sec`` spaces requests inside
     a task (politeness within the host bucket). ``respect_robots``
     (default ON) checks per-path robots rules before each GET; blocked
     URLs yield a status-0 row with err='robots' (this surface reports
-    per-URL outcomes, unlike the fused crawl kernel which drops them)."""
+    per-URL outcomes, unlike the fused crawl kernel which drops them).
+    ``default_delay_sec``/``hot_hosts``: per-origin pacing floor when
+    robots.txt is silent about rate (an explicit ask wins; hot origins
+    are exempt) — same contract as ``make_fetch_extract_kernel``."""
     ua = user_agent or _HEADERS["User-Agent"]
+    hot = frozenset(hot_hosts or ())
 
     def fetch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pace = _make_pacer()
@@ -428,9 +493,13 @@ def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
                     status, body = 0, b""
                     err = "robots" if definitive else "robots_unreachable"
                 else:
-                    if respect_robots:
-                        pace(_origin_of(url),
-                             robots_crawl_delay(url, ua, timeout_sec))
+                    org = _origin_of(url)
+                    ask = (robots_crawl_delay(url, ua, timeout_sec)
+                           if respect_robots else None)
+                    if (ask is None and org not in hot
+                            and default_delay_sec > 0):
+                        ask = default_delay_sec
+                    pace(org, ask)
                     status, body, err = _fetch_one(url, timeout_sec,
                                                    max_bytes)
                 rows["url"].append(url)

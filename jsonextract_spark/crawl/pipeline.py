@@ -209,7 +209,9 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
               use_bloom: bool = True,
               filter_kind: str = "bloom",
               fetch_kernel=None,
-              robots_provider=None) -> dict:
+              robots_provider=None,
+              default_delay_sec: float = 0.0,
+              hot_hosts=None) -> dict:
     """Execute round ``round_no`` (requires round_no-1 committed).
 
     Fixed Spark-ACTION budget per non-empty round (recorded as the
@@ -252,20 +254,26 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     host_stats = (wh.load(spark, "host_stats", prev)
                   if wh.exists("host_stats", prev) else None)
 
-    # 1. pop (robots gate + crawl-delay eligibility + host-budget
-    #    discount + salted per-host top-k + global cap)
+    # 1. pop (robots gate + delay eligibility + host-budget discount +
+    #    salted per-host top-k + global cap). ``default_delay_sec`` is
+    #    the politeness floor for hosts whose robots.txt is silent
+    #    about rate; ``hot_hosts`` opt out of the floor.
     batch = pop_batch(frontier, robots, host_budget, batch_size,
-                      host_stats=host_stats, now_ts=time.time())
+                      host_stats=host_stats, now_ts=time.time(),
+                      default_delay_sec=default_delay_sec,
+                      hot_hosts=hot_hosts)
     batch = batch.withColumn("batch_id", F.lit(round_no)).cache()
 
-    # 2. politeness repartition: salted host key spreads a hot host over
-    #    slots while keeping slot assignment deterministic. Hosts that
-    #    ASK for a crawl delay are NOT salted — their URLs land in one
-    #    task so the kernel's per-task pacer is the host's real clock
-    #    (salting would let up to 8 tasks hit the host concurrently).
-    salt = (F.when(F.col("crawl_delay").isNotNull(), F.lit(0))
+    # 2. politeness repartition: salted host key spreads an operator-
+    #    approved hot host over slots while keeping slot assignment
+    #    deterministic. Hosts with an effective delay (a robots
+    #    Crawl-delay/Request-rate ask, or the default floor when robots
+    #    is silent) are NOT salted — their URLs land in one task so the
+    #    kernel's per-task pacer is the host's real clock (salting
+    #    would let up to 8 tasks hit the host concurrently).
+    salt = (F.when(F.col("eff_delay").isNotNull(), F.lit(0))
             .otherwise(F.pmod(F.col("url_hash"), F.lit(8)))
-            if "crawl_delay" in batch.columns
+            if "eff_delay" in batch.columns
             else F.pmod(F.col("url_hash"), F.lit(8)))
     fetch_input = batch.repartition(
         max(spark.sparkContext.defaultParallelism, 4),
@@ -485,7 +493,9 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
               use_bloom: bool = True, resume: bool = False,
               filter_kind: str = "bloom", fetch_kernel=None,
               seeds: list[str] | None = None,
-              robots_provider=None) -> list[dict]:
+              robots_provider=None,
+              default_delay_sec: float = 0.0,
+              hot_hosts=None) -> list[dict]:
     """Run (or resume) a crawl to ``rounds`` committed rounds.
 
     ``fetch_kernel`` swaps the fused fetch+extract stage (default: the
@@ -494,7 +504,12 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
     ``seeds`` overrides the synthetic seed list with explicit URLs;
     ``robots_provider`` swaps the synthetic robots table for a callable
     (spark, frontier) -> DataFrame(host, allowed) — live crawls pass
-    ``fetch_http.make_robots_provider()``."""
+    ``fetch_http.make_robots_provider()``. ``default_delay_sec`` is the
+    per-host politeness floor for hosts whose robots.txt does not ask
+    for a rate (scheduler gate + single-task routing; pass the same
+    value to ``make_fetch_extract_kernel`` for within-round pacing);
+    ``hot_hosts`` lists hosts with operator clearance for full-rate
+    salted fetching."""
     wh = Warehouse(warehouse)
     if not resume:
         wh.destroy()
@@ -512,7 +527,9 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
     for r in range(start + 1, rounds + 1):
         s = run_round(spark, wh, r, host_budget, batch_size, use_bloom,
                       filter_kind=filter_kind, fetch_kernel=fetch_kernel,
-                      robots_provider=robots_provider)
+                      robots_provider=robots_provider,
+                      default_delay_sec=default_delay_sec,
+                      hot_hosts=hot_hosts)
         stats.append({"round": r, **s})
     return stats
 

@@ -45,7 +45,9 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
               batch_size: int, salts: int = SALT_PARTS,
               host_stats: DataFrame | None = None,
               now_ts: float | None = None,
-              politeness_budget_sec: float = 15.0) -> DataFrame:
+              politeness_budget_sec: float = 15.0,
+              default_delay_sec: float = 0.0,
+              hot_hosts=None) -> DataFrame:
     """Select this round's fetch set.
 
     frontier:   url, url_hash, host, depth, priority
@@ -58,18 +60,37 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
                 discounted by how much of the host's budget history is
                 already spent (north_star: "depth + host-budget
                 scoring").
-    now_ts:     when given alongside crawl_delay + last_fetch_ts, hosts
-                whose last fetch is younger than their crawl_delay are
+    now_ts:     when given alongside an effective delay + last_fetch_ts,
+                hosts whose last fetch is younger than their delay are
                 ineligible THIS round (their frontier rows simply aren't
                 popped) — without this gate, within-task pacing honors
                 the delay inside a round but consecutive rounds hit the
                 host at full rate.
-    Returns the batch with a deterministic global ``rank``.
+    default_delay_sec / hot_hosts: the POLITENESS FLOOR for hosts whose
+                robots.txt is silent about rate — an explicit robots ask
+                always wins; hosts in ``hot_hosts`` (an operator-marked
+                small collection that the caller has clearance to hit at
+                full parallel rate) are exempt and stay salted. The
+                resulting per-row ``eff_delay`` (null = unconstrained)
+                drives the cross-round gate and the per-round pop cap
+                here, and single-task routing + within-round pacing in
+                the pipeline/kernel.
+    Returns the batch with a deterministic global ``rank`` and the
+    ``eff_delay`` politeness column.
     """
     allowed = (frontier
                .join(F.broadcast(robots), "host", "left")
                .filter(F.coalesce(F.col("allowed"), F.lit(True)))
                .drop("allowed"))
+    ask = (F.col("crawl_delay") if "crawl_delay" in robots.columns
+           else F.lit(None).cast("double"))
+    floor = (F.lit(float(default_delay_sec)) if default_delay_sec > 0
+             else F.lit(None).cast("double"))
+    if hot_hosts:
+        floor = (F.when(F.col("host").isin(list(hot_hosts)),
+                        F.lit(None).cast("double"))
+                 .otherwise(floor))
+    allowed = allowed.withColumn("eff_delay", F.coalesce(ask, floor))
     if host_stats is not None:
         allowed = (allowed
                    .join(F.broadcast(host_stats), "host", "left")
@@ -78,17 +99,19 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
                        F.col("priority") /
                        (F.lit(1.0) + F.log1p(
                            F.coalesce(F.col("crawled"), F.lit(0.0))))))
-        if (now_ts is not None and "crawl_delay" in robots.columns
-                and "last_fetch_ts" in host_stats.columns):
-            # gate ONLY hosts that ask for a delay: a null-delay host
-            # must never be filtered — a coalesce(delay, 0) form would
-            # reduce to last_fetch_ts <= now for every host, which is
-            # vacuous locally but stalls whole rounds under
-            # executor-vs-driver clock skew on a real cluster
+        if now_ts is not None and "last_fetch_ts" in host_stats.columns:
+            # gate ONLY hosts with an effective delay (robots ask or
+            # the configured floor): an unconstrained host must never
+            # be filtered — a coalesce(delay, 0) form would reduce to
+            # last_fetch_ts <= now for every host, which is vacuous
+            # locally but stalls whole rounds under executor-vs-driver
+            # clock skew on a real cluster. With a floor the gate is a
+            # real intentional rate: worst-case skew delays a host by
+            # skew+floor seconds, it cannot stall the round.
             allowed = allowed.filter(
-                F.col("crawl_delay").isNull()
+                F.col("eff_delay").isNull()
                 | F.col("last_fetch_ts").isNull()
-                | (F.col("last_fetch_ts") + F.col("crawl_delay")
+                | (F.col("last_fetch_ts") + F.col("eff_delay")
                    <= F.lit(float(now_ts))))
         allowed = allowed.drop("crawled", "last_fetch_ts")
 
@@ -96,22 +119,20 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
              F.col("url").asc()]
     per_host = salted_top_k_per_group(
         allowed, ["host"], order, host_budget, salts)
-    if "crawl_delay" in robots.columns:
-        # a delay-asking host's URLs run sequentially in ONE task spaced
-        # crawl_delay apart, so popping k of them occupies that task
-        # ~(k-1)*delay seconds — cap k by ``politeness_budget_sec`` so a
-        # single polite host can't straggle the whole round (its
-        # remaining URLs simply stay in the frontier for later rounds)
-        limit = F.when(
-            F.col("crawl_delay").isNotNull()
-            & (F.col("crawl_delay") > 0),
-            F.least(
-                F.lit(host_budget),
-                (F.lit(1) + F.floor(
-                    F.lit(float(politeness_budget_sec))
-                    / F.col("crawl_delay"))).cast("int"))
-        ).otherwise(F.lit(host_budget))
-        per_host = per_host.filter(F.col("rank_in_group") <= limit)
+    # a delay-constrained host's URLs run sequentially in ONE task
+    # spaced eff_delay apart, so popping k of them occupies that task
+    # ~(k-1)*delay seconds — cap k by ``politeness_budget_sec`` so a
+    # single polite host can't straggle the whole round (its remaining
+    # URLs simply stay in the frontier for later rounds)
+    limit = F.when(
+        F.col("eff_delay").isNotNull() & (F.col("eff_delay") > 0),
+        F.least(
+            F.lit(host_budget),
+            (F.lit(1) + F.floor(
+                F.lit(float(politeness_budget_sec))
+                / F.col("eff_delay"))).cast("int"))
+    ).otherwise(F.lit(host_budget))
+    per_host = per_host.filter(F.col("rank_in_group") <= limit)
 
     # Global cap: orderBy+limit compiles to TakeOrderedAndProject — a
     # distributed tree top-k, NOT a single-task global sort. The dense

@@ -868,3 +868,125 @@ def test_crawl_resume_equals_uninterrupted(tmp_path):
     _run_crawl_cli(w_res, 3, "local[4]", resume=True)
     assert _ledger(w_full) == _ledger(w_res)
     assert _seen_set(w_full, 3) == _seen_set(w_res, 3)
+
+
+def test_pop_batch_default_delay_floor_gates_silent_hosts(spark):
+    """With a default politeness floor, a host whose robots.txt is
+    SILENT about rate is still gated across rounds (and pop-capped)
+    exactly like a delay-asking host; an explicit robots ask wins over
+    the floor, and operator-marked hot hosts are exempt."""
+    from jsonextract_spark.crawl.scheduler import pop_batch
+
+    frontier = spark.createDataFrame(
+        [("http://ask.example/1", 1, "ask.example", 0, 1.0),
+         ("http://silent.example/1", 2, "silent.example", 0, 1.0),
+         ("http://hot.example/1", 3, "hot.example", 0, 1.0)],
+        "url string, url_hash long, host string, depth int,"
+        " priority double")
+    robots = spark.createDataFrame(
+        [("ask.example", True, 2.0), ("silent.example", True, None),
+         ("hot.example", True, None)],
+        "host string, allowed boolean, crawl_delay double")
+    host_stats = spark.createDataFrame(
+        [(h, 1.0, 100.0) for h in ("ask.example", "silent.example",
+                                   "hot.example")],
+        "host string, crawled double, last_fetch_ts double")
+
+    def hosts(now_ts):
+        return {r["host"] for r in pop_batch(
+            frontier, robots, 5, 10, host_stats=host_stats,
+            now_ts=now_ts, default_delay_sec=10.0,
+            hot_hosts=["hot.example"]).collect()}
+
+    # 5s after last fetch: ask.example's 2s robots ask has elapsed (the
+    # ask WINS over the 10s floor); silent.example is floor-gated;
+    # hot.example is exempt from the floor
+    assert hosts(105.0) == {"ask.example", "hot.example"}
+    assert hosts(111.0) == {"ask.example", "silent.example",
+                            "hot.example"}
+    # eff_delay column drives downstream routing: ask=2.0, floor=10.0,
+    # hot=null
+    eff = {r["host"]: r["eff_delay"] for r in pop_batch(
+        frontier, robots, 5, 10, default_delay_sec=10.0,
+        hot_hosts=["hot.example"]).collect()}
+    assert eff == {"ask.example": 2.0, "silent.example": 10.0,
+                   "hot.example": None}
+    # the per-round pop cap applies to floor-gated hosts too:
+    # 1 + floor(20/10) = 3 of the 8 URLs
+    many = spark.createDataFrame(
+        [(f"http://silent.example/{i}", 10 + i, "silent.example",
+          0, 1.0) for i in range(8)],
+        "url string, url_hash long, host string, depth int,"
+        " priority double")
+    got = pop_batch(many, robots, host_budget=8, batch_size=100,
+                    politeness_budget_sec=20.0,
+                    default_delay_sec=10.0).collect()
+    assert len(got) == 3
+
+
+def test_crawl_default_floor_routes_host_to_single_task(spark, tmp_path):
+    """With a politeness floor, every non-hot host's URLs land in ONE
+    fetch task (the per-task pacer is then the host's real clock);
+    without the floor, a multi-URL host spreads over salted tasks."""
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    def parts_per_host(warehouse, **kw):
+        run_crawl(spark, warehouse, rounds=1, n_seeds=64,
+                  host_budget=64, batch_size=200, **kw)
+        fetched = spark.read.parquet(f"{warehouse}/fetched/round=1")
+        from pyspark.sql import functions as F
+        rows = (fetched.groupBy("host")
+                .agg(F.countDistinct("partition_id").alias("p"),
+                     F.count(F.lit(1)).alias("n")).collect())
+        return {r["host"]: (r["p"], r["n"]) for r in rows}
+
+    floored = parts_per_host(str(tmp_path / "w_floor"),
+                             default_delay_sec=30.0)
+    assert floored and all(p == 1 for p, _n in floored.values())
+    salted = parts_per_host(str(tmp_path / "w_salted"))
+    # the synthetic seed set puts many URLs on some hosts — without a
+    # floor at least one such host must be spread over >1 task
+    assert any(p > 1 for p, n in salted.values() if n >= 8)
+    # hot hosts keep full-rate salting even under a floor
+    hot = [h for h, (_p, n) in salted.items() if n >= 8]
+    hotted = parts_per_host(str(tmp_path / "w_hot"),
+                            default_delay_sec=30.0, hot_hosts=hot)
+    assert any(p > 1 for h, (p, n) in hotted.items() if h in hot)
+
+
+def test_fetch_kernel_default_floor_paces_silent_host():
+    """A host with NO robots rate ask is still paced by the default
+    floor (3 URLs -> >= 2 * floor), and a hot host is exempt."""
+    import time
+
+    import pandas as pd
+
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel)
+
+    srv, port, _ = _serve(
+        lambda p: b"User-agent: *\nDisallow: /private/\n"
+        if p == "/robots.txt" else b"<html>ok</html>")
+    try:
+        host = f"127.0.0.1:{port}"
+        pdf = pd.DataFrame({
+            "url": [f"http://{host}/x/{i}" for i in range(3)],
+            "host": [host] * 3, "depth": [0] * 3,
+            "batch_id": [1] * 3, "rank": [1, 2, 3]})
+        kern = make_fetch_extract_kernel(timeout_sec=5,
+                                         default_delay_sec=0.5)
+        t0 = time.time()
+        out = pd.concat(list(kern([pdf.copy()])))
+        dt = time.time() - t0
+        assert list(out["blocked"]) == [False] * 3
+        assert dt >= 1.0, f"floor not honored: {dt:.2f}s for 3 urls"
+
+        hot_kern = make_fetch_extract_kernel(
+            timeout_sec=5, default_delay_sec=5.0, hot_hosts=[host])
+        t0 = time.time()
+        out = pd.concat(list(hot_kern([pdf.copy()])))
+        dt = time.time() - t0
+        assert list(out["blocked"]) == [False] * 3
+        assert dt < 5.0, f"hot host should skip the floor: {dt:.2f}s"
+    finally:
+        srv.shutdown()
