@@ -412,3 +412,64 @@ def test_bpe_saturated_corpus_token_count(spark):
         "doc_id", count_udf("text").alias("n"),
         F.size(F.split("text", " ")).cast("long").alias("w")).collect()
     assert rows and all(r["n"] == r["w"] for r in rows)
+
+
+def _bpe_rich_corpus():
+    """Deterministic Zipfian syllable corpus whose pair statistics
+    support merges far past the sf-table corpus's ~61-merge saturation
+    point — the regime where BPE behaves like a real tokenizer (common
+    words one token, rare words several)."""
+    import random
+
+    rng = random.Random(20260817)
+    syll = ["ta", "re", "mi", "lon", "ver", "sha", "qu", "ix", "ton",
+            "ar", "bel", "cor", "dun", "eth", "fal", "gor"]
+    vocab = ["".join(rng.choice(syll) for _ in range(rng.randint(2, 4)))
+             for _ in range(1500)]
+    texts = []
+    for _d in range(600):
+        ws = [vocab[min(int(rng.paretovariate(1.05)), len(vocab) - 1)]
+              for _ in range(60)]
+        texts.append(" ".join(ws) + ".")
+    return texts
+
+
+def test_bpe_vocab_512_golden_table():
+    """Past-saturation golden pin (vocab >= 512): on the rich corpus
+    training learns 337 merges -> a 593-entry vocabulary, the first 16
+    merges match this golden table exactly (pair-frequency order with
+    deterministic ties), a sample encoding matches golden ids, and the
+    per-word token rate sits just above 1 — the real-tokenizer regime
+    where frequent words are single tokens and rare words split, which
+    the saturated ~61-merge sf-corpus regime (token == word) never
+    exercises."""
+    from jsonextract_spark.datapipe.bpe import (BpeTokenizer,
+                                                train_bpe_merges)
+
+    texts = _bpe_rich_corpus()
+    merges = train_bpe_merges(texts, n_merges=400, min_pair_count=2)
+    assert len(merges) == 337
+    tok = BpeTokenizer(merges)
+    assert len(tok.vocab) == 593
+    assert len(tok.vocab) >= 512
+    assert merges[:16] == [
+        (b"e", b"r"), (b"v", b"er"), (b" ", b"ver"), (b"q", b"u"),
+        (b"ver", b"ver"), (b"qu", b"verver"), (b" ver", b"quverver"),
+        (b"a", b"l"), (b"m", b"i"), (b"f", b"al"), (b" ver", b"fal"),
+        (b"a", b"r"), (b"o", b"n"), (b"o", b"r"), (b"g", b"or"),
+        (b"l", b"on")]
+    assert tok.encode("tare milon verixquton") == \
+        [116, 366, 272, 271, 258, 281, 259, 312]
+    # the past-saturation signature: tokens-per-word just over 1.0
+    # (saturated vocab gives exactly 1.0; char-level gives ~7)
+    toks = sum(tok.n_tokens(t) for t in texts[:50])
+    words = sum(len(t.split()) for t in texts[:50])
+    assert 1.0 < toks / words < 1.2
+    # byte-exact roundtrip still holds for text the training never saw
+    for s in ["unseen words stay decodable: « ½ 漢字 »",
+              "tabs\tand\nnewlines \x00 nul", ""]:
+        assert tok.decode(tok.encode(s)) == s
+    # determinism: retraining on a fresh identical corpus reproduces
+    # the merge table bit-for-bit
+    assert train_bpe_merges(_bpe_rich_corpus(), n_merges=400,
+                            min_pair_count=2) == merges

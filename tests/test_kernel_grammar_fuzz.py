@@ -195,3 +195,86 @@ def test_bracket_soup_never_crashes_outputs_valid(text):
     and extraction must terminate."""
     for obj in extract_objects(text.encode("utf-8")):
         json.loads(obj)
+
+
+# -- number-literal family ---------------------------------------------------
+#
+# JS number notations -> JSON decimalization parity (transformNumber,
+# reader.go:441-507): hex/octal/binary literals (any prefix case, with
+# sign) decimalize via uint64 parsing; decimal BigInts drop the 'n'
+# suffix; '+' signs vanish; trailing-dot floats gain a '0'; everything
+# else passes through. The oracle below recomputes the expected text
+# INDEPENDENTLY with Python int parsing. Out-of-scope by pinned design
+# (lexer rejects, matching reference notes/fixtures): numeric
+# separators '1_000', legacy octal '012', hex BigInt '0x5n'
+# (reader_test.go:309-310).
+
+_RADIX = [(16, ("0x", "0X"), "0123456789abcdefABCDEF"),
+          (8, ("0o", "0O"), "01234567"),
+          (2, ("0b", "0B"), "01")]
+_SIGNS = st.sampled_from(["", "+", "-"])
+_INTPART = (st.just("0")
+            | st.builds(lambda h, t: h + t,
+                        st.sampled_from("123456789"),
+                        st.text(alphabet="0123456789", max_size=18)))
+
+
+@st.composite
+def _number_case(draw):
+    """-> (literal_text, expected_decimal_text | None==object dropped)."""
+    kind = draw(st.sampled_from(
+        ["radix", "bigint", "float", "traildot", "plain"]))
+    sign = draw(_SIGNS)
+    keep = "-" if sign == "-" else ""
+    if kind == "radix":
+        base, prefixes, alpha = draw(st.sampled_from(_RADIX))
+        digits = draw(st.text(alphabet=alpha, min_size=1, max_size=20))
+        lit = sign + draw(st.sampled_from(prefixes)) + digits
+        val = int(digits, base)
+        if val > 2**64 - 1:
+            # transformNumber passes the un-decimalizable literal
+            # through; json.Valid then rejects the whole object
+            return lit, None
+        return lit, keep + str(val)
+    if kind == "bigint":
+        digits = draw(_INTPART)
+        return sign + digits + "n", keep + digits
+    if kind == "plain":
+        digits = draw(_INTPART)
+        return sign + digits, keep + digits
+    intpart = draw(_INTPART)
+    if kind == "traildot":
+        return sign + intpart + ".", keep + intpart + ".0"
+    frac = draw(st.text(alphabet="0123456789", max_size=6))
+    exp = ""
+    if draw(st.booleans()) or not frac:
+        exp = (draw(st.sampled_from("eE"))
+               + draw(st.sampled_from(["", "+", "-"]))
+               + draw(st.text(alphabet="0123456789", min_size=1,
+                              max_size=3)))
+    body = intpart + ("." + frac if frac else "") + exp
+    return sign + body, keep + body
+
+
+@settings(max_examples=200, deadline=None)
+@given(objs=st.lists(st.lists(st.tuples(_KEY, _number_case()),
+                              min_size=1, max_size=3),
+                     min_size=1, max_size=3),
+       seps=st.lists(_GARBAGE, min_size=4, max_size=4))
+def test_number_literals_decimalize_like_reference(objs, seps):
+    page = seps[0]
+    expected = []
+    for kvs, sep in zip(objs, seps[1:]):
+        page += ("{" + ", ".join(f"{k}: {lit}"
+                                 for k, (lit, _) in kvs) + "}") + sep
+        if all(dec is not None for _k, (_l, dec) in kvs):
+            # duplicate keys: the scanner emits all pairs (Go marshal
+            # of the raw buffer) — keep last-write expectation simple
+            # by only asserting the byte form, which preserves order
+            expected.append(
+                "{" + ",".join(f'"{k}":{dec}'
+                               for k, (_l, dec) in kvs) + "}")
+    out = extract_objects(page.encode("utf-8"))
+    assert [o.decode() for o in out] == expected, page
+    for o in out:
+        json.loads(o)  # every emission is strict JSON
