@@ -12,9 +12,12 @@ on local[$SPARK_GRAFT_CPUS]):
   q_crawl        two full crawl rounds (pop -> fetch -> extract -> seen
                  gate -> commit)
   q_crawl_bigbatch  one crawl round at production batch size (50k URLs
-                 at sf0.1) — evidences that the fixed 3 actions/round
+                 at sf0.1) — evidences that the fixed actions/round
                  amortize: URLs/s should sit well above q_crawl's
                  driver-latency-bound small-batch number
+  q_crawl_bigbatch_steady  THREE rounds at production batch size —
+                 the steady-state regime (warm filters, link-built
+                 frontier); per-round secs/URLs published (since r05)
   q_dedup_minhash  MinHash-LSH near-dup pairs over the page corpus
                  (per-stage split: signature / band join / verify).
                  COMPARABILITY: since round 2 this measures the FULL
@@ -30,7 +33,12 @@ shared VM's deliverable throughput swings 2-6x across minutes, so
 single-shot 1-20s numbers measured the host's moment, not the code
 (r01/r02 were single-shot everywhere; r03 was single-shot for
 q_crawl/q_crawl_bigbatch, which drifted 676<->848 URLs/s on identical
-code — medians everywhere since r04).
+code — medians everywhere since r04). Since r05 the JSON line also
+publishes the RAW per-rep samples and relative spread per query
+("query_samples"/"query_spread"), so a round-over-round delta can be
+judged against the same run's spread instead of guessing whether it
+is code or host drift (the r4 dedup series was unreadable without
+this).
 
 Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N): the same
 fused fetch+extract job at local[4] vs local[16] under equal total
@@ -133,6 +141,34 @@ def bench_crawl_bigbatch(spark) -> tuple[float, int, float]:
                       batch_size=n)
     dt = time.time() - t0
     return dt, sum(s["fetched"] for s in stats), stats[0]["sec"]
+
+
+def bench_crawl_bigbatch_steady(spark) -> tuple[float, dict]:
+    """THREE crawl rounds at production batch size — the steady-state
+    series next to the single-round q_crawl_bigbatch: round 1 pays
+    init plus the all-seeds fetch; rounds 2-3 run the pipeline in its
+    production regime (frontier full of discovered links, seen filters
+    warm, host_stats populated). Per-round seconds and URL counts are
+    published so the fixed-actions amortization claim is read off
+    CONSECUTIVE rounds, not a cold start. Single rep: ~3x the bigbatch
+    duration already averages over host-drift windows, and the
+    per-round samples expose any remaining swing."""
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    wh = "/tmp/jsx_bench_wh_steady"
+    n = max(int(500_000 * SF), 200)
+    t0 = time.time()
+    stats = run_crawl(spark, wh, rounds=3, n_seeds=n, host_budget=n,
+                      batch_size=n)
+    dt = time.time() - t0
+    steady_secs = sum(s["sec"] for s in stats[1:])
+    steady_urls = sum(s["fetched"] for s in stats[1:])
+    steady = {
+        "round_secs": [round(s["sec"], 3) for s in stats],
+        "round_fetched": [s["fetched"] for s in stats],
+        "steady_urls_per_sec": round(steady_urls / steady_secs, 1),
+    }
+    return dt, steady
 
 
 def _dedup_corpus(spark, n_pages: int):
@@ -328,7 +364,10 @@ def _extract_throughput_at(master: str, n_pages: int):
     return d["rate"], d["sec"]
 
 
-def _median_run(fn, reps: int = 3, key=None):
+QUERY_SAMPLES: dict[str, list[float]] = {}
+
+
+def _median_run(fn, reps: int = 3, key=None, name: str | None = None):
     """Run ``fn`` ``reps`` times, return the run with the MEDIAN key.
 
     This shared VM's deliverable throughput swings 2-6x across minutes
@@ -338,11 +377,24 @@ def _median_run(fn, reps: int = 3, key=None):
     back-to-back reps (short queries since round 3; the crawl benches
     too since round 4 — single-shot q_crawl drifted 676<->848 URLs/s
     across runs of identical code, so 'long enough to average over
-    windows' was empirically false)."""
+    windows' was empirically false). ``name`` records the raw per-rep
+    seconds into QUERY_SAMPLES (published since round 5, so a
+    round-over-round delta can be read against the same run's spread
+    instead of guessing whether it is code or host drift)."""
     runs = [fn() for _ in range(reps)]
     vals = [key(r) if key else r for r in runs]
+    if name is not None:
+        QUERY_SAMPLES[name] = [round(float(v), 3) for v in vals]
     order = sorted(range(reps), key=lambda i: vals[i])
     return runs[order[reps // 2]]
+
+
+def _rel_spread(xs: list[float]) -> float:
+    """(max-min)/median of the samples — 0 means a quiet host."""
+    import statistics
+
+    med = statistics.median(xs)
+    return round((max(xs) - min(xs)) / med, 3) if med else 0.0
 
 
 def main():
@@ -360,17 +412,18 @@ def main():
     spark = build_session("jsx-bench", master=f"local[{CPUS}]")
     bench_extract(spark, 2000)  # spin JVM + Python workers once
     dt, n_urls = _median_run(lambda: bench_extract(spark, N_PAGES),
-                             key=lambda r: r[0])
+                             key=lambda r: r[0], name="q_extract")
     results["q_extract"] = round(dt, 3)
     extra["urls_per_sec"] = round(n_urls / dt, 1)
 
     dt, fetched = _median_run(lambda: bench_crawl(spark),
-                              key=lambda r: r[0])
+                              key=lambda r: r[0], name="q_crawl")
     results["q_crawl"] = round(dt, 3)
     extra["crawl_urls_per_sec"] = round(fetched / dt, 1)
 
     dt, fetched, round_sec = _median_run(
-        lambda: bench_crawl_bigbatch(spark), key=lambda r: r[0])
+        lambda: bench_crawl_bigbatch(spark), key=lambda r: r[0],
+        name="q_crawl_bigbatch")
     results["q_crawl_bigbatch"] = round(dt, 3)
     # incl. init (cold start) and round-only (the steady-state rate the
     # amortization claim is about — init happens once per crawl)
@@ -379,18 +432,28 @@ def main():
         fetched / round_sec, 1)
     extra["crawl_bigbatch_urls"] = fetched
 
+    dt, steady = bench_crawl_bigbatch_steady(spark)
+    results["q_crawl_bigbatch_steady"] = round(dt, 3)
+    extra["crawl_bigbatch_steady"] = steady
+
     dedup_sec, dedup_stages = _median_run(
-        lambda: bench_dedup(spark, N_PAGES), key=lambda r: r[0])
+        lambda: bench_dedup(spark, N_PAGES), key=lambda r: r[0],
+        name="q_dedup_minhash")
     results["q_dedup_minhash"] = round(dedup_sec, 3)
     extra["dedup_minhash_stages"] = dedup_stages
     results["q_dedup_simhash"] = round(_median_run(
-        lambda: bench_simhash(spark, N_PAGES)), 3)
-    results["q_ann"] = round(_median_run(lambda: bench_ann(spark)), 3)
+        lambda: bench_simhash(spark, N_PAGES),
+        name="q_dedup_simhash"), 3)
+    results["q_ann"] = round(_median_run(lambda: bench_ann(spark),
+                                         name="q_ann"), 3)
     results["q_ann_ivf"] = round(_median_run(
-        lambda: bench_ann_ivf(spark)), 3)
+        lambda: bench_ann_ivf(spark), name="q_ann_ivf"), 3)
     results["q_oracle_suite"] = round(_median_run(
-        lambda: bench_oracle_suite(spark)), 3)
+        lambda: bench_oracle_suite(spark), name="q_oracle_suite"), 3)
     spark.stop()
+    extra["query_samples"] = dict(QUERY_SAMPLES)
+    extra["query_spread"] = {k: _rel_spread(v)
+                             for k, v in QUERY_SAMPLES.items()}
     _run_scaling(results, extra)
 
 
@@ -578,16 +641,33 @@ generate → ArrowEvalPython extract → explode → JSON filter → count),
 seen gate → atomic ledger commit).
 
 Amortization evidence (BASELINE.json frontier design point): a crawl
-round runs a FIXED three Spark actions, so small-batch rounds are
+round runs a FIXED four Spark actions, so small-batch rounds are
 driver-latency-bound and the rate rises with batch size —
 q_crawl_bigbatch runs ONE round over {extra.get('crawl_bigbatch_urls')}
-URLs ({extra.get('crawl_bigbatch_round_urls_per_sec')} URLs/sec
-steady-state round rate; {extra.get('crawl_bigbatch_urls_per_sec')}
-URLs/sec including the one-time init/seed write) vs
+URLs ({extra.get('crawl_bigbatch_round_urls_per_sec')} URLs/sec round
+rate; {extra.get('crawl_bigbatch_urls_per_sec')} URLs/sec including
+the one-time init/seed write) vs
 {extra.get('crawl_urls_per_sec')} URLs/sec at the ~12k-URL q_crawl
-config on the same universe. At production batch sizes the same three
+config on the same universe. At production batch sizes the same four
 actions spread over millions of URLs.
 
+Multi-round steady state (since r05): q_crawl_bigbatch_steady runs
+THREE production-size rounds — per-round seconds
+{(extra.get('crawl_bigbatch_steady') or {}).get('round_secs')} over
+{(extra.get('crawl_bigbatch_steady') or {}).get('round_fetched')}
+URLs; rounds 2-3 (warm filters, link-built frontier) sustain
+{(extra.get('crawl_bigbatch_steady') or {}).get('steady_urls_per_sec')}
+URLs/sec.
+
+Per-query raw samples (median published above; spread =
+(max-min)/median — judge deltas against the same run's spread):
+
+| query | samples (sec) | rel. spread |
+|---|---|---|
+""" + "".join(
+            f"| {q} | {extra.get('query_samples', {}).get(q)} "
+            f"| {extra.get('query_spread', {}).get(q)} |\n"
+            for q in sorted(extra.get("query_samples", {}))) + """
 Reference baseline: the Go library publishes no performance numbers
 (/root/repo/BASELINE.md) — these measured values are the per-round
 comparison series.
