@@ -990,3 +990,33 @@ def test_fetch_kernel_default_floor_paces_silent_host():
         assert dt < 5.0, f"hot host should skip the floor: {dt:.2f}s"
     finally:
         srv.shutdown()
+
+
+def test_robots_cache_is_bounded():
+    """The per-worker robots parser cache evicts once it reaches its
+    entry bound: expired entries go first, then the oldest tenth —
+    a reused worker that has seen millions of hosts must not hold one
+    parser per host forever."""
+    from jsonextract_spark.crawl import fetch_http as fh
+
+    saved = dict(fh._ROBOTS_CACHE)
+    try:
+        fh._ROBOTS_CACHE.clear()
+        now = 1_000_000.0
+        cap = fh._ROBOTS_CACHE_MAX
+        # fill to the cap with definitive entries, oldest first
+        for i in range(cap):
+            fh._ROBOTS_CACHE[f"http://h{i}.example"] = fh._RobotsEntry(
+                None, True, now - cap + i)
+        # a handful are expired (older than the definitive TTL)
+        for i in range(5):
+            fh._ROBOTS_CACHE[f"http://h{i}.example"] = fh._RobotsEntry(
+                None, True, now - fh._ROBOTS_TTL_SEC - 1)
+        fh._evict_robots_cache(now)
+        assert len(fh._ROBOTS_CACHE) <= cap - max(cap // 10, 1)
+        # newest entries survive eviction; the expired ones are gone
+        assert f"http://h{cap - 1}.example" in fh._ROBOTS_CACHE
+        assert "http://h0.example" not in fh._ROBOTS_CACHE
+    finally:
+        fh._ROBOTS_CACHE.clear()
+        fh._ROBOTS_CACHE.update(saved)
