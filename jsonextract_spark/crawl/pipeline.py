@@ -402,6 +402,50 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                      .unionByName(deferred.withColumn("is_new", F.lit(0)))
                      .unionByName(fresh.withColumn("is_new", F.lit(1))))
 
+    # cumulative per-host fetch counts + newest fetch timestamp drive
+    # next round's budget scoring and crawl-delay gate. This is a
+    # grouped aggregate (``observe`` is scalar-only), computed as a
+    # DISTRIBUTED groupBy over the round's cached fetch output unioned
+    # with last round's totals — at 10^10-URL scale the host table is
+    # millions of rows, so a driver-side single-node aggregation (the
+    # pre-r5 DuckDB form) would be the round's scale bottleneck. The
+    # write depends ONLY on the already-cached `enriched`, so it runs
+    # on a side thread CONCURRENTLY with the frontier and filter
+    # writes below: the round's wall clock pays max(), not sum(), of
+    # the independent actions.
+    import threading
+
+    cur_hosts = (enriched.filter(~F.col("blocked"))
+                 .groupBy("host")
+                 .agg(F.count(F.lit(1)).cast("double").alias("crawled"),
+                      F.max(F.col("warc_ts").cast("double"))
+                      .alias("last_fetch_ts")))
+    if wh.exists("host_stats", prev):
+        prev_df = wh.load(spark, "host_stats", prev)
+        if "last_fetch_ts" not in prev_df.columns:  # pre-column layout
+            prev_df = prev_df.withColumn(
+                "last_fetch_ts", F.lit(None).cast("double"))
+        cur_hosts = cur_hosts.unionByName(
+            prev_df.select("host", F.col("crawled").cast("double"),
+                           "last_fetch_ts"))
+    host_stats_df = (cur_hosts.groupBy("host")
+                     .agg(F.sum("crawled").alias("crawled"),
+                          F.max("last_fetch_ts").alias("last_fetch_ts")))
+    host_err: list[BaseException] = []
+
+    def _save_host_stats():
+        try:
+            wh.save(host_stats_df, "host_stats", round_no,
+                    partitions=max(
+                        spark.sparkContext.defaultParallelism // 8, 1))
+        except BaseException as e:  # re-raised on the round thread
+            host_err.append(e)
+
+    host_thread = threading.Thread(target=_save_host_stats,
+                                   name=f"host-stats-r{round_no}")
+    host_thread.start()
+    n_actions += 1
+
     t_links = time.time()
     t_gate = time.time()
     # ONE write job runs the whole gate pipeline and publishes the
@@ -419,33 +463,6 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     n_deferred = int(obs_defer.get["n"])
     t_frontier = time.time()
 
-    # cumulative per-host fetch counts + newest fetch timestamp drive
-    # next round's budget scoring and crawl-delay gate. This is a
-    # grouped aggregate (``observe`` is scalar-only), computed as a
-    # DISTRIBUTED groupBy over the round's cached fetch output unioned
-    # with last round's totals — at 10^10-URL scale the host table is
-    # millions of rows, so a driver-side single-node aggregation (the
-    # pre-r5 DuckDB form) would be the round's scale bottleneck.
-    cur_hosts = (enriched.filter(~F.col("blocked"))
-                 .groupBy("host")
-                 .agg(F.count(F.lit(1)).cast("double").alias("crawled"),
-                      F.max(F.col("warc_ts").cast("double"))
-                      .alias("last_fetch_ts")))
-    if wh.exists("host_stats", prev):
-        prev_df = wh.load(spark, "host_stats", prev)
-        if "last_fetch_ts" not in prev_df.columns:  # pre-column layout
-            prev_df = prev_df.withColumn(
-                "last_fetch_ts", F.lit(None).cast("double"))
-        cur_hosts = cur_hosts.unionByName(
-            prev_df.select("host", F.col("crawled").cast("double"),
-                           "last_fetch_ts"))
-    host_stats_df = (cur_hosts.groupBy("host")
-                     .agg(F.sum("crawled").alias("crawled"),
-                          F.max("last_fetch_ts").alias("last_fetch_ts")))
-    wh.save(host_stats_df, "host_stats", round_no,
-            partitions=max(spark.sparkContext.defaultParallelism // 8, 1))
-    n_actions += 1
-
     if filters is not None:
         # Incremental OR-merge: touches only buckets that gained keys.
         wh.save(seen_mod.merge_filters(filters, fresh, kind=filter_kind),
@@ -453,6 +470,11 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         n_actions += 1
     if maybe_compact_seen(spark, wh, round_no):
         n_actions += 1
+    # host_stats must be on disk before the ledger commit makes the
+    # round visible (resume loads it for the next round's gate)
+    host_thread.join()
+    if host_err:
+        raise host_err[0]
     t_filter = time.time()
 
     n_jobs = len(sc.statusTracker().getJobIdsForGroup(job_group))
