@@ -27,6 +27,9 @@ on local[$SPARK_GRAFT_CPUS]):
   q_dedup_simhash  SimHash hamming<=3 candidates over the page corpus
   q_ann          brute-force cosine top-k over embeddings
   q_oracle_suite one pass of the oracle'd relational queries
+  q_bpe_encode   BPE encode throughput over the documents table with a
+                 past-saturation (vocab ~593) merge table; the one-time
+                 training is outside the timed section (since r05)
 
 COMPARABILITY: every query is the MEDIAN of 3 back-to-back reps — this
 shared VM's deliverable throughput swings 2-6x across minutes, so
@@ -152,11 +155,15 @@ def bench_crawl_bigbatch_steady(spark) -> tuple[float, dict]:
     published so the fixed-actions amortization claim is read off
     CONSECUTIVE rounds, not a cold start. Single rep: ~3x the bigbatch
     duration already averages over host-drift windows, and the
-    per-round samples expose any remaining swing."""
+    per-round samples expose any remaining swing. Batch size is HALF
+    of q_crawl_bigbatch's: three 50k rounds exhaust the 100k synthetic
+    universe by round 3 (a near-empty final batch reads as a phantom
+    throughput cliff); three 25k rounds keep every round at full
+    batch."""
     from jsonextract_spark.crawl.pipeline import run_crawl
 
     wh = "/tmp/jsx_bench_wh_steady"
-    n = max(int(500_000 * SF), 200)
+    n = max(int(250_000 * SF), 200)
     t0 = time.time()
     stats = run_crawl(spark, wh, rounds=3, n_seeds=n, host_budget=n,
                       batch_size=n)
@@ -279,6 +286,66 @@ def bench_ann_ivf(spark) -> float:
     t0 = time.time()
     ivf_topk(corpus, queries, k=10, n_cells=64, n_probe=8).count()
     return time.time() - t0
+
+
+_BPE_MERGES: list = []
+
+
+def bench_bpe_encode(spark) -> tuple[float, float]:
+    """BPE ENCODE throughput with a past-saturation merge table (judge
+    ask r5): the tokenizer is trained ONCE outside the timed section
+    (training is a bounded one-time driver job in production), then the
+    timed job encodes the documents table through the Arrow UDF.
+    Returns (sec, MB/sec of encoded text). The corpus is generated
+    distributed from the same Zipfian syllable model as the training
+    sample (the sf documents table is a few hundred KB — job overhead,
+    not encoding, would dominate its timing), cached and materialized
+    before the clock starts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from jsonextract_spark.datapipe.bpe import (make_bpe_udfs,
+                                                train_bpe_merges)
+
+    import random
+
+    rng = random.Random(20260817)
+    syll = ["ta", "re", "mi", "lon", "ver", "sha", "qu", "ix",
+            "ton", "ar", "bel", "cor", "dun", "eth", "fal", "gor"]
+    vocab = ["".join(rng.choice(syll)
+                     for _ in range(rng.randint(2, 4)))
+             for _ in range(1500)]
+    if not _BPE_MERGES:
+        train = [" ".join(vocab[min(int(rng.paretovariate(1.05)),
+                                    len(vocab) - 1)]
+                          for _ in range(60)) for _ in range(600)]
+        _BPE_MERGES.append(train_bpe_merges(train, n_merges=400))
+    merges = _BPE_MERGES[0]   # vocab ~593 — past saturation
+
+    n_docs = max(int(400_000 * SF), 4000)
+    varr = np.array(vocab)
+
+    def gen(batches):
+        for pdf in batches:
+            pids = pdf["id"].to_numpy(dtype=np.int64)
+            # deterministic Zipf-ish word picks: multiplicative-hash
+            # ranks squared re-concentrate mass on low indices
+            k = np.arange(300, dtype=np.int64)
+            h = (pids[:, None] * 2654435761 + (k + 1) * 40503) % 997
+            idx = (h * h) % len(varr)
+            yield pd.DataFrame(
+                {"text": [" ".join(varr[row]) for row in idx]})
+
+    docs = (spark.range(n_docs)
+            .mapInPandas(gen, "text string").cache())
+    n_bytes = docs.select(
+        F.sum(F.length("text"))).collect()[0][0] or 0
+    _ids_udf, count_udf = make_bpe_udfs(merges)
+    t0 = time.time()
+    docs.select(F.sum(count_udf("text"))).collect()
+    dt = time.time() - t0
+    docs.unpersist()
+    return dt, n_bytes / dt / 1e6
 
 
 def bench_oracle_suite(spark) -> float:
@@ -450,6 +517,10 @@ def main():
         lambda: bench_ann_ivf(spark), name="q_ann_ivf"), 3)
     results["q_oracle_suite"] = round(_median_run(
         lambda: bench_oracle_suite(spark), name="q_oracle_suite"), 3)
+    dt, mb_s = _median_run(lambda: bench_bpe_encode(spark),
+                           key=lambda r: r[0], name="q_bpe_encode")
+    results["q_bpe_encode"] = round(dt, 3)
+    extra["bpe_encode_mb_per_sec"] = round(mb_s, 2)
     spark.stop()
     extra["query_samples"] = dict(QUERY_SAMPLES)
     extra["query_spread"] = {k: _rel_spread(v)
