@@ -27,9 +27,10 @@ on local[$SPARK_GRAFT_CPUS]):
   q_dedup_simhash  SimHash hamming<=3 candidates over the page corpus
   q_ann          brute-force cosine top-k over embeddings
   q_oracle_suite one pass of the oracle'd relational queries
-  q_bpe_encode   BPE encode throughput over the documents table with a
-                 past-saturation (vocab ~593) merge table; the one-time
-                 training is outside the timed section (since r05)
+  q_bpe_encode   BPE encode throughput (MB/s) over a generated
+                 distributed corpus with a past-saturation (vocab
+                 ~593) merge table; the one-time training is outside
+                 the timed section (since r05)
 
 COMPARABILITY: every query is the MEDIAN of 3 back-to-back reps — this
 shared VM's deliverable throughput swings 2-6x across minutes, so
@@ -131,8 +132,8 @@ def bench_crawl(spark) -> tuple[float, int]:
 def bench_crawl_bigbatch(spark) -> tuple[float, int, float]:
     """ONE crawl round at production batch size (50k URLs at sf0.1) —
     the amortization data point next to q_crawl: a round runs a FIXED
-    three Spark actions regardless of batch size, so the driver-latency
-    bound that dominates q_crawl's small batches (3 actions over ~12k
+    four Spark actions regardless of batch size, so the driver-latency
+    bound that dominates q_crawl's small batches (4 actions over ~12k
     URLs/round) spreads over 4x+ the URLs here and URLs/s rises
     accordingly. Includes init (seed write) like a cold start."""
     from jsonextract_spark.crawl.pipeline import run_crawl
