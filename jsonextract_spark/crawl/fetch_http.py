@@ -103,19 +103,22 @@ _ROBOTS_ERR_TTL_SEC = 120.0     # 5xx / no-response: retry quickly
 
 def _evict_robots_cache(now: float):
     """Keep the per-worker parser cache bounded: drop expired entries
-    first; if the cache is still full, drop the oldest 10% in one pass
-    (amortized — eviction runs only when an insert finds the cache
-    full, so the O(n log n) sort is paid once per ~10k inserts, not
-    per insert)."""
+    first, then ALWAYS shrink to 90% of the cap — every trigger must
+    free a full 10% headroom, so the O(n log n) pass is paid once per
+    ~10k inserts. (Dropping only expired entries would leave the cache
+    one insert from full in steady state and re-trigger a full O(n)
+    scan on every subsequent miss.)"""
     expired = [k for k, e in _ROBOTS_CACHE.items()
                if now - e.fetched_at >= (_ROBOTS_TTL_SEC if e.definitive
                                          else _ROBOTS_ERR_TTL_SEC)]
     for k in expired:
         del _ROBOTS_CACHE[k]
-    if len(_ROBOTS_CACHE) >= _ROBOTS_CACHE_MAX:
+    target = _ROBOTS_CACHE_MAX - max(_ROBOTS_CACHE_MAX // 10, 1)
+    n_drop = len(_ROBOTS_CACHE) - target
+    if n_drop > 0:
         oldest = sorted(_ROBOTS_CACHE,
                         key=lambda k: _ROBOTS_CACHE[k].fetched_at)
-        for k in oldest[:max(_ROBOTS_CACHE_MAX // 10, 1)]:
+        for k in oldest[:n_drop]:
             del _ROBOTS_CACHE[k]
 
 
@@ -380,9 +383,14 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
     robots.txt is silent about rate; an explicit Crawl-delay /
     Request-rate ask always wins, and hosts in ``hot_hosts`` (an
     operator-marked collection with clearance for full-rate fetching)
-    are exempt. Pass the same value to ``run_crawl`` so the scheduler
-    routes floor-paced hosts to a single task (the pacer's clock is
-    per task) and gates them across rounds."""
+    are exempt. The kernel ADVERTISES its floor config as attributes
+    on the returned callable (``default_delay_sec`` / ``hot_hosts``),
+    and ``run_crawl`` reads them when its own politeness arguments are
+    left at their defaults — so the scheduler's single-task routing,
+    pop cap, and cross-round gate automatically agree with the pacer
+    without the caller having to repeat the values (a kernel pacing
+    1 req/s while the scheduler salts the host over 8 tasks would
+    deliver 8x the promised rate)."""
     import pandas as pd  # noqa: F811 (executor-side import)
 
     ua = user_agent or _HEADERS["User-Agent"]
@@ -459,6 +467,11 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                 "retry": retry,
             })
 
+    # advertised politeness config — run_crawl inherits these when its
+    # own default_delay_sec/hot_hosts are left unset, keeping the
+    # scheduler's routing/gating in lockstep with the pacer
+    kernel.default_delay_sec = default_delay_sec
+    kernel.hot_hosts = hot
     return kernel
 
 
@@ -474,8 +487,12 @@ def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
     URLs yield a status-0 row with err='robots' (this surface reports
     per-URL outcomes, unlike the fused crawl kernel which drops them).
     ``default_delay_sec``/``hot_hosts``: per-origin pacing floor when
-    robots.txt is silent about rate (an explicit ask wins; hot origins
-    are exempt) — same contract as ``make_fetch_extract_kernel``."""
+    robots.txt is silent about rate (an explicit ask wins; hot hosts
+    are exempt) — same contract as ``make_fetch_extract_kernel``.
+    ``hot_hosts`` entries match the URL's netloc (``host`` /
+    ``host:port``, the frontier's host column form) or the full origin
+    (``scheme://netloc``) — this surface has no host column, so both
+    spellings are accepted."""
     ua = user_agent or _HEADERS["User-Agent"]
     hot = frozenset(hot_hosts or ())
 
@@ -494,9 +511,11 @@ def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
                     err = "robots" if definitive else "robots_unreachable"
                 else:
                     org = _origin_of(url)
+                    netloc = org.split("://", 1)[1] if org else None
                     ask = (robots_crawl_delay(url, ua, timeout_sec)
                            if respect_robots else None)
                     if (ask is None and org not in hot
+                            and netloc not in hot
                             and default_delay_sec > 0):
                         ask = default_delay_sec
                     pace(org, ask)

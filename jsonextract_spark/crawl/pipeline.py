@@ -210,7 +210,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
               filter_kind: str = "bloom",
               fetch_kernel=None,
               robots_provider=None,
-              default_delay_sec: float = 0.0,
+              default_delay_sec: float | None = None,
               hot_hosts=None) -> dict:
     """Execute round ``round_no`` (requires round_no-1 committed).
 
@@ -253,11 +253,27 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
               else make_robots(spark))
     host_stats = (wh.load(spark, "host_stats", prev)
                   if wh.exists("host_stats", prev) else None)
+    if host_stats is not None and \
+            "last_fetch_ts" not in host_stats.columns:
+        # pre-column warehouses: all-null timestamps are never gated
+        host_stats = host_stats.withColumn(
+            "last_fetch_ts", F.lit(None).cast("double"))
 
     # 1. pop (robots gate + delay eligibility + host-budget discount +
     #    salted per-host top-k + global cap). ``default_delay_sec`` is
     #    the politeness floor for hosts whose robots.txt is silent
-    #    about rate; ``hot_hosts`` opt out of the floor.
+    #    about rate; ``hot_hosts`` opt out of the floor. Left unset,
+    #    both INHERIT the fetch kernel's advertised config (the HTTP
+    #    kernels default to a 1s floor) so the scheduler's routing and
+    #    gating always agree with the kernel's pacer; the synthetic
+    #    kernel advertises nothing (floor 0 — no network to be polite
+    #    to, and a floor would empty consecutive rounds at bench
+    #    cadence).
+    if default_delay_sec is None:
+        default_delay_sec = getattr(fetch_kernel, "default_delay_sec",
+                                    0.0) or 0.0
+    if hot_hosts is None:
+        hot_hosts = getattr(fetch_kernel, "hot_hosts", None)
     batch = pop_batch(frontier, robots, host_budget, batch_size,
                       host_stats=host_stats, now_ts=time.time(),
                       default_delay_sec=default_delay_sec,
@@ -412,22 +428,22 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # write depends ONLY on the already-cached `enriched`, so it runs
     # on a side thread CONCURRENTLY with the frontier and filter
     # writes below: the round's wall clock pays max(), not sum(), of
-    # the independent actions.
-    import threading
+    # the independent actions. InheritableThread, not threading.Thread:
+    # under PySpark's pinned-thread mode (the default here) a raw
+    # Python thread neither inherits the round's job-group local
+    # property (its jobs would escape the spark_jobs counter and any
+    # group cancellation) nor cleans up its paired JVM thread.
+    from pyspark import InheritableThread
 
     cur_hosts = (enriched.filter(~F.col("blocked"))
                  .groupBy("host")
                  .agg(F.count(F.lit(1)).cast("double").alias("crawled"),
                       F.max(F.col("warc_ts").cast("double"))
                       .alias("last_fetch_ts")))
-    if wh.exists("host_stats", prev):
-        prev_df = wh.load(spark, "host_stats", prev)
-        if "last_fetch_ts" not in prev_df.columns:  # pre-column layout
-            prev_df = prev_df.withColumn(
-                "last_fetch_ts", F.lit(None).cast("double"))
+    if host_stats is not None:  # already loaded (+normalized) for pop
         cur_hosts = cur_hosts.unionByName(
-            prev_df.select("host", F.col("crawled").cast("double"),
-                           "last_fetch_ts"))
+            host_stats.select("host", F.col("crawled").cast("double"),
+                              "last_fetch_ts"))
     host_stats_df = (cur_hosts.groupBy("host")
                      .agg(F.sum("crawled").alias("crawled"),
                           F.max("last_fetch_ts").alias("last_fetch_ts")))
@@ -441,8 +457,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         except BaseException as e:  # re-raised on the round thread
             host_err.append(e)
 
-    host_thread = threading.Thread(target=_save_host_stats,
-                                   name=f"host-stats-r{round_no}")
+    host_thread = InheritableThread(target=_save_host_stats,
+                                    name=f"host-stats-r{round_no}")
     host_thread.start()
     n_actions += 1
 
@@ -516,7 +532,7 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
               filter_kind: str = "bloom", fetch_kernel=None,
               seeds: list[str] | None = None,
               robots_provider=None,
-              default_delay_sec: float = 0.0,
+              default_delay_sec: float | None = None,
               hot_hosts=None) -> list[dict]:
     """Run (or resume) a crawl to ``rounds`` committed rounds.
 
@@ -528,10 +544,13 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
     (spark, frontier) -> DataFrame(host, allowed) — live crawls pass
     ``fetch_http.make_robots_provider()``. ``default_delay_sec`` is the
     per-host politeness floor for hosts whose robots.txt does not ask
-    for a rate (scheduler gate + single-task routing; pass the same
-    value to ``make_fetch_extract_kernel`` for within-round pacing);
-    ``hot_hosts`` lists hosts with operator clearance for full-rate
-    salted fetching."""
+    for a rate (scheduler gate + single-task routing); ``hot_hosts``
+    lists hosts with operator clearance for full-rate salted fetching.
+    Left at None, BOTH inherit the fetch kernel's advertised config
+    (``make_fetch_extract_kernel`` attaches its floor/hot-host values
+    to the kernel it returns), so the scheduler and the kernel's pacer
+    can't silently disagree; the synthetic kernel advertises nothing
+    (floor 0)."""
     wh = Warehouse(warehouse)
     if not resume:
         wh.destroy()

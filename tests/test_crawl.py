@@ -1004,19 +1004,48 @@ def test_robots_cache_is_bounded():
         fh._ROBOTS_CACHE.clear()
         now = 1_000_000.0
         cap = fh._ROBOTS_CACHE_MAX
-        # fill to the cap with definitive entries, oldest first
+        # fill to the cap with FRESH definitive entries, oldest first —
+        # every age is far below the TTL, so the expiry pass frees
+        # nothing and the oldest-drop branch must do all the work
         for i in range(cap):
             fh._ROBOTS_CACHE[f"http://h{i}.example"] = fh._RobotsEntry(
-                None, True, now - cap + i)
-        # a handful are expired (older than the definitive TTL)
-        for i in range(5):
+                None, True, now - (cap - i) * 0.001)
+        # a handful ARE expired (older than the definitive TTL) — the
+        # expiry pass removes exactly these first
+        for i in range(5, 10):
             fh._ROBOTS_CACHE[f"http://h{i}.example"] = fh._RobotsEntry(
                 None, True, now - fh._ROBOTS_TTL_SEC - 1)
         fh._evict_robots_cache(now)
         assert len(fh._ROBOTS_CACHE) <= cap - max(cap // 10, 1)
-        # newest entries survive eviction; the expired ones are gone
+        # newest entries survive; the expired and the oldest-fresh are
+        # both gone (h0 was the oldest fresh entry, h5-h9 expired)
         assert f"http://h{cap - 1}.example" in fh._ROBOTS_CACHE
+        assert f"http://h{cap // 2}.example" in fh._ROBOTS_CACHE
         assert "http://h0.example" not in fh._ROBOTS_CACHE
+        assert "http://h7.example" not in fh._ROBOTS_CACHE
     finally:
         fh._ROBOTS_CACHE.clear()
         fh._ROBOTS_CACHE.update(saved)
+
+
+def test_fetch_kernel_advertises_politeness_config():
+    """The fused HTTP kernel attaches its floor/hot-host config to the
+    returned callable; run_crawl inherits these when its own politeness
+    args are left unset, so the scheduler's routing/gating and the
+    kernel's pacer cannot silently disagree (a kernel pacing 1 req/s
+    under 8-way salting would deliver 8x the promised rate). The
+    synthetic kernel advertises nothing -> floor 0."""
+    from jsonextract_spark.crawl import synth
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel, make_fetcher)
+
+    kern = make_fetch_extract_kernel(default_delay_sec=7.0,
+                                     hot_hosts=["hot.example"])
+    assert kern.default_delay_sec == 7.0
+    assert "hot.example" in kern.hot_hosts
+    assert make_fetch_extract_kernel().default_delay_sec == 1.0
+    assert getattr(synth.fetch_extract_partition,
+                   "default_delay_sec", 0.0) == 0.0
+    # make_fetcher matches hot hosts by netloc OR origin (it has no
+    # host column); both spellings must work
+    assert make_fetcher(default_delay_sec=3.0) is not None
