@@ -1049,3 +1049,46 @@ def test_fetch_kernel_advertises_politeness_config():
     # make_fetcher matches hot hosts by netloc OR origin (it has no
     # host column); both spellings must work
     assert make_fetcher(default_delay_sec=3.0) is not None
+
+
+def test_live_crawl_inherits_kernel_floor_end_to_end(spark, tmp_path):
+    """FULL-PIPELINE politeness floor: a live run_crawl with an HTTP
+    kernel whose robots.txt is silent about rate, and NO explicit
+    politeness args, must (a) inherit the kernel's floor into the
+    scheduler (single fetch task per host) and (b) space the host's
+    GETs >= floor seconds apart on the server's own clock."""
+    import time
+
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel, make_robots_provider)
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    hits = []
+
+    def body(p):
+        if p == "/robots.txt":
+            return b"User-agent: *\nDisallow: /private/\n"
+        hits.append((p, time.time()))
+        return b"<script>var c = {id: 1, links: []};</script>"
+
+    srv, port, _log = _serve(body)
+    try:
+        seeds = [f"http://127.0.0.1:{port}/x/{i}" for i in range(3)]
+        stats = run_crawl(
+            spark, str(tmp_path / "w_floor_e2e"), rounds=1,
+            seeds=seeds, host_budget=5, batch_size=5,
+            fetch_kernel=make_fetch_extract_kernel(
+                timeout_sec=5, default_delay_sec=0.5),
+            robots_provider=make_robots_provider(timeout_sec=5))
+        assert stats[0]["fetched"] == 3
+        fetched = spark.read.parquet(
+            str(tmp_path / "w_floor_e2e") + "/fetched/round=1")
+        # inherited floor -> the host's URLs all ran in ONE task
+        assert fetched.select("partition_id").distinct().count() == 1
+        # and consecutive page GETs are spaced >= the floor (server
+        # clock; lower-bound only — sleeps guarantee the minimum)
+        page_ts = sorted(t for p, t in hits)
+        gaps = [b - a for a, b in zip(page_ts, page_ts[1:])]
+        assert len(gaps) == 2 and all(g >= 0.45 for g in gaps), gaps
+    finally:
+        srv.shutdown()
