@@ -220,6 +220,10 @@ def robots_allowed(url: str, user_agent: str,
 ROBOTS_SCHEMA = ("host string, allowed boolean, crawl_delay double,"
                  " fetched_at double, definitive boolean")
 
+# cross-round robots cache: fold the append-only delta list into one
+# once it exceeds this bound (load cost stays O(1) deltas per round)
+ROBOTS_CACHE_COMPACT_DELTAS = 16
+
 
 def make_robots_provider(user_agent: str | None = None,
                          timeout_sec: float = 10.0,
@@ -236,19 +240,24 @@ def make_robots_provider(user_agent: str | None = None,
 
     ``cache_path`` makes the cache CROSS-ROUND: cached hosts are
     anti-joined away so each round only fetches robots.txt for hosts
-    discovered since the last round, and the merged table is persisted
-    via the Warehouse's tmp-write + atomic-rename discipline. Rows
-    expire after ``ttl_sec`` and 5xx/unreachable verdicts (temporary
-    disallow per RFC 9309) are never treated as cached — both are
-    refetched on the next round that sees the host, so a long-lived
-    cache can't freeze stale allow/deny decisions. At 10^10-URL scale
-    the frontier's host set is millions of rows — one robots GET per
-    host per ROUND would dominate politeness budgets; once per host per
-    TTL is the production behavior. Without ``cache_path`` the
-    per-round fetch set is still only the distinct frontier hosts
-    (executor-side, never a driver loop), with a per-worker-process
-    parser cache. (Caches from the pre-TTL layout lack the bookkeeping
-    columns and are ignored, then rewritten in the new layout.)"""
+    discovered since the last round. The cache is APPEND-ONLY DELTAS
+    (since r5): each round writes only its newly-resolved hosts as a
+    hive-partitioned ``delta=<uuid>`` subdir (tmp-write + atomic
+    rename; the tmp name is dot-prefixed so Spark's file listing never
+    sees a half-written delta), readers take the newest row per host,
+    and the delta list is compacted into one every COMPACT_DELTAS
+    rounds — the same discipline as the seen-set deltas, because a
+    full-cache rewrite per round would be O(total hosts crawled) I/O
+    every round at 10^10-URL scale. Rows expire after ``ttl_sec`` and
+    5xx/unreachable verdicts (temporary disallow per RFC 9309) are
+    never treated as cached — both are refetched on the next round
+    that sees the host, so a long-lived cache can't freeze stale
+    allow/deny decisions. One robots GET per host per TTL is the
+    production behavior. Without ``cache_path`` the per-round fetch
+    set is still only the distinct frontier hosts (executor-side,
+    never a driver loop), with a per-worker-process parser cache.
+    (Caches from the pre-delta single-dir layouts are cleared and
+    rebuilt — one extra robots round, no stale reads.)"""
     ua = user_agent or _HEADERS["User-Agent"]
 
     def make_kernel(refresh: bool):
@@ -290,27 +299,101 @@ def make_robots_provider(user_agent: str | None = None,
 
         return kernel
 
-    def provider(spark, frontier):
+    def _delta_dirs(path):
         import os
 
+        if not os.path.isdir(path):
+            return []
+        return sorted(e for e in os.listdir(path)
+                      if e.startswith("delta="))
+
+    def _load_cache(spark, path):
+        """Newest row per host across all deltas, or None if no
+        readable delta layout exists. Also clears pre-delta layouts
+        (bare part files would break partition discovery)."""
+        import os
+        import shutil
+
+        from pyspark.sql import Window, functions as F
+
+        legacy = [e for e in (os.listdir(path)
+                              if os.path.isdir(path) else [])
+                  if e.endswith(".parquet") or e == "_SUCCESS"]
+        for e in legacy:
+            os.remove(os.path.join(path, e))
+        for e in (os.listdir(path) if os.path.isdir(path) else []):
+            if e.startswith(".tmp-"):  # crashed half-written delta
+                shutil.rmtree(os.path.join(path, e),
+                              ignore_errors=True)
+        if not _delta_dirs(path):
+            return None
+        c = spark.read.parquet(path)
+        if not ({"fetched_at", "definitive", "crawl_delay"}
+                <= set(c.columns)):
+            return None
+        w = Window.partitionBy("host").orderBy(
+            F.col("fetched_at").desc())
+        return (c.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn", "delta"))
+
+    def _write_delta(df, path):
+        """Publish ``df`` as a new ``delta=<uuid>`` subdir atomically.
+        The tmp dir is dot-prefixed: Spark's file listing ignores
+        underscore/dot-prefixed paths, so a crash mid-write can never
+        surface a partial delta to readers."""
+        import os
+        import shutil
+        import uuid
+
+        os.makedirs(path, exist_ok=True)
+        name = uuid.uuid4().hex[:12]
+        tmp = os.path.join(path, f".tmp-{name}")
+        df.write.mode("overwrite").parquet(tmp)
+        # drop Spark's marker so the delta holds only parquet files
+        marker = os.path.join(tmp, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+        final = os.path.join(path, f"delta={name}")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    def _maybe_compact(spark, path):
+        """Fold all deltas into one once the list exceeds the bound
+        (newest row per host; rows older than the TTL are dropped —
+        they would be refetched anyway). Crash-safe: the merged delta
+        is published first, stale deltas removed after; newest-wins
+        dedup makes leftover duplicates harmless."""
+        import os
+        import shutil
+
+        olds = _delta_dirs(path)
+        if len(olds) <= ROBOTS_CACHE_COMPACT_DELTAS:
+            return
+        merged = _load_cache(spark, path)
+        if merged is None:
+            return
         from pyspark.sql import functions as F
 
-        from jsonextract_spark.crawl.tables import \
-            atomic_parquet_overwrite
+        merged = merged.filter(
+            F.col("fetched_at") >= F.lit(time.time() - ttl_sec))
+        _write_delta(merged, path)
+        for e in olds:
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+
+    def provider(spark, frontier):
+        from pyspark.sql import functions as F
 
         origins = frontier.groupBy("host").agg(F.min("url").alias("url"))
         if cache_path is None:
             return (origins.mapInPandas(make_kernel(refresh=False),
                                         ROBOTS_SCHEMA)
                     .select("host", "allowed", "crawl_delay"))
-        cached = None
-        if os.path.exists(cache_path):
-            c = spark.read.parquet(cache_path)
-            if {"fetched_at", "definitive", "crawl_delay"} <= \
-                    set(c.columns):
-                cached = c.filter(
-                    F.col("definitive") &
-                    (F.col("fetched_at") >= F.lit(time.time() - ttl_sec)))
+        cache = _load_cache(spark, cache_path)
+        cached = (cache.filter(
+            F.col("definitive") &
+            (F.col("fetched_at") >= F.lit(time.time() - ttl_sec)))
+            if cache is not None else None)
         fresh_hosts = (origins.join(cached, "host", "left_anti")
                        if cached is not None else origins)
         # the cross-round cache is authoritative here: hosts it did not
@@ -318,11 +401,12 @@ def make_robots_provider(user_agent: str | None = None,
         # a parser for them
         fresh = fresh_hosts.mapInPandas(make_kernel(refresh=True),
                                         ROBOTS_SCHEMA)
-        merged = (fresh.unionByName(cached) if cached is not None
-                  else fresh)
-        atomic_parquet_overwrite(merged, cache_path)
-        return (spark.read.parquet(cache_path)
-                .select("host", "allowed", "crawl_delay"))
+        # append ONLY the newly-resolved hosts — never rewrite the
+        # whole cache (O(total hosts) I/O per round at frontier scale)
+        _write_delta(fresh, cache_path)
+        _maybe_compact(spark, cache_path)
+        out = _load_cache(spark, cache_path)
+        return out.select("host", "allowed", "crawl_delay")
 
     return provider
 

@@ -1092,3 +1092,59 @@ def test_live_crawl_inherits_kernel_floor_end_to_end(spark, tmp_path):
         assert len(gaps) == 2 and all(g >= 0.45 for g in gaps), gaps
     finally:
         srv.shutdown()
+
+
+def test_robots_cache_appends_deltas_and_compacts(spark, tmp_path,
+                                                  monkeypatch):
+    """The cross-round robots cache is append-only deltas: each
+    provider call writes ONLY its newly-resolved hosts as a new
+    delta=<uuid> subdir (a full-cache rewrite per round is O(total
+    hosts) I/O at frontier scale), readers take the newest row per
+    host, and the delta list compacts once it exceeds the bound."""
+    import os
+
+    from jsonextract_spark.crawl import fetch_http as fh
+
+    srv, port, log = _serve(
+        lambda p: b"User-agent: *\nDisallow: /private/\n"
+        if p == "/robots.txt" else b"ok")
+    try:
+        cache = str(tmp_path / "rc_delta")
+        provider = fh.make_robots_provider(cache_path=cache,
+                                           ttl_sec=3600.0,
+                                           timeout_sec=5)
+
+        def frontier(hosts):
+            return spark.createDataFrame(
+                [(h, f"http://{h}/x") for h in hosts],
+                "host string, url string")
+
+        h1 = f"127.0.0.1:{port}"
+        out1 = provider(spark, frontier([h1]))
+        assert {r["host"] for r in out1.collect()} == {h1}
+        deltas = [e for e in os.listdir(cache) if e.startswith("delta=")]
+        assert len(deltas) == 1
+        n_robots_gets = log.count("/robots.txt")
+
+        # second call, same host: answered from the cache (no new GET),
+        # and the appended delta contains ZERO rows — nothing new
+        out2 = provider(spark, frontier([h1]))
+        assert {r["host"] for r in out2.collect()} == {h1}
+        assert log.count("/robots.txt") == n_robots_gets
+        deltas = sorted(e for e in os.listdir(cache)
+                        if e.startswith("delta="))
+        assert len(deltas) == 2
+        sizes = {d: spark.read.parquet(os.path.join(cache, d)).count()
+                 for d in deltas}
+        assert sorted(sizes.values()) == [0, 1]
+
+        # push past the compaction bound: the delta list folds to one
+        monkeypatch.setattr(fh, "ROBOTS_CACHE_COMPACT_DELTAS", 3)
+        for _ in range(4):
+            provider(spark, frontier([h1]))
+        deltas = [e for e in os.listdir(cache) if e.startswith("delta=")]
+        assert len(deltas) <= 3
+        out = provider(spark, frontier([h1]))
+        assert {r["host"] for r in out.collect()} == {h1}
+    finally:
+        srv.shutdown()
