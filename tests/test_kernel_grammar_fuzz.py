@@ -278,3 +278,57 @@ def test_number_literals_decimalize_like_reference(objs, seps):
     assert [o.decode() for o in out] == expected, page
     for o in out:
         json.loads(o)  # every emission is strict JSON
+
+
+# -- keyword / identifier-value family ---------------------------------------
+#
+# Identifier VALUES (reader.go:318-338): the five reserved keywords map
+# to JSON spellings (true/false/null, undefined->null, NaN->null) with
+# a leading written '+'/'-' truncated for keywords only (the "-NaN"
+# case, reader.go:322-326); any OTHER identifier value is json.Marshal
+# quoted into a string — and a sign before a quoted string survives as
+# '-"x"', which json.Valid rejects, dropping the object.
+
+_KEYWORDS = {"true": "true", "false": "false", "null": "null",
+             "undefined": "null", "NaN": "null"}
+_IDENT = st.builds(
+    lambda h, t: h + t,
+    st.sampled_from(string.ascii_letters + "_$"),
+    st.text(alphabet=string.ascii_letters + string.digits + "_$",
+            max_size=10)).filter(lambda s: s not in _KEYWORDS)
+
+
+@st.composite
+def _ident_case(draw):
+    """-> (value_text, expected_json_text | None==object dropped)."""
+    sign = draw(st.sampled_from(["", "+", "-"]))
+    if draw(st.booleans()):
+        kw = draw(st.sampled_from(sorted(_KEYWORDS)))
+        # sign truncation applies to keyword identifiers only
+        return sign + kw, _KEYWORDS[kw]
+    ident = draw(_IDENT)
+    if sign:
+        # '-' + '"ident"' is invalid JSON -> whole object rejected
+        return sign + ident, None
+    return ident, '"' + ident + '"'
+
+
+@settings(max_examples=200, deadline=None)
+@given(objs=st.lists(st.lists(st.tuples(_KEY, _ident_case()),
+                              min_size=1, max_size=3),
+                     min_size=1, max_size=3),
+       seps=st.lists(_GARBAGE, min_size=4, max_size=4))
+def test_identifier_values_map_like_reference(objs, seps):
+    page = seps[0]
+    expected = []
+    for kvs, sep in zip(objs, seps[1:]):
+        page += ("{" + ", ".join(f"{k}: {lit}"
+                                 for k, (lit, _) in kvs) + "}") + sep
+        if all(exp is not None for _k, (_l, exp) in kvs):
+            expected.append(
+                "{" + ",".join(f'"{k}":{exp}'
+                               for k, (_l, exp) in kvs) + "}")
+    out = extract_objects(page.encode("utf-8"))
+    assert [o.decode() for o in out] == expected, page
+    for o in out:
+        json.loads(o)
