@@ -1,7 +1,10 @@
 """Grammar-directed fuzzing of the extraction kernel.
 
-Three generator families, each with an exact oracle that needs no Go
-binary:
+NINE generator families, each with an exact oracle that needs no Go
+binary — the first three below, plus comments/templates, regex
+literals, limit-prefix, bracket soup (all r4), number-literal
+decimalization and identifier-value mapping (both r5; see their
+section comments):
 
 * STRICT-JSON EMBED — hypothesis generates arbitrary JSON values,
   embeds their ``json.dumps`` renderings between brace-free garbage,
@@ -15,7 +18,7 @@ binary:
 * ARBITRARY BYTES — anything at all must never crash the scanner, and
   whatever comes out must still be valid JSON.
 
-These complement the 93-case golden corpus (exact reference fixtures):
+These complement the 95-case golden corpus (exact reference fixtures):
 the corpus pins known tricky cases; the grammar fuzz searches the
 neighborhood the corpus never wrote down.
 """
