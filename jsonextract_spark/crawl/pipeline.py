@@ -603,6 +603,14 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--filter-kind", default="bloom",
                     choices=["bloom", "cuckoo"])
+    ap.add_argument("--default-delay-sec", type=float, default=None,
+                    help="politeness floor for hosts whose robots.txt "
+                         "is silent about rate (default: inherit the "
+                         "fetch kernel's advertised value; the "
+                         "synthetic kernel has none -> 0)")
+    ap.add_argument("--hot-host", action="append", default=None,
+                    help="host with operator clearance for full-rate "
+                         "salted fetching (repeatable)")
     ap.add_argument("--recrawl-max-age", type=float, default=None,
                     help="after the crawl, re-open fetched URLs older "
                          "than this many seconds as a maintenance round")
@@ -613,7 +621,9 @@ def main():
     spark = build_session("jsx-crawl", master=args.master)
     stats = run_crawl(spark, args.warehouse, args.rounds, args.seeds,
                       args.host_budget, args.batch_size,
-                      resume=args.resume, filter_kind=args.filter_kind)
+                      resume=args.resume, filter_kind=args.filter_kind,
+                      default_delay_sec=args.default_delay_sec,
+                      hot_hosts=args.hot_host)
     for s in stats:
         print(s)
     if args.recrawl_max_age is not None:

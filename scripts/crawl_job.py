@@ -25,6 +25,13 @@ def main():
     ap.add_argument("--filter-kind", default="bloom",
                     choices=["bloom", "cuckoo"])
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--default-delay-sec", type=float, default=None,
+                    help="politeness floor for hosts whose robots.txt "
+                         "is silent about rate (default: inherit the "
+                         "fetch kernel's advertised value)")
+    ap.add_argument("--hot-host", action="append", default=None,
+                    help="host cleared for full-rate salted fetching "
+                         "(repeatable)")
     args = ap.parse_args()
 
     spark = (SparkSession.builder.appName("jsx-crawl")
@@ -36,7 +43,9 @@ def main():
 
     stats = run_crawl(spark, args.warehouse, args.rounds, args.seeds,
                       args.host_budget, args.batch_size,
-                      resume=args.resume, filter_kind=args.filter_kind)
+                      resume=args.resume, filter_kind=args.filter_kind,
+                      default_delay_sec=args.default_delay_sec,
+                      hot_hosts=args.hot_host)
     for s in stats:
         print(s)
     spark.stop()
