@@ -82,10 +82,14 @@ def _fetch_one(url: str, timeout_sec: float,
 # hiccup, route flap, our own timeout), and disallowing on them would
 # let a transient local fault blackhole whole hosts. The deviation is
 # bounded: the verdict is non-definitive, so it expires on the short
-# TTL, is never persisted by the cross-round cache, and is re-asked on
-# the next batch that sees the host. 5xx and no-response verdicts are
-# both marked non-definitive, and the fetch kernel DEFERS (not
-# consumes) URLs a non-definitive verdict blocks.
+# TTL and is re-asked on the next batch that sees the host. The
+# cross-round cache WRITES non-definitive rows into its delta like any
+# round output (the round's robots table must still show the temporary
+# disallow), but never treats them as cached — the read side filters
+# to definitive, in-TTL rows, and compaction drops non-definitive rows
+# outright. 5xx and no-response verdicts are both marked
+# non-definitive, and the fetch kernel DEFERS (not consumes) URLs a
+# non-definitive verdict blocks.
 from typing import NamedTuple
 
 
@@ -307,10 +311,16 @@ def make_robots_provider(user_agent: str | None = None,
         return sorted(e for e in os.listdir(path)
                       if e.startswith("delta="))
 
-    def _load_cache(spark, path):
+    def _load_cache(spark, path, hosts=None):
         """Newest row per host across all deltas, or None if no
         readable delta layout exists. Also clears pre-delta layouts
-        (bare part files would break partition discovery)."""
+        (bare part files would break partition discovery).
+
+        ``hosts`` (DataFrame with a ``host`` column) restricts the
+        result with a SEMI-JOIN applied BEFORE the newest-wins window:
+        a per-round caller only needs the round's frontier hosts, and
+        windowing the whole crawl-lifetime cache would shuffle O(total
+        hosts ever crawled) rows every round."""
         import os
         import shutil
 
@@ -331,16 +341,19 @@ def make_robots_provider(user_agent: str | None = None,
         if not ({"fetched_at", "definitive", "crawl_delay"}
                 <= set(c.columns)):
             return None
+        if hosts is not None:
+            c = c.join(hosts.select("host"), "host", "left_semi")
         w = Window.partitionBy("host").orderBy(
             F.col("fetched_at").desc())
         return (c.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn", "delta"))
 
-    def _write_delta(df, path):
-        """Publish ``df`` as a new ``delta=<uuid>`` subdir atomically.
-        The tmp dir is dot-prefixed: Spark's file listing ignores
-        underscore/dot-prefixed paths, so a crash mid-write can never
-        surface a partial delta to readers."""
+    def _write_delta(df, path) -> str:
+        """Publish ``df`` as a new ``delta=<uuid>`` subdir atomically
+        and return the published dir. The tmp dir is dot-prefixed:
+        Spark's file listing ignores underscore/dot-prefixed paths, so
+        a crash mid-write can never surface a partial delta to
+        readers."""
         import os
         import shutil
         import uuid
@@ -357,13 +370,15 @@ def make_robots_provider(user_agent: str | None = None,
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+        return final
 
     def _maybe_compact(spark, path):
         """Fold all deltas into one once the list exceeds the bound
-        (newest row per host; rows older than the TTL are dropped —
-        they would be refetched anyway). Crash-safe: the merged delta
-        is published first, stale deltas removed after; newest-wins
-        dedup makes leftover duplicates harmless."""
+        (newest row per host; rows older than the TTL and
+        non-definitive verdicts are dropped — both would be refetched
+        anyway). Crash-safe: the merged delta is published first,
+        stale deltas removed after; newest-wins dedup makes leftover
+        duplicates harmless."""
         import os
         import shutil
 
@@ -376,7 +391,8 @@ def make_robots_provider(user_agent: str | None = None,
         from pyspark.sql import functions as F
 
         merged = merged.filter(
-            F.col("fetched_at") >= F.lit(time.time() - ttl_sec))
+            F.col("definitive") &
+            (F.col("fetched_at") >= F.lit(time.time() - ttl_sec)))
         _write_delta(merged, path)
         for e in olds:
             shutil.rmtree(os.path.join(path, e), ignore_errors=True)
@@ -389,7 +405,16 @@ def make_robots_provider(user_agent: str | None = None,
             return (origins.mapInPandas(make_kernel(refresh=False),
                                         ROBOTS_SCHEMA)
                     .select("host", "allowed", "crawl_delay"))
-        cache = _load_cache(spark, cache_path)
+        # compact BEFORE this round's delta is appended, so the delta
+        # written below always survives the round (the read-back scan
+        # of it is lazy — pop_batch executes it later)
+        _maybe_compact(spark, cache_path)
+        # ONE cache read per round, semi-joined to the round's hosts
+        # BEFORE the newest-wins window: the table this round consults
+        # (and the robots table pop_batch ultimately broadcasts) stays
+        # O(round hosts) no matter how many hosts the crawl has ever
+        # cached
+        cache = _load_cache(spark, cache_path, hosts=origins)
         cached = (cache.filter(
             F.col("definitive") &
             (F.col("fetched_at") >= F.lit(time.time() - ttl_sec)))
@@ -403,10 +428,18 @@ def make_robots_provider(user_agent: str | None = None,
                                         ROBOTS_SCHEMA)
         # append ONLY the newly-resolved hosts — never rewrite the
         # whole cache (O(total hosts) I/O per round at frontier scale)
-        _write_delta(fresh, cache_path)
-        _maybe_compact(spark, cache_path)
-        out = _load_cache(spark, cache_path)
-        return out.select("host", "allowed", "crawl_delay")
+        delta_dir = _write_delta(fresh, cache_path)
+        # the write above materialized ``fresh``; read the published
+        # delta back rather than returning the ``fresh`` plan itself —
+        # pop_batch consuming that plan would re-run the robots GETs
+        fresh_back = spark.read.parquet(delta_dir).select(
+            "host", "allowed", "crawl_delay")
+        if cached is None:
+            return fresh_back
+        # cached ∪ fresh covers exactly the round's hosts (disjoint by
+        # the anti-join above) — never the whole lifetime cache
+        return (cached.select("host", "allowed", "crawl_delay")
+                .unionByName(fresh_back))
 
     return provider
 

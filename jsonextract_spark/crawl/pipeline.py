@@ -41,8 +41,8 @@ DEFER_PRIORITY_DECAY = 0.5
 def _write_parquet_driver_side(wh: Warehouse, table: str, round_no: int,
                                tbl):
     """Persist a tiny (driver-sized) arrow table as a warehouse round —
-    used for metrics and host_stats, which are a handful of rows/round
-    and not worth a Spark write job."""
+    used for the metrics table, a handful of scalar rows per round that
+    are not worth a Spark write job."""
     import os
 
     import pyarrow.parquet as pq
@@ -153,6 +153,82 @@ def _carry_frontier_forward(wh: Warehouse, prev: int, round_no: int):
     shutil.rmtree(new_dir)
 
 
+def load_host_stats(spark: SparkSession, wh: Warehouse,
+                    upto_round: int) -> DataFrame | None:
+    """Cumulative per-host (crawled count, newest fetch ts) up to
+    ``upto_round``, or None when nothing has been fetched yet.
+
+    Stored as append-only per-round DELTAS since r6 (the same
+    discipline as the seen set and the robots cache): each fetching
+    round writes only ITS hosts' increments as ``host_stats_delta``,
+    and every COMPACT_EVERY rounds the running totals are folded into
+    a ``host_stats_compact`` checkpoint. The pre-r6 layout rewrote the
+    full cumulative table every round — O(total hosts ever crawled)
+    write I/O per round even when the round touched 50 hosts, which at
+    the 10^6-10^7-host design point dwarfs the round's real output.
+    Reading is a bounded union: the newest checkpoint (or a legacy
+    cumulative ``host_stats`` table when resuming a pre-r6 warehouse)
+    plus the deltas after it — at most COMPACT_EVERY+1 sources once
+    the first checkpoint exists, regardless of crawl age."""
+    base = None
+    for r in range(upto_round, -1, -1):
+        # bounded scan: once compaction has run, a checkpoint exists
+        # within COMPACT_EVERY rounds of ``upto_round``; before that,
+        # upto_round itself is < COMPACT_EVERY (except the one-time
+        # legacy-resume window, where the legacy table sits at the
+        # resume round)
+        if wh.exists("host_stats_compact", r):
+            base = (r, "host_stats_compact")
+            break
+        if wh.exists("host_stats", r):   # legacy cumulative layout
+            base = (r, "host_stats")
+            break
+    parts = []
+    if base is not None:
+        b = wh.load(spark, base[1], base[0])
+        if "last_fetch_ts" not in b.columns:
+            # pre-column warehouses: all-null timestamps, never gated
+            b = b.withColumn("last_fetch_ts",
+                             F.lit(None).cast("double"))
+        parts.append(b.select("host",
+                              F.col("crawled").cast("double")
+                              .alias("crawled"), "last_fetch_ts"))
+    start = base[0] + 1 if base is not None else 1
+    delta_paths = [wh._path("host_stats_delta", r)
+                   for r in range(start, upto_round + 1)
+                   if wh.exists("host_stats_delta", r)]
+    if delta_paths:
+        parts.append(spark.read.parquet(*delta_paths)
+                     .select("host", "crawled", "last_fetch_ts"))
+    if not parts:
+        return None
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return (df.groupBy("host")
+            .agg(F.sum("crawled").alias("crawled"),
+                 F.max("last_fetch_ts").alias("last_fetch_ts")))
+
+
+def maybe_compact_host_stats(spark: SparkSession, wh: Warehouse,
+                             round_no: int) -> bool:
+    """Every COMPACT_EVERY rounds, fold the host_stats base + deltas
+    into one ``host_stats_compact`` checkpoint (amortized 1/16 extra
+    write per round) so ``load_host_stats`` unions a bounded source
+    list no matter how old the crawl is. Deltas before the checkpoint
+    are left in place — the loader never reads past the newest
+    checkpoint, and keeping them preserves resume-to-earlier-round
+    semantics."""
+    if round_no <= 0 or round_no % COMPACT_EVERY != 0:
+        return False
+    agg = load_host_stats(spark, wh, round_no)
+    if agg is None:
+        return False
+    wh.save(agg, "host_stats_compact", round_no,
+            partitions=max(spark.sparkContext.defaultParallelism // 8, 1))
+    return True
+
+
 def maybe_compact_seen(spark: SparkSession, wh: Warehouse, round_no: int):
     """Every COMPACT_EVERY rounds, rewrite the seen set (base + deltas
     since) into one compact table version — the IcebergLite analogue of
@@ -218,8 +294,10 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     ``spark_actions`` metric, counted at the call sites): FOUR — the
     fused pop+fetch+extract ledger write, the frontier save (which
     doubles as the seen delta via the ``is_new`` partition), the
-    host_stats aggregate save, and the filter merge save — plus one
-    amortized compaction write every COMPACT_EVERY rounds. All scalar
+    host_stats DELTA save (this round's per-host increments only —
+    see ``load_host_stats``), and the filter merge save — plus
+    amortized compaction writes (seen + host_stats checkpoints) every
+    COMPACT_EVERY rounds. All scalar
     round metrics (batch size, objects, fetched/blocked/deferred
     splits, n_new) ride the first two writes for FREE via
     ``Dataset.observe`` — CollectMetrics nodes aggregate inside the
@@ -251,13 +329,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # robots.txt (the fetch kernel additionally enforces per-path rules)
     robots = (robots_provider(spark, frontier) if robots_provider
               else make_robots(spark))
-    host_stats = (wh.load(spark, "host_stats", prev)
-                  if wh.exists("host_stats", prev) else None)
-    if host_stats is not None and \
-            "last_fetch_ts" not in host_stats.columns:
-        # pre-column warehouses: all-null timestamps are never gated
-        host_stats = host_stats.withColumn(
-            "last_fetch_ts", F.lit(None).cast("double"))
+    host_stats = load_host_stats(spark, wh, prev)
 
     # 1. pop (robots gate + delay eligibility + host-budget discount +
     #    salted per-host top-k + global cap). ``default_delay_sec`` is
@@ -345,10 +417,14 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         if filters is not None:
             wh.copy_forward("seen_filter", prev, round_no)
         if wh.exists("host_stats", prev):
+            # legacy cumulative layout only: delta-layout host_stats
+            # needs no per-round carry (the loader reads a round RANGE
+            # and skips rounds without a delta)
             wh.copy_forward("host_stats", prev, round_no)
-        # keep the compaction cadence even through empty stretches so
-        # load_seen's source list stays bounded
+        # keep the compaction cadences even through empty stretches so
+        # the loaders' source lists stay bounded
         maybe_compact_seen(spark, wh, round_no)
+        maybe_compact_host_stats(spark, wh, round_no)
         # empty rounds still record metrics and release the job group —
         # otherwise later driver-side jobs (recrawl, the next caller on
         # this thread) get attributed to this round's stale group
@@ -418,42 +494,45 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                      .unionByName(deferred.withColumn("is_new", F.lit(0)))
                      .unionByName(fresh.withColumn("is_new", F.lit(1))))
 
-    # cumulative per-host fetch counts + newest fetch timestamp drive
-    # next round's budget scoring and crawl-delay gate. This is a
-    # grouped aggregate (``observe`` is scalar-only), computed as a
-    # DISTRIBUTED groupBy over the round's cached fetch output unioned
-    # with last round's totals — at 10^10-URL scale the host table is
-    # millions of rows, so a driver-side single-node aggregation (the
-    # pre-r5 DuckDB form) would be the round's scale bottleneck. The
-    # write depends ONLY on the already-cached `enriched`, so it runs
-    # on a side thread CONCURRENTLY with the frontier and filter
-    # writes below: the round's wall clock pays max(), not sum(), of
-    # the independent actions. InheritableThread, not threading.Thread:
-    # under PySpark's pinned-thread mode (the default here) a raw
-    # Python thread neither inherits the round's job-group local
-    # property (its jobs would escape the spark_jobs counter and any
-    # group cancellation) nor cleans up its paired JVM thread.
+    # per-host fetch counts + newest fetch timestamp drive next
+    # round's budget scoring and crawl-delay gate. This is a grouped
+    # aggregate (``observe`` is scalar-only), computed as a DISTRIBUTED
+    # groupBy over the round's cached fetch output — at 10^10-URL scale
+    # the host table is millions of rows, so a driver-side single-node
+    # aggregation (the pre-r5 DuckDB form) would be the round's scale
+    # bottleneck. Since r6 the round writes ONLY ITS OWN hosts'
+    # increments as an append-only ``host_stats_delta`` (the pre-r6
+    # form rewrote the full cumulative table every round — O(total
+    # hosts ever) write I/O per round); running totals are folded into
+    # a checkpoint every COMPACT_EVERY rounds (load_host_stats sums
+    # checkpoint+deltas on read). The write depends ONLY on the
+    # already-cached `enriched`, so it runs on a side thread
+    # CONCURRENTLY with the frontier and filter writes below: the
+    # round's wall clock pays max(), not sum(), of the independent
+    # actions. InheritableThread, not threading.Thread: under
+    # PySpark's pinned-thread mode (the default here) a raw Python
+    # thread neither inherits the round's job-group local property
+    # (its jobs would escape the spark_jobs counter and any group
+    # cancellation) nor cleans up its paired JVM thread.
     from pyspark import InheritableThread
 
-    cur_hosts = (enriched.filter(~F.col("blocked"))
-                 .groupBy("host")
-                 .agg(F.count(F.lit(1)).cast("double").alias("crawled"),
-                      F.max(F.col("warc_ts").cast("double"))
-                      .alias("last_fetch_ts")))
-    if host_stats is not None:  # already loaded (+normalized) for pop
-        cur_hosts = cur_hosts.unionByName(
-            host_stats.select("host", F.col("crawled").cast("double"),
-                              "last_fetch_ts"))
-    host_stats_df = (cur_hosts.groupBy("host")
-                     .agg(F.sum("crawled").alias("crawled"),
-                          F.max("last_fetch_ts").alias("last_fetch_ts")))
+    host_delta = (enriched.filter(~F.col("blocked"))
+                  .groupBy("host")
+                  .agg(F.count(F.lit(1)).cast("double").alias("crawled"),
+                       F.max(F.col("warc_ts").cast("double"))
+                       .alias("last_fetch_ts")))
     host_err: list[BaseException] = []
+    host_extra_actions: list[int] = []
 
     def _save_host_stats():
         try:
-            wh.save(host_stats_df, "host_stats", round_no,
+            wh.save(host_delta, "host_stats_delta", round_no,
                     partitions=max(
                         spark.sparkContext.defaultParallelism // 8, 1))
+            # amortized checkpoint fold (reads the just-written delta
+            # from disk, so it must follow the save)
+            if maybe_compact_host_stats(spark, wh, round_no):
+                host_extra_actions.append(1)
         except BaseException as e:  # re-raised on the round thread
             host_err.append(e)
 
@@ -469,28 +548,43 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # CollectMetrics observations (no separate materializing count(),
     # no driver re-read of the written is_new=1 partition). ``fresh``
     # stays cached: the write job populates the cache and the filter
-    # merge below reuses it.
-    obs_front = Observation(f"frontier-r{round_no}")
-    next_frontier = next_frontier.observe(
-        obs_front, F.coalesce(F.sum("is_new"), F.lit(0)).alias("n_new"))
-    wh.save(next_frontier, "frontier", round_no, partition_by="is_new")
-    n_actions += 1
-    n_new = int(obs_front.get["n_new"])
-    n_deferred = int(obs_defer.get["n"])
-    t_frontier = time.time()
+    # merge below reuses it. try/finally: a failed frontier/filter
+    # write must not leak the still-running background host_stats
+    # write for a round that will never commit, nor the round's cached
+    # RDD blocks — the thread is joined and the caches dropped on the
+    # error path before the exception propagates.
+    try:
+        obs_front = Observation(f"frontier-r{round_no}")
+        next_frontier = next_frontier.observe(
+            obs_front,
+            F.coalesce(F.sum("is_new"), F.lit(0)).alias("n_new"))
+        wh.save(next_frontier, "frontier", round_no,
+                partition_by="is_new")
+        n_actions += 1
+        n_new = int(obs_front.get["n_new"])
+        n_deferred = int(obs_defer.get["n"])
+        t_frontier = time.time()
 
-    if filters is not None:
-        # Incremental OR-merge: touches only buckets that gained keys.
-        wh.save(seen_mod.merge_filters(filters, fresh, kind=filter_kind),
-                "seen_filter", round_no)
-        n_actions += 1
-    if maybe_compact_seen(spark, wh, round_no):
-        n_actions += 1
-    # host_stats must be on disk before the ledger commit makes the
-    # round visible (resume loads it for the next round's gate)
-    host_thread.join()
+        if filters is not None:
+            # Incremental OR-merge: touches only buckets that gained
+            # keys.
+            wh.save(seen_mod.merge_filters(filters, fresh,
+                                           kind=filter_kind),
+                    "seen_filter", round_no)
+            n_actions += 1
+        if maybe_compact_seen(spark, wh, round_no):
+            n_actions += 1
+    finally:
+        # host_stats must be on disk before the ledger commit makes
+        # the round visible (resume loads it for the next round's
+        # gate)
+        host_thread.join()
+        batch.unpersist()
+        enriched.unpersist()
+        fresh.unpersist()
     if host_err:
         raise host_err[0]
+    n_actions += sum(host_extra_actions)
     t_filter = time.time()
 
     n_jobs = len(sc.statusTracker().getJobIdsForGroup(job_group))
@@ -515,9 +609,6 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                                "blocked": n_blocked,
                                "deferred": n_deferred,
                                "sec": round(sec, 3)})
-    batch.unpersist()
-    enriched.unpersist()
-    fresh.unpersist()
     return {"fetched": n_fetched, "new": n_new, "objects": n_objects,
             "blocked": n_blocked, "deferred": n_deferred,
             "retry_marked": n_retry_marked,
@@ -578,18 +669,26 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
 def crawl_order(spark: SparkSession, warehouse: str) -> DataFrame:
     """The reproducible crawl ledger: (batch_id, rank, url). Robots-
     blocked ledger rows are excluded — the ordering is of actual
-    fetches (pre-``blocked``-column warehouses had no such rows)."""
+    fetches (pre-``blocked``-column warehouses had no such rows).
+
+    ONE scan relation over every committed round dir: the previous
+    per-round Python union loop built an O(rounds) logical plan, so at
+    thousands of rounds driver-side analysis time grew with crawl age.
+    Passing the committed leaf dirs (rather than the bare table root)
+    both skips crashed ``.tmp-`` dirs and uncommitted rounds, and
+    keeps the plan a single relation whose node count is independent
+    of round count. ``mergeSchema`` covers warehouses whose early
+    rounds predate the ``blocked`` column."""
     wh = Warehouse(warehouse)
     last = wh.last_committed_round()
-    parts = [wh.load(spark, "fetched", r) for r in range(1, last + 1)
+    paths = [wh._path("fetched", r) for r in range(1, last + 1)
              if wh.exists("fetched", r)]
-    if not parts:
+    if not paths:
         return spark.createDataFrame([], "batch_id int, rank long, url string")
-    parts = [p.filter(~F.col("blocked")) if "blocked" in p.columns else p
-             for p in parts]
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if "blocked" in df.columns:
+        # null for pre-column rounds in a mixed warehouse = not blocked
+        df = df.filter(~F.coalesce(F.col("blocked"), F.lit(False)))
     return df.select("batch_id", "rank", "url").orderBy("batch_id", "rank")
 
 

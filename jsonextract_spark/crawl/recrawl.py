@@ -88,22 +88,32 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
     round_ts = {r["round"]: float(r["ts"])
                 for r in wh.ledger()["rounds"]
                 if r.get("status") == "committed"}
-    def _unblocked(df):
-        # robots-blocked ledger rows were never fetched — nothing to
-        # refresh (they'd only be re-blocked); pre-``blocked``-column
-        # warehouses had no such rows
-        return (df.filter(~F.col("blocked"))
-                if "blocked" in df.columns else df)
-
-    parts = [_unblocked(wh.load(spark, "fetched", r))
-             .select("url", "depth", F.lit(round_ts[r]).alias("fetched_ts"))
-             for r in range(1, after_round + 1)
-             if wh.exists("fetched", r) and r in round_ts]
-    if not parts:
+    committed = [r for r in range(1, after_round + 1)
+                 if wh.exists("fetched", r) and r in round_ts]
+    if not committed:
         return 0
-    fetched = parts[0]
-    for p in parts[1:]:
-        fetched = fetched.unionByName(p)
+    # ONE scan relation over the committed round dirs (a per-round
+    # Python union loop builds an O(rounds) plan — analysis time grows
+    # with crawl age); ``basePath`` surfaces the hive ``round``
+    # partition column, which a tiny broadcast-joined map turns into
+    # the per-round commit timestamp. mergeSchema covers warehouses
+    # whose early rounds predate the ``blocked`` column.
+    fetched = (spark.read.option("mergeSchema", "true")
+               .option("basePath", wh._path("fetched"))
+               .parquet(*[wh._path("fetched", r) for r in committed]))
+    if "blocked" in fetched.columns:
+        # robots-blocked ledger rows were never fetched — nothing to
+        # refresh (they'd only be re-blocked); null for pre-column
+        # rounds in a mixed warehouse = not blocked
+        fetched = fetched.filter(
+            ~F.coalesce(F.col("blocked"), F.lit(False)))
+    ts_df = spark.createDataFrame(
+        [(r, round_ts[r]) for r in committed],
+        "round int, fetched_ts double")
+    fetched = (fetched
+               .join(F.broadcast(ts_df),
+                     fetched["round"].cast("int") == ts_df["round"])
+               .select("url", "depth", "fetched_ts"))
     latest = (fetched.groupBy("url")
               .agg(F.max("fetched_ts").alias("fetched_ts"),
                    F.min("depth").alias("depth")))
@@ -136,6 +146,9 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
         # and duplicate their seen-delta rows (see module docstring)
         wh.copy_forward("seen_filter", after_round, rn)
     if wh.exists("host_stats", after_round):
+        # legacy cumulative layout only — delta-layout host_stats needs
+        # no carry (load_host_stats reads a round RANGE and skips
+        # rounds without a delta, so the maintenance round is a no-op)
         wh.copy_forward("host_stats", after_round, rn)
     wh.commit_round(rn, {"phase": "recrawl", "reopened": n})
     refresh.unpersist()

@@ -30,11 +30,21 @@ fetched      batch_id, rank, url, host, depth, warc_ts, n_objects,
              but stopped by the robots per-path check — never GET'd),
              retry (blocked by a NON-definitive verdict, i.e. robots
              5xx/unreachable: returned to the frontier, not consumed)
-host_stats   host, crawled (cumulative), last_fetch_ts (epoch seconds
-             of the host's newest real fetch — drives cross-round
-             crawl-delay politeness; a distributed groupBy over the
-             round's fetch output — millions of hosts at 10^10-URL
-             scale, so never a driver-side aggregate)
+host_stats_delta
+             host, crawled (THIS round's fetch count), last_fetch_ts
+             (epoch seconds of the host's newest real fetch this
+             round) — append-only per-round increments, a distributed
+             groupBy over the round's fetch output (millions of hosts
+             at 10^10-URL scale, so never a driver-side aggregate).
+             Cumulative totals are derived on read
+             (pipeline.load_host_stats: checkpoint + sum/max over the
+             deltas since) and folded into host_stats_compact every
+             pipeline.COMPACT_EVERY rounds; a full cumulative rewrite
+             per round would be O(total hosts ever) write I/O — the
+             same disease the seen-set/robots-cache delta layouts
+             cure. (Pre-r6 warehouses carry a legacy cumulative
+             ``host_stats`` table, which load_host_stats accepts as
+             the base.)
 metrics      batch_id, key, value (incl. per-phase secs + spark_jobs)
 """
 

@@ -849,8 +849,62 @@ def test_seen_compaction_preserves_set(spark, tmp_path, monkeypatch):
     assert got == raw and len(got) > 10
 
 
-@pytest.mark.slow
-def test_crawl_deterministic_across_parallelism(tmp_path):
+def test_host_stats_delta_is_o_round_hosts(spark, tmp_path, monkeypatch):
+    """host_stats is append-only per-round deltas (r6): each round's
+    write contains EXACTLY the hosts fetched that round (O(round
+    hosts), never O(total hosts ever) — the pre-r6 cumulative rewrite),
+    the read-side aggregation reproduces the cumulative recompute from
+    the full fetched ledger, and the COMPACT_EVERY checkpoint bounds
+    the loader's source list without changing the result."""
+    import duckdb as _duck
+
+    from jsonextract_spark.crawl import pipeline as P
+
+    monkeypatch.setattr(P, "COMPACT_EVERY", 2)
+    wh_dir = str(tmp_path / "whs")
+    P.run_crawl(spark, wh_dir, rounds=3, n_seeds=10, host_budget=3,
+                batch_size=20)
+    wh = P.Warehouse(wh_dir)
+
+    # write I/O pin: delta rows == distinct non-blocked hosts fetched
+    # that round (the cumulative table would grow every round instead)
+    for r in (1, 2, 3):
+        assert wh.exists("host_stats_delta", r)
+        assert not wh.exists("host_stats", r)   # no cumulative rewrite
+        delta_n = spark.read.parquet(
+            wh._path("host_stats_delta", r)).count()
+        round_hosts = _duck.sql(
+            f"SELECT count(DISTINCT host) FROM "
+            f"'{wh_dir}/fetched/round={r}/*.parquet' "
+            f"WHERE NOT blocked").fetchone()[0]
+        assert delta_n == round_hosts > 0
+
+    # checkpoint written on the compaction cadence
+    assert wh.exists("host_stats_compact", 2)
+
+    # read-side correctness: loader (checkpoint + deltas) equals the
+    # cumulative recompute from the whole fetched ledger
+    got = {r["host"]: (r["crawled"], r["last_fetch_ts"])
+           for r in P.load_host_stats(spark, wh, 3).collect()}
+    want = {h: (float(c), ts) for h, c, ts in _duck.sql(
+        f"SELECT host, count(*) , max(epoch_us(warc_ts)/1000000.0) "
+        f"FROM '{wh_dir}/fetched/round=*/*.parquet' "
+        f"WHERE NOT blocked GROUP BY host").fetchall()}
+    assert got == want and len(got) > 3
+
+    # legacy back-compat: a pre-r6 cumulative table is accepted as the
+    # loader's base, with deltas after it summed on top
+    legacy = spark.createDataFrame(
+        [("legacyhost.example", 7.0, 123.5)],
+        "host string, crawled double, last_fetch_ts double")
+    wh.save(legacy, "host_stats", 0)
+    import shutil
+    shutil.rmtree(wh._path("host_stats_compact", 2))
+    merged = {r["host"]: r["crawled"]
+              for r in P.load_host_stats(spark, wh, 3).collect()}
+    assert merged["legacyhost.example"] == 7.0
+    for h, (c, _ts) in want.items():
+        assert merged[h] == c
     w2, w8 = str(tmp_path / "w2"), str(tmp_path / "w8")
     _run_crawl_cli(w2, 3, "local[2]")
     _run_crawl_cli(w8, 3, "local[8]")
@@ -1146,5 +1200,54 @@ def test_robots_cache_appends_deltas_and_compacts(spark, tmp_path,
         assert len(deltas) <= 3
         out = provider(spark, frontier([h1]))
         assert {r["host"] for r in out.collect()} == {h1}
+    finally:
+        srv.shutdown()
+
+
+def test_robots_provider_output_bounded_to_round_hosts(spark, tmp_path):
+    """The round's robots table is O(round hosts), not O(total hosts
+    ever cached): pop_batch BROADCASTS this table, so returning the
+    whole crawl-lifetime cache would grow the broadcast with crawl age.
+    Simulate an old crawl by planting a large cache delta of foreign
+    hosts, then pin that a one-host round gets exactly one output row —
+    answered from the cache with no extra robots GETs."""
+    import time as _time
+
+    from jsonextract_spark.crawl import fetch_http as fh
+
+    srv, port, log = _serve(
+        lambda p: b"User-agent: *\n" if p == "/robots.txt" else b"ok")
+    try:
+        cache = str(tmp_path / "rc_bound")
+        provider = fh.make_robots_provider(cache_path=cache,
+                                           ttl_sec=3600.0,
+                                           timeout_sec=5)
+
+        def frontier(hosts):
+            return spark.createDataFrame(
+                [(h, f"http://{h}/x") for h in hosts],
+                "host string, url string")
+
+        h1 = f"127.0.0.1:{port}"
+        provider(spark, frontier([h1])).collect()
+
+        # plant 500 foreign cached hosts (a long crawl's accumulated
+        # cache) as a delta, bypassing the provider
+        now = _time.time()
+        foreign = spark.createDataFrame(
+            [(f"old{i}.example", True, None, now, True)
+             for i in range(500)], fh.ROBOTS_SCHEMA)
+        import os
+        os.makedirs(cache, exist_ok=True)
+        tmp = os.path.join(cache, ".tmp-foreign")
+        foreign.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, os.path.join(cache, "delta=foreign"))
+
+        n_gets = log.count("/robots.txt")
+        out = provider(spark, frontier([h1])).collect()
+        # exactly the round's host — none of the 500 foreign rows
+        assert [r["host"] for r in out] == [h1]
+        # and it came from the cache: no new robots GET
+        assert log.count("/robots.txt") == n_gets
     finally:
         srv.shutdown()

@@ -113,6 +113,34 @@ def test_recrawl_keeps_cuckoo_gate_exact(spark, tmp_path):
         f"seen deltas duplicated after recrawl: {dup_hashes[:5]}"
 
 
+def test_crawl_order_plan_is_o1_in_rounds(spark, tmp_path):
+    """The reporting reader scans all committed rounds as ONE relation:
+    the pre-r6 per-round Python union loop built an O(rounds) logical
+    plan, so analysis time grew with crawl age at thousands of rounds.
+    Pin: no Union in the plan, and the plan's node count for a 3-round
+    warehouse equals a 1-round warehouse's."""
+    from jsonextract_spark.crawl.pipeline import crawl_order, run_crawl
+
+    w1, w3 = str(tmp_path / "po1"), str(tmp_path / "po3")
+    run_crawl(spark, w1, rounds=1, n_seeds=10, host_budget=3,
+              batch_size=20)
+    run_crawl(spark, w3, rounds=3, n_seeds=10, host_budget=3,
+              batch_size=20)
+
+    def plan_of(w):
+        df = crawl_order(spark, w)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    p1, p3 = plan_of(w1), plan_of(w3)
+    assert "Union" not in p3
+    assert len(p1.splitlines()) == len(p3.splitlines())
+    # and the one-scan form still returns the full multi-round ledger,
+    # ordered (batch_id, rank)
+    rows = crawl_order(spark, w3).collect()
+    assert {r["batch_id"] for r in rows} == {1, 2, 3}
+    assert rows == sorted(rows, key=lambda r: (r["batch_id"], r["rank"]))
+
+
 def test_refresh_candidates_and_reopen(spark):
     from jsonextract_spark.crawl.recrawl import (
         refresh_candidates, reopen_in_frontier)
