@@ -608,6 +608,39 @@ def _q_fingerprint(spark, sf_dir):
             .select("doc_id", fingerprint_udf("text").alias("fp")))
 
 
+# warehouse used by q_host_stats: keyed by sf so the oracle SQL (which
+# is a static string, evaluated at sf0.01) reads the matching crawl
+def _host_stats_wh(sf_dir: str) -> str:
+    return ("/tmp/jsx_entry_hoststats_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _q_host_stats(spark, sf_dir):
+    """The stored host_stats state table vs an independent recompute
+    from the crawl's fetched ledger. host_stats is append-only
+    per-round deltas + periodic checkpoints (pipeline.load_host_stats
+    sums them on read); the oracle recomputes cumulative per-host
+    fetch counts and newest fetch timestamp directly from the ledger
+    parquet in DuckDB — if the delta write, the threaded overlap, or
+    the read-side fold ever drop or double-count a round, the two
+    tables diverge. The crawl is the deterministic synthetic corpus
+    (fixed seeds/budget/batch), run fresh into a fixed per-sf path the
+    oracle SQL reads."""
+    from jsonextract_spark.crawl.pipeline import (load_host_stats,
+                                                  run_crawl)
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    wh_dir = _host_stats_wh(sf_dir)
+    run_crawl(spark, wh_dir, rounds=3, n_seeds=40, host_budget=4,
+              batch_size=120)
+    wh = Warehouse(wh_dir)
+    hs = load_host_stats(spark, wh, wh.last_committed_round())
+    return hs.select(
+        "host",
+        F.col("crawled").cast("bigint").alias("crawled"),
+        F.col("last_fetch_ts").cast("double").alias("last_fetch_ts"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_props": _q_extract_props,
@@ -640,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal": _q_multimodal,
         "q_multimodal_resize": _q_multimodal_resize,
         "q_frame_sample": _q_frame_sample,
+        "q_host_stats": _q_host_stats,
         # rows-only (no SQL oracle — simhash needs wrapping uint64
         # multiply/shift hashing, fingerprint needs murmur3; neither is
         # expressible in DuckDB SQL):
@@ -1025,5 +1059,24 @@ def oracle_sql() -> dict[str, str]:
                           1, 16) AS pfx
             FROM documents, unnest([0, 1, 2, 3]) AS t(j)
             WHERE doc_id < 100 AND doc_id % 24 <> 0
+        """,
+        # Recompute the cumulative host_stats state table (stored as
+        # per-round deltas + checkpoints, summed by
+        # pipeline.load_host_stats) straight from the crawl's fetched
+        # ledger: count + newest warc_ts per host, excluding
+        # robots-blocked rows. epoch_us/1e6 is bit-identical to
+        # Spark's timestamp→double cast (both divide integer µs by
+        # 1e6 in IEEE double). The warehouse path is written by the
+        # q_host_stats Spark query, which the driver runs first.
+        "q_host_stats": f"""
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS crawled,
+                   max(epoch_us(warc_ts) / 1000000.0) AS last_fetch_ts
+            FROM read_parquet(
+                '{_host_stats_wh(os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF",
+                    "/root/testdata/sf0.01"))}/fetched/round=*/*.parquet')
+            WHERE NOT blocked
+            GROUP BY host
         """,
     }

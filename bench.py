@@ -42,7 +42,13 @@ publishes the RAW per-rep samples and relative spread per query
 ("query_samples"/"query_spread"), so a round-over-round delta can be
 judged against the same run's spread instead of guessing whether it
 is code or host drift (the r4 dedup series was unreadable without
-this).
+this). Since r06 every rep is additionally interleaved with a FIXED
+~2s calibration workload ("calib_samples"); "query_normalized" — the
+median of per-rep query_sec/calib_sec ratios — is the cross-round
+comparison series: the host drifts up to ~1.7x WITHIN a single 3-rep
+window (judge-measured in r5), so raw samples+spread alone cannot
+separate a real regression from a slow host phase, while the host's
+momentary speed cancels inside each query/calib pair.
 
 Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N): the same
 fused fetch+extract job at local[4] vs local[16] under equal total
@@ -433,9 +439,27 @@ def _extract_throughput_at(master: str, n_pages: int):
 
 
 QUERY_SAMPLES: dict[str, list[float]] = {}
+CALIB_SAMPLES: dict[str, list[float]] = {}
+
+# Fixed calibration workload: the warmed fused fetch+extract job at a
+# pinned page count, sized to ~2s at the driver's local[32] config
+# (scaled with CPUS so dev smokes at local[4] don't pay 10s per rep;
+# within one driver config the workload is identical across rounds, so
+# normalized values are comparable round-over-round).
+CALIB_PAGES = max(1500 * CPUS, 6000)
 
 
-def _median_run(fn, reps: int = 3, key=None, name: str | None = None):
+def _calib_sec(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    _fused_fetch_extract(spark, CALIB_PAGES).agg(
+        F.sum("n_objs")).collect()
+    return time.time() - t0
+
+
+def _median_run(fn, reps: int = 3, key=None, name: str | None = None,
+                calib=None):
     """Run ``fn`` ``reps`` times, return the run with the MEDIAN key.
 
     This shared VM's deliverable throughput swings 2-6x across minutes
@@ -448,13 +472,42 @@ def _median_run(fn, reps: int = 3, key=None, name: str | None = None):
     windows' was empirically false). ``name`` records the raw per-rep
     seconds into QUERY_SAMPLES (published since round 5, so a
     round-over-round delta can be read against the same run's spread
-    instead of guessing whether it is code or host drift)."""
-    runs = [fn() for _ in range(reps)]
-    vals = [key(r) if key else r for r in runs]
+    instead of guessing whether it is code or host drift).
+
+    ``calib`` (since round 6) interleaves a fixed ~2s calibration
+    workload with every rep, recorded into CALIB_SAMPLES: the judge's
+    r5 re-measurement showed the host drifting ~1.7x WITHIN a 3-rep
+    window, so even samples+spread cannot separate a real 1.3x code
+    regression from a slow host phase. ``normalized = query_sec /
+    calib_sec`` cancels the host's momentary speed (the same
+    paired-ratio idea as the scaling block), so cross-round comparison
+    reads the normalized medians."""
+    runs, vals = [], []
+    for _ in range(reps):
+        r = fn()
+        runs.append(r)
+        vals.append(key(r) if key else r)
+        if calib is not None and name is not None:
+            CALIB_SAMPLES.setdefault(name, []).append(
+                round(_calib_sec(calib), 3))
     if name is not None:
         QUERY_SAMPLES[name] = [round(float(v), 3) for v in vals]
     order = sorted(range(reps), key=lambda i: vals[i])
     return runs[order[reps // 2]]
+
+
+def _normalized_medians() -> dict[str, float]:
+    """Per-query median of per-rep (query_sec / calib_sec) ratios —
+    the drift-robust cross-round comparison series."""
+    import statistics
+
+    out = {}
+    for q, cals in CALIB_SAMPLES.items():
+        qs = QUERY_SAMPLES.get(q)
+        if qs and len(qs) == len(cals) and all(c > 0 for c in cals):
+            out[q] = round(statistics.median(
+                a / c for a, c in zip(qs, cals)), 3)
+    return out
 
 
 def _rel_spread(xs: list[float]) -> float:
@@ -479,19 +532,22 @@ def main():
 
     spark = build_session("jsx-bench", master=f"local[{CPUS}]")
     bench_extract(spark, 2000)  # spin JVM + Python workers once
+    _calib_sec(spark)           # warm the calibration job's code path
     dt, n_urls = _median_run(lambda: bench_extract(spark, N_PAGES),
-                             key=lambda r: r[0], name="q_extract")
+                             key=lambda r: r[0], name="q_extract",
+                             calib=spark)
     results["q_extract"] = round(dt, 3)
     extra["urls_per_sec"] = round(n_urls / dt, 1)
 
     dt, fetched = _median_run(lambda: bench_crawl(spark),
-                              key=lambda r: r[0], name="q_crawl")
+                              key=lambda r: r[0], name="q_crawl",
+                              calib=spark)
     results["q_crawl"] = round(dt, 3)
     extra["crawl_urls_per_sec"] = round(fetched / dt, 1)
 
     dt, fetched, round_sec = _median_run(
         lambda: bench_crawl_bigbatch(spark), key=lambda r: r[0],
-        name="q_crawl_bigbatch")
+        name="q_crawl_bigbatch", calib=spark)
     results["q_crawl_bigbatch"] = round(dt, 3)
     # incl. init (cold start) and round-only (the steady-state rate the
     # amortization claim is about — init happens once per crawl)
@@ -502,30 +558,36 @@ def main():
 
     dt, steady = bench_crawl_bigbatch_steady(spark)
     results["q_crawl_bigbatch_steady"] = round(dt, 3)
+    steady["calib_sec"] = round(_calib_sec(spark), 3)
     extra["crawl_bigbatch_steady"] = steady
 
     dedup_sec, dedup_stages = _median_run(
         lambda: bench_dedup(spark, N_PAGES), key=lambda r: r[0],
-        name="q_dedup_minhash")
+        name="q_dedup_minhash", calib=spark)
     results["q_dedup_minhash"] = round(dedup_sec, 3)
     extra["dedup_minhash_stages"] = dedup_stages
     results["q_dedup_simhash"] = round(_median_run(
         lambda: bench_simhash(spark, N_PAGES),
-        name="q_dedup_simhash"), 3)
+        name="q_dedup_simhash", calib=spark), 3)
     results["q_ann"] = round(_median_run(lambda: bench_ann(spark),
-                                         name="q_ann"), 3)
+                                         name="q_ann", calib=spark), 3)
     results["q_ann_ivf"] = round(_median_run(
-        lambda: bench_ann_ivf(spark), name="q_ann_ivf"), 3)
+        lambda: bench_ann_ivf(spark), name="q_ann_ivf", calib=spark), 3)
     results["q_oracle_suite"] = round(_median_run(
-        lambda: bench_oracle_suite(spark), name="q_oracle_suite"), 3)
+        lambda: bench_oracle_suite(spark), name="q_oracle_suite",
+        calib=spark), 3)
     dt, mb_s = _median_run(lambda: bench_bpe_encode(spark),
-                           key=lambda r: r[0], name="q_bpe_encode")
+                           key=lambda r: r[0], name="q_bpe_encode",
+                           calib=spark)
     results["q_bpe_encode"] = round(dt, 3)
     extra["bpe_encode_mb_per_sec"] = round(mb_s, 2)
     spark.stop()
     extra["query_samples"] = dict(QUERY_SAMPLES)
     extra["query_spread"] = {k: _rel_spread(v)
                              for k, v in QUERY_SAMPLES.items()}
+    extra["calib_samples"] = dict(CALIB_SAMPLES)
+    extra["calib_pages"] = CALIB_PAGES
+    extra["query_normalized"] = _normalized_medians()
     _run_scaling(results, extra)
 
 
@@ -732,13 +794,23 @@ URLs; rounds 2-3 (warm filters, link-built frontier) sustain
 URLs/sec.
 
 Per-query raw samples (median published above; spread =
-(max-min)/median — judge deltas against the same run's spread):
+(max-min)/median — judge deltas against the same run's spread). Since
+r06 every rep is interleaved with a fixed calibration workload (the
+warmed fused extract job at {extra.get('calib_pages')} pages);
+``normalized`` is
+the median of per-rep query_sec/calib_sec ratios — the host's
+momentary speed cancels inside the pair, so CROSS-ROUND comparisons
+should read the normalized column (the host drifts up to ~1.7x within
+a single 3-rep window, which raw samples+spread cannot separate from
+a real code regression):
 
-| query | samples (sec) | rel. spread |
-|---|---|---|
+| query | samples (sec) | rel. spread | calib (sec) | normalized |
+|---|---|---|---|---|
 """ + "".join(
             f"| {q} | {extra.get('query_samples', {}).get(q)} "
-            f"| {extra.get('query_spread', {}).get(q)} |\n"
+            f"| {extra.get('query_spread', {}).get(q)} "
+            f"| {extra.get('calib_samples', {}).get(q)} "
+            f"| {extra.get('query_normalized', {}).get(q)} |\n"
             for q in sorted(extra.get("query_samples", {}))) + """
 Reference baseline: the Go library publishes no performance numbers
 (/root/repo/BASELINE.md) — these measured values are the per-round

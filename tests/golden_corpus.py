@@ -229,6 +229,24 @@ CASES = [
     ('["' + "long string " * 100 + "]", []),
     # :723-728
     ('{"test": 0x3}', ['{"test":3}']),
+    # -- string escape-sequence pins (r6 fuzz family probes; the quote
+    # rewrite is reader.go:255-263, pass-through reader.go:404-409) --
+    # \' is rewritten ONLY inside single-quoted strings; inside a
+    # double-quoted string it passes through verbatim and json.Valid
+    # rejects the buffer (a JS-legal page the extractor drops):
+    ("{k: 'a\\'b'}", ['{"k":"a\'b"}']),
+    ('{k: "a\\\'b"}', []),
+    # JS-only escapes pass through and invalidate: hex, legacy octal,
+    # ES6 code point, line continuation
+    ("{k: '\\x41'}", []),
+    ("{k: '\\101'}", []),
+    ("{k: '\\u{41}'}", []),
+    ("{k: 'a\\\nb'}", []),
+    # \uXXXX is shared JSON/JS syntax — survives both quote styles
+    ("{k: '\\u0041'}", ['{"k":"\\u0041"}']),
+    # the single-pass rewrite consumes the backslash of \\ as a plain
+    # byte, so '\\' + quote ends as \,",… -> invalid, object dropped
+    ("{k: 'a\\\\'b'}", []),
 ]
 
 # Structural equivalents of the two giant StackOverflow <script> cases

@@ -1,10 +1,11 @@
 """Grammar-directed fuzzing of the extraction kernel.
 
-NINE generator families, each with an exact oracle that needs no Go
+TEN generator families, each with an exact oracle that needs no Go
 binary — the first three below, plus comments/templates, regex
 literals, limit-prefix, bracket soup (all r4), number-literal
-decimalization and identifier-value mapping (both r5; see their
-section comments):
+decimalization and identifier-value mapping (both r5), and string
+escape sequences across both quote styles (r6; see the section
+comments):
 
 * STRICT-JSON EMBED — hypothesis generates arbitrary JSON values,
   embeds their ``json.dumps`` renderings between brace-free garbage,
@@ -331,6 +332,81 @@ def test_identifier_values_map_like_reference(objs, seps):
             expected.append(
                 "{" + ",".join(f'"{k}":{exp}'
                                for k, (_l, exp) in kvs) + "}")
+    out = extract_objects(page.encode("utf-8"))
+    assert [o.decode() for o in out] == expected, page
+    for o in out:
+        json.loads(o)
+
+
+# -- string escape-sequence family (r6) ---------------------------------------
+#
+# Quoted-string VALUES split into two byte paths (SURVEY §4.3.1):
+# double-quoted tokens are copied VERBATIM (reader.go:404-409 via the
+# default write), single-quoted tokens go through the three-rule
+# rewrite ' -> ", " -> \", \' -> ' (reader.go:255-263) — in BOTH paths
+# every other escape sequence passes through untouched, so JS-only
+# escapes (\x41, \v, \0, octal \101, \u{...} code points, \<newline>
+# continuations, \' inside a DOUBLE-quoted string) survive into the
+# buffer and json.Valid then rejects the whole object. The oracle is
+# an independent regex-alternation reimplementation of the rewrite
+# table plus Python's own strict JSON parser as the validity gate.
+
+_ESC_ATOMS = ["\\n", "\\t", "\\r", "\\b", "\\f", "\\v", "\\0",
+              "\\x41", "\\x4", "\\u0041", "\\u00e9", "\\uBEEF",
+              "\\u004", "\\u{41}", "\\u{1F600}", "\\101", "\\8",
+              "\\\\", "\\'", "\\\"", "\\/", "\\a", "\\ ", "\\\n"]
+# plain runs: no quotes, no { [ (they would seed rescan candidates
+# after a rejected object), no backslash (atoms own the escapes)
+_PLAIN_ATOMS = ["a", "Zz", "0 9", "!?", ".,", ";:", "<>", "&", "~",
+                "=", "-"]
+
+
+def _oracle_quote_convert(tok: str) -> str:
+    """Independent reimplementation of the reference's quote rewrite
+    (reader.go:255-263, 404-409) as a single regex alternation — the
+    kernel uses a byte state machine (scanner.single_quote_replace);
+    left-to-right first-match regex scanning reproduces the same
+    single-pass semantics (e.g. the backslash of '\\\\'' is consumed
+    as a plain byte, so the following \\' still rewrites)."""
+    if tok[0] == '"':
+        return tok
+    import re
+
+    return re.sub(
+        r"\\'|[\'\"]",
+        lambda m: {"\\'": "'", "'": '"', '"': '\\"'}[m.group(0)],
+        tok)
+
+
+@st.composite
+def _escape_string_case(draw):
+    """-> (token_text, converted_text) for a quoted string value."""
+    q = draw(st.sampled_from(["'", '"']))
+    atoms = _ESC_ATOMS + _PLAIN_ATOMS + [('"' if q == "'" else "'")]
+    content = "".join(draw(st.lists(st.sampled_from(atoms),
+                                    max_size=8)))
+    tok = q + content + q
+    return tok, _oracle_quote_convert(tok)
+
+
+@settings(max_examples=250, deadline=None)
+@given(objs=st.lists(st.lists(st.tuples(_KEY, _escape_string_case()),
+                              min_size=1, max_size=3),
+                     min_size=1, max_size=3),
+       seps=st.lists(_GARBAGE, min_size=4, max_size=4))
+def test_string_escapes_convert_like_reference(objs, seps):
+    page = seps[0]
+    expected = []
+    for kvs, sep in zip(objs, seps[1:]):
+        page += ("{" + ", ".join(f"{k}: {tok}"
+                                 for k, (tok, _) in kvs) + "}") + sep
+        cand = ("{" + ",".join(f'"{k}":{conv}'
+                               for k, (_t, conv) in kvs) + "}")
+        try:
+            json.loads(cand)  # strict: the json.Valid stand-in
+            expected.append(cand)
+        except ValueError:
+            pass  # JS-only escape survived into the buffer -> dropped
     out = extract_objects(page.encode("utf-8"))
     assert [o.decode() for o in out] == expected, page
     for o in out:
