@@ -9,11 +9,17 @@ published BPE algorithm: Sennrich et al. 2016, the GPT-2 byte-level
 variant) with a per-worker word cache — natural-language word
 frequencies are Zipfian, so the cache absorbs almost all work.
 
-100 TB design: training runs ONCE on a bounded driver-side sample
-(same discipline as IVF's k-means fit — a seeded xxhash64-ranked
-uniform sample, never a full-corpus scan); the merge table (a few kB)
-ships inside the UDF closure as a broadcast-sized constant; encoding is
-embarrassingly parallel per document with no shuffle.
+100 TB design: training runs ONCE — either on a bounded driver-side
+sample (``learn_merges_from_df``, same discipline as IVF's k-means
+fit: a seeded xxhash64-ranked uniform sample, never a full-corpus
+scan) or over the WHOLE corpus via ``learn_merges_distributed`` (one
+distributed pretokenize+count job reduces the corpus to its
+Zipf-bounded word-frequency table — the sufficient statistic for
+merge selection — and the greedy loop runs over that on the driver,
+reproducing the sample trainer's exact merge table on the same
+input). The merge table (a few kB) ships inside the UDF closure as a
+broadcast-sized constant; encoding is embarrassingly parallel per
+document with no shuffle.
 """
 
 from __future__ import annotations
@@ -50,7 +56,18 @@ def train_bpe_merges(texts: Iterable[str], n_merges: int = 4096,
         for piece in _pretokenize(t):
             w = tuple(bytes([b]) for b in piece.encode("utf-8"))
             word_freq[w] = word_freq.get(w, 0) + 1
+    return _merges_from_word_freq(word_freq, n_merges, min_pair_count)
 
+
+def _merges_from_word_freq(word_freq: dict[tuple[bytes, ...], int],
+                           n_merges: int, min_pair_count: int
+                           ) -> list[tuple[bytes, bytes]]:
+    """The greedy merge loop over an aggregated (word -> frequency)
+    table — the part of classic BPE that is inherently iterative. It
+    only ever touches the DISTINCT word table (Zipf-bounded), never
+    the corpus, which is what lets ``learn_merges_distributed`` push
+    the corpus scan into Spark and share this exact loop (and its
+    exact tie-breaks) with the driver-sample trainer."""
     merges: list[tuple[bytes, bytes]] = []
     for _ in range(n_merges):
         pair_count: dict[tuple[bytes, bytes], int] = {}
@@ -153,6 +170,50 @@ def learn_merges_from_df(df, text_col: str, n_merges: int = 4096,
     return train_bpe_merges((r["t"] for r in rows if r["t"]),
                             n_merges=n_merges,
                             min_pair_count=min_pair_count)
+
+
+def learn_merges_distributed(df, text_col: str, n_merges: int = 4096,
+                             min_pair_count: int = 2,
+                             max_words: int = 1_000_000
+                             ) -> list[tuple[bytes, bytes]]:
+    """Whole-corpus trainer: ONE distributed pretokenize + count job
+    builds the (piece -> frequency) word table, then the same greedy
+    merge loop as ``train_bpe_merges`` runs over it on the driver (the
+    corpus-frequency formulation of Sennrich et al. 2016: merge
+    selection only ever needs word-level frequencies, so the O(corpus)
+    scan parallelizes with map-side partial aggregation while the
+    iterative part stays O(distinct words) — Zipf-bounded, a tiny
+    fraction of corpus size at web scale). Per-iteration distributed
+    pair-count jobs would cost n_merges Spark jobs for no extra
+    information — the word table IS the sufficient statistic.
+
+    On the same corpus this reproduces ``train_bpe_merges``'s merge
+    table EXACTLY (same loop, same tie-breaks; the word table is an
+    order-independent aggregate) as long as the distinct piece count
+    fits ``max_words``. Past the cap the top ``max_words`` pieces by
+    (count desc, piece) are kept — a deterministic
+    TakeOrderedAndProject that bounds driver memory; the dropped hapax
+    tail holds the corpus's rarest pieces, the ones least able to win
+    a frequency-argmax merge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def pretok_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [] if t is None else _pretokenize(t))
+
+    rows = (df.select(F.explode(pretok_udf(F.col(text_col)))
+                      .alias("piece"))
+            .groupBy("piece")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .orderBy(F.col("f").desc(), F.col("piece"))
+            .limit(max_words)
+            .collect())
+    word_freq = {
+        tuple(bytes([b]) for b in r["piece"].encode("utf-8")): int(r["f"])
+        for r in rows}
+    return _merges_from_word_freq(word_freq, n_merges, min_pair_count)
 
 
 def make_bpe_udfs(merges: list[tuple[bytes, bytes]]):

@@ -473,3 +473,34 @@ def test_bpe_vocab_512_golden_table():
     # the merge table bit-for-bit
     assert train_bpe_merges(_bpe_rich_corpus(), n_merges=400,
                             min_pair_count=2) == merges
+
+
+def test_bpe_distributed_trainer_matches_driver_golden(spark, sf_dir):
+    """learn_merges_distributed (one distributed pretokenize+count job
+    feeding the shared greedy loop) reproduces the driver trainer's
+    merge table EXACTLY on the same corpus — pinned against the
+    337-merge rich corpus (so it also equals the r5 golden table) and
+    against the FULL sf documents table, which the driver-sample
+    trainer could only ever see a bounded sample of."""
+    from jsonextract_spark.datapipe.bpe import (
+        learn_merges_distributed, train_bpe_merges)
+
+    texts = _bpe_rich_corpus()
+    driver = train_bpe_merges(texts, n_merges=400, min_pair_count=2)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    dist = learn_merges_distributed(df, "text", n_merges=400)
+    assert dist == driver
+    assert len(dist) == 337          # the golden-table regime
+
+    # whole-table training (no sampling): both trainers see every doc
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    all_texts = [r["text"] for r in docs.select("text").collect()]
+    assert (learn_merges_distributed(docs, "text", n_merges=200)
+            == train_bpe_merges(all_texts, n_merges=200))
+
+    # the driver-memory cap stays deterministic when it actually cuts
+    capped = learn_merges_distributed(df, "text", n_merges=50,
+                                      max_words=500)
+    assert capped == learn_merges_distributed(df, "text", n_merges=50,
+                                              max_words=500)
+    assert len(capped) > 0
