@@ -210,6 +210,22 @@ def load_host_stats(spark: SparkSession, wh: Warehouse,
                  F.max("last_fetch_ts").alias("last_fetch_ts")))
 
 
+def _drop_stale_compact(wh: Warehouse, table: str, round_no: int):
+    """A compact checkpoint already present at the round BEING RUN can
+    only be debris from a failed earlier attempt of this same round
+    (a committed round is never re-entered): the round died between
+    the checkpoint write and the ledger commit. Left in place it would
+    become its own BASE when the re-run recompacts — the loader's
+    backward scan finds it first and ignores the re-run's fresh delta,
+    freezing first-attempt state forever. Delete it before building
+    the compaction read plan (the loaders assemble their source path
+    list eagerly, driver-side)."""
+    if wh.exists(table, round_no):
+        import shutil
+
+        shutil.rmtree(wh._path(table, round_no))
+
+
 def maybe_compact_host_stats(spark: SparkSession, wh: Warehouse,
                              round_no: int) -> bool:
     """Every COMPACT_EVERY rounds, fold the host_stats base + deltas
@@ -221,6 +237,7 @@ def maybe_compact_host_stats(spark: SparkSession, wh: Warehouse,
     semantics."""
     if round_no <= 0 or round_no % COMPACT_EVERY != 0:
         return False
+    _drop_stale_compact(wh, "host_stats_compact", round_no)
     agg = load_host_stats(spark, wh, round_no)
     if agg is None:
         return False
@@ -237,6 +254,10 @@ def maybe_compact_seen(spark: SparkSession, wh: Warehouse, round_no: int):
     unions a bounded number of sources no matter how old the crawl is."""
     if round_no <= 0 or round_no % COMPACT_EVERY != 0:
         return False
+    # same failed-attempt hazard as host_stats: a stale seen_compact
+    # at this round would be taken as load_seen's base, resurrecting
+    # the first attempt's seen set over the re-run's
+    _drop_stale_compact(wh, "seen_compact", round_no)
     wh.save(load_seen(spark, wh, round_no), "seen_compact", round_no,
             partitions=max(spark.sparkContext.defaultParallelism, 4))
     return True

@@ -905,6 +905,56 @@ def test_host_stats_delta_is_o_round_hosts(spark, tmp_path, monkeypatch):
     assert merged["legacyhost.example"] == 7.0
     for h, (c, _ts) in want.items():
         assert merged[h] == c
+
+
+def test_stale_uncommitted_compact_ignored_on_resume(spark, tmp_path,
+                                                     monkeypatch):
+    """A compact checkpoint written by a FAILED round attempt (the
+    round died between the checkpoint write and the ledger commit)
+    must not poison the re-run: the loader's backward scan would find
+    the stale checkpoint at the round being re-run and take it as its
+    own base, ignoring the fresh delta forever. Recompaction DELETES
+    the stale checkpoint first — covers both seen_compact and
+    host_stats_compact."""
+    import duckdb as _duck
+
+    from jsonextract_spark.crawl import pipeline as P
+
+    monkeypatch.setattr(P, "COMPACT_EVERY", 2)
+    wh_dir = str(tmp_path / "wstale")
+    P.run_crawl(spark, wh_dir, rounds=1, n_seeds=10, host_budget=3,
+                batch_size=20)
+    wh = P.Warehouse(wh_dir)
+    # simulate the failed round-2 attempt: checkpoints on disk, round
+    # 2 absent from the ledger
+    wh.save(spark.createDataFrame(
+        [("stale.example", 99.0, 1.0)],
+        "host string, crawled double, last_fetch_ts double"),
+        "host_stats_compact", 2)
+    wh.save(spark.createDataFrame([(-424242,)], "url_hash long"),
+            "seen_compact", 2)
+
+    P.run_crawl(spark, wh_dir, rounds=3, resume=True, n_seeds=10,
+                host_budget=3, batch_size=20)
+
+    hosts = {r["host"]: r["crawled"]
+             for r in P.load_host_stats(spark, wh, 3).collect()}
+    assert "stale.example" not in hosts
+    want = {h: float(c) for h, c in _duck.sql(
+        f"SELECT host, count(*) FROM "
+        f"'{wh_dir}/fetched/round=*/*.parquet' "
+        f"WHERE NOT blocked GROUP BY host").fetchall()}
+    assert hosts == want
+    seen = {r["url_hash"] for r in P.load_seen(spark, wh, 3).collect()}
+    assert -424242 not in seen
+    raw = set(r[0] for r in _duck.sql(
+        f"SELECT url_hash FROM "
+        f"'{wh_dir}/frontier/*/is_new=1/*.parquet'").fetchall())
+    assert seen == raw
+
+
+@pytest.mark.slow
+def test_crawl_deterministic_across_parallelism(tmp_path):
     w2, w8 = str(tmp_path / "w2"), str(tmp_path / "w8")
     _run_crawl_cli(w2, 3, "local[2]")
     _run_crawl_cli(w8, 3, "local[8]")
