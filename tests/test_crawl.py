@@ -907,6 +907,43 @@ def test_host_stats_delta_is_o_round_hosts(spark, tmp_path, monkeypatch):
         assert merged[h] == c
 
 
+def test_empty_round_keeps_host_stats_compaction_cadence(
+        spark, tmp_path, monkeypatch):
+    """An EMPTY round on the compaction boundary still writes the
+    host_stats checkpoint (no delta to write, but the cadence must
+    hold so the loader's source list stays bounded through empty
+    stretches), and the loader's totals are unchanged by empty
+    rounds."""
+    from pyspark.sql import functions as F
+
+    from jsonextract_spark.crawl import pipeline as P
+
+    monkeypatch.setattr(P, "COMPACT_EVERY", 3)
+    wh_dir = str(tmp_path / "whe")
+    P.run_crawl(spark, wh_dir, rounds=2, n_seeds=10, host_budget=3,
+                batch_size=20)
+
+    def deny_all(spark_, frontier):
+        # a robots table that disallows every frontier host forces an
+        # empty popped batch -> the empty-round carry path
+        return (frontier.select("host").distinct()
+                .withColumn("allowed", F.lit(False)))
+
+    P.run_crawl(spark, wh_dir, rounds=3, resume=True, n_seeds=10,
+                host_budget=3, batch_size=20,
+                robots_provider=deny_all)
+    wh = P.Warehouse(wh_dir)
+    led = {r["round"]: r for r in wh.ledger()["rounds"]}
+    assert led[3].get("empty")
+    assert not wh.exists("host_stats_delta", 3)   # nothing fetched
+    assert wh.exists("host_stats_compact", 3)     # cadence held
+    before = {(r["host"], r["crawled"])
+              for r in P.load_host_stats(spark, wh, 2).collect()}
+    after = {(r["host"], r["crawled"])
+             for r in P.load_host_stats(spark, wh, 3).collect()}
+    assert before == after and len(after) > 0
+
+
 def test_stale_uncommitted_compact_ignored_on_resume(spark, tmp_path,
                                                      monkeypatch):
     """A compact checkpoint written by a FAILED round attempt (the
