@@ -641,6 +641,31 @@ def _q_host_stats(spark, sf_dir):
         F.col("last_fetch_ts").cast("double").alias("last_fetch_ts"))
 
 
+def _frontier_wh(sf_dir: str) -> str:
+    return ("/tmp/jsx_entry_frontier_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _q_frontier_state(spark, sf_dir):
+    """The reconstructed frontier (base + per-round deltas, r6:
+    rounds write only their additions; removals ride the fetched
+    ledger's url_hash column) vs an independent DuckDB event replay —
+    newest event per url_hash wins, same-round re-adds outrank the
+    pop. If the delta write, the removal derivation, or the replay
+    join ever disagree, the pending sets diverge. Deterministic
+    synthetic crawl into a fixed per-sf path the oracle SQL reads."""
+    from jsonextract_spark.crawl.pipeline import load_frontier, run_crawl
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    wh_dir = _frontier_wh(sf_dir)
+    run_crawl(spark, wh_dir, rounds=3, n_seeds=40, host_budget=4,
+              batch_size=120)
+    wh = Warehouse(wh_dir)
+    return (load_frontier(spark, wh, wh.last_committed_round())
+            .select("url_hash", F.col("depth").cast("int").alias("depth"),
+                    F.col("priority").cast("double").alias("priority")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_props": _q_extract_props,
@@ -674,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_resize": _q_multimodal_resize,
         "q_frame_sample": _q_frame_sample,
         "q_host_stats": _q_host_stats,
+        "q_frontier_state": _q_frontier_state,
         # rows-only (no SQL oracle — simhash needs wrapping uint64
         # multiply/shift hashing, fingerprint needs murmur3; neither is
         # expressible in DuckDB SQL):
@@ -1078,5 +1104,36 @@ def oracle_sql() -> dict[str, str]:
                     "/root/testdata/sf0.01"))}/fetched/round=*/*.parquet')
             WHERE NOT blocked
             GROUP BY host
+        """,
+        # Independent event replay of the delta-layout frontier: every
+        # addition (round-0 seeds + per-round frontier_delta rows, ev =
+        # 2*round+1) raced against every removal (the popped rows in
+        # the fetched ledger, ev = 2*round); a url_hash is pending iff
+        # its newest event is an addition, whose stored depth/priority
+        # must match the Spark-side reconstruction bit-for-bit.
+        "q_frontier_state": f"""
+            WITH ev AS (
+                SELECT url_hash, CAST(1 AS BIGINT) AS ev, depth,
+                       priority
+                FROM '{_frontier_wh(os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+                ))}/frontier/round=0/is_new=1/*.parquet'
+                UNION ALL
+                SELECT url_hash, CAST(round AS BIGINT) * 2 + 1, depth,
+                       priority
+                FROM read_parquet('{_frontier_wh(os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+                ))}/frontier_delta/*/*/*.parquet',
+                    hive_partitioning = true)
+                UNION ALL
+                SELECT url_hash, CAST(round AS BIGINT) * 2, NULL, NULL
+                FROM read_parquet('{_frontier_wh(os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+                ))}/fetched/*/*.parquet', hive_partitioning = true)
+            )
+            SELECT url_hash,
+                   CAST(arg_max(depth, ev) AS INT) AS depth,
+                   arg_max(priority, ev) AS priority
+            FROM ev GROUP BY url_hash HAVING max(ev) % 2 = 1
         """,
     }

@@ -567,6 +567,9 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                     for t in texts]
             yield pd.DataFrame({
                 "url": pdf["url"],
+                # ledger carries the frontier key: the popped rows
+                # double as the frontier-delta removal list
+                "url_hash": pdf["url_hash"],
                 "host": pdf["host"],
                 # whole microseconds: float-seconds ns remainders fail
                 # Arrow's safe cast to timestamp[us]

@@ -85,11 +85,17 @@ def _with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def _seen_delta_path(wh: Warehouse, round_no: int) -> str:
-    """The per-round seen delta IS the frontier's ``is_new=1`` partition
-    — written in the same job as the frontier itself (one write job
-    instead of two per round)."""
+    """The per-round seen delta IS the ``is_new=1`` partition of the
+    round's frontier DELTA — written in the same job as the frontier
+    update itself (one write job instead of two per round). Round 0's
+    seeds live in the initial full frontier (same partition layout),
+    as do all rounds of pre-r6 warehouses that rewrote the full
+    frontier per round — the fallback keeps their deltas readable."""
     import os
 
+    p = os.path.join(wh._path("frontier_delta", round_no), "is_new=1")
+    if os.path.exists(p) or wh.exists("frontier_delta", round_no):
+        return p
     return os.path.join(wh._path("frontier", round_no), "is_new=1")
 
 
@@ -127,30 +133,6 @@ def load_seen(spark: SparkSession, wh: Warehouse, upto_round: int):
         # empty crawl (explicit seeds=[]): nothing seen yet
         return spark.createDataFrame([], "url_hash long")
     return spark.read.parquet(*paths).select("url_hash")
-
-
-def _carry_frontier_forward(wh: Warehouse, prev: int, round_no: int):
-    """Empty round: republish the frontier unchanged, folding the
-    previous round's ``is_new=1`` slice into ``is_new=0`` — this round
-    added no seen delta, and leaving the old slice in place would make
-    ``load_seen`` count it once per empty round. Hive partition values
-    live in the directory name, not the part files, so the fold is a
-    driver-side file move."""
-    import os
-    import shutil
-
-    wh.copy_forward("frontier", prev, round_no)
-    root = wh._path("frontier", round_no)
-    new_dir = os.path.join(root, "is_new=1")
-    if not os.path.exists(new_dir):
-        return
-    old_dir = os.path.join(root, "is_new=0")
-    os.makedirs(old_dir, exist_ok=True)
-    for i, f in enumerate(sorted(os.listdir(new_dir))):
-        if f.endswith(".parquet"):
-            shutil.move(os.path.join(new_dir, f),
-                        os.path.join(old_dir, f"carried-{i}-{f}"))
-    shutil.rmtree(new_dir)
 
 
 def load_host_stats(spark: SparkSession, wh: Warehouse,
@@ -246,6 +228,122 @@ def maybe_compact_host_stats(spark: SparkSession, wh: Warehouse,
     return True
 
 
+_FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority",
+                  "attempts"]
+
+
+def load_frontier(spark: SparkSession, wh: Warehouse,
+                  upto_round: int) -> DataFrame:
+    """The pending-URL frontier as of ``upto_round``, reconstructed
+    from a BASE plus per-round deltas — the frontier is the biggest
+    state table of all (10^10 rows at the design point), and the
+    pre-r6 layout rewrote it in full every round, an O(frontier) write
+    even for a round that popped 1k URLs (the fourth and largest
+    instance of the per-round full-rewrite disease the seen set /
+    robots cache / host_stats delta layouts cured).
+
+    Per round the crawl records only:
+    * additions — ``frontier_delta`` (deferred re-adds ``is_new=0`` +
+      fresh discoveries ``is_new=1``, the same write that serves as
+      the seen delta);
+    * removals — the popped rows, which ARE the round's ``fetched``
+      ledger (it carries ``url_hash`` since r6): a column-pruned
+      parquet scan, no extra write at all.
+
+    Reconstruction: the newest event per url_hash wins. Within a
+    round a pop (removal) precedes a deferral re-add, so adds rank
+    above removals of the same round (ev = 2*round+1 vs 2*round). The
+    event set spans at most COMPACT_EVERY rounds (the base
+    re-materializes on that cadence), so ``touched`` is O(rounds ×
+    batch) — broadcast-joined against the base, which is never
+    shuffled and never rewritten off-cadence. (Same broadcast switch
+    point note as robots/host_stats: PLANS.md 100x audit.)
+
+    A full ``frontier`` table at a round (init, recrawl reopen,
+    compaction checkpoint, or every round of a pre-r6 warehouse) is a
+    base; resuming legacy warehouses therefore needs no migration."""
+    base_round = None
+    for r in range(upto_round, -1, -1):
+        if wh.exists("frontier", r):
+            base_round = r
+            break
+    if base_round is None:
+        return spark.createDataFrame(
+            [], "url string, url_hash long, host string, depth int,"
+                " priority double, attempts int")
+    base = wh.load(spark, "frontier", base_round).drop("is_new")
+    if "attempts" not in base.columns:   # pre-column warehouses
+        base = base.withColumn("attempts", F.lit(0))
+    base = base.select(*_FRONTIER_COLS)
+
+    import os
+
+    def _nonempty_delta(r):
+        # a round with a non-empty batch but ZERO additions wrote the
+        # Warehouse's schema-only empty fallback (no is_new= subdirs);
+        # mixing such flat dirs with hive-partitioned ones breaks
+        # partition discovery, and they contribute no events anyway
+        p = wh._path("frontier_delta", r)
+        return any(os.path.isdir(os.path.join(p, f"is_new={v}"))
+                   for v in (0, 1))
+
+    add_paths = [wh._path("frontier_delta", r)
+                 for r in range(base_round + 1, upto_round + 1)
+                 if wh.exists("frontier_delta", r) and _nonempty_delta(r)]
+    rm_paths = [wh._path("fetched", r)
+                for r in range(base_round + 1, upto_round + 1)
+                if wh.exists("fetched", r)]
+    if not add_paths and not rm_paths:
+        return base
+
+    def _ranged(paths, table):
+        return (spark.read.option("basePath", wh._path(table))
+                .parquet(*paths))
+
+    adds = (_ranged(add_paths, "frontier_delta")
+            .withColumn("_ev", F.col("round").cast("long") * 2 + 1)
+            .select(*_FRONTIER_COLS, "_ev")
+            if add_paths else None)
+    rms = (_ranged(rm_paths, "fetched")
+           .select("url_hash",
+                   (F.col("round").cast("long") * 2).alias("_ev"))
+           if rm_paths else None)
+    events = None
+    for part in (None if adds is None else adds.select("url_hash", "_ev"),
+                 rms):
+        if part is not None:
+            events = part if events is None else events.unionByName(part)
+    last = events.groupBy("url_hash").agg(F.max("_ev").alias("_last_ev"))
+    alive = (adds.join(last,
+                       (adds["url_hash"] == last["url_hash"])
+                       & (adds["_ev"] == last["_last_ev"]),
+                       "left_semi")
+             .select(*_FRONTIER_COLS)
+             if adds is not None else None)
+    out = base.join(F.broadcast(last.select("url_hash")),
+                    "url_hash", "left_anti").select(*_FRONTIER_COLS)
+    return out if alive is None else out.unionByName(alive)
+
+
+def maybe_compact_frontier(spark: SparkSession, wh: Warehouse,
+                           round_no: int) -> bool:
+    """Every COMPACT_EVERY rounds, materialize the reconstructed
+    frontier as a new full ``frontier`` base so ``load_frontier``'s
+    event window stays bounded — the one amortized O(frontier) write
+    that replaces the pre-r6 every-round full rewrite. Runs AFTER the
+    round's delta write (the view must include this round's events).
+    All rows are written ``is_new=0``: their seen-delta rows were
+    already recorded by the round that discovered them, and a base
+    must never be re-counted by load_seen's is_new=1 readers."""
+    if round_no <= 0 or round_no % COMPACT_EVERY != 0:
+        return False
+    _drop_stale_compact(wh, "frontier", round_no)
+    view = (load_frontier(spark, wh, round_no)
+            .withColumn("is_new", F.lit(0)))
+    wh.save(view, "frontier", round_no, partition_by="is_new")
+    return True
+
+
 def maybe_compact_seen(spark: SparkSession, wh: Warehouse, round_no: int):
     """Every COMPACT_EVERY rounds, rewrite the seen set (base + deltas
     since) into one compact table version — the IcebergLite analogue of
@@ -313,12 +411,15 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
 
     Fixed Spark-ACTION budget per non-empty round (recorded as the
     ``spark_actions`` metric, counted at the call sites): FOUR — the
-    fused pop+fetch+extract ledger write, the frontier save (which
-    doubles as the seen delta via the ``is_new`` partition), the
-    host_stats DELTA save (this round's per-host increments only —
-    see ``load_host_stats``), and the filter merge save — plus
-    amortized compaction writes (seen + host_stats checkpoints) every
-    COMPACT_EVERY rounds. All scalar
+    fused pop+fetch+extract ledger write, the frontier DELTA save
+    (this round's additions only, whose ``is_new=1`` slice doubles as
+    the seen delta; removals ride the ledger's url_hash column — see
+    ``load_frontier``), the host_stats DELTA save (this round's
+    per-host increments only — see ``load_host_stats``), and the
+    filter merge save — plus amortized compaction writes (frontier
+    base + seen + host_stats checkpoints) every COMPACT_EVERY rounds.
+    Every per-round write is O(round output); the only O(total-state)
+    writes are the amortized re-materializations. All scalar
     round metrics (batch size, objects, fetched/blocked/deferred
     splits, n_new) ride the first two writes for FREE via
     ``Dataset.observe`` — CollectMetrics nodes aggregate inside the
@@ -339,10 +440,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     job_group = f"crawl-round-{round_no}"
     sc.setJobGroup(job_group, f"crawl round {round_no}")
     prev = round_no - 1
-    frontier = wh.load(spark, "frontier", prev).drop("is_new")
-    if "attempts" not in frontier.columns:
-        # warehouses from before the bounded-retry column
-        frontier = frontier.withColumn("attempts", F.lit(0))
+    frontier = load_frontier(spark, wh, prev)
     seen = load_seen(spark, wh, prev)
     filters = wh.load(spark, "seen_filter", prev) if use_bloom else None
     # robots: synthetic table by default; live crawls pass
@@ -399,7 +497,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                 .cache())
 
     fetched = enriched.select(
-        "batch_id", "rank", "url", "host", "depth", "warc_ts",
+        "batch_id", "rank", "url", "url_hash", "host", "depth",
+        "warc_ts",
         "n_objects", F.size("links").alias("n_links"), "bytes",
         "partition_id", "blocked", "retry")
     # ONE job runs pop + politeness + fetch + extract and writes the
@@ -433,17 +532,19 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     n_retry_marked = int(om["n_retry_marked"])
     t_fetch = time.time()
     if n_batch == 0:
-        # nothing fetched: carry state forward driver-side
-        _carry_frontier_forward(wh, prev, round_no)
+        # nothing fetched: no state to write — the frontier/host_stats
+        # loaders read a round RANGE and simply skip rounds without a
+        # delta, so an empty round carries state forward for free (the
+        # pre-r6 layout had to copy the full frontier dir per empty
+        # round)
         if filters is not None:
             wh.copy_forward("seen_filter", prev, round_no)
         if wh.exists("host_stats", prev):
-            # legacy cumulative layout only: delta-layout host_stats
-            # needs no per-round carry (the loader reads a round RANGE
-            # and skips rounds without a delta)
+            # legacy cumulative layout only
             wh.copy_forward("host_stats", prev, round_no)
         # keep the compaction cadences even through empty stretches so
         # the loaders' source lists stay bounded
+        maybe_compact_frontier(spark, wh, round_no)
         maybe_compact_seen(spark, wh, round_no)
         maybe_compact_host_stats(spark, wh, round_no)
         # empty rounds still record metrics and release the job group —
@@ -481,11 +582,16 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                           "attempts")
                   .cache())
 
-    # 7. state update in ONE write job: frontier = (frontier - fetched)
-    #    ∪ fresh, hive-partitioned on is_new so the fresh slice doubles
-    #    as this round's append-only seen delta (see _seen_delta_path).
-    remaining = frontier.join(batch.select("url_hash"), "url_hash",
-                              "left_anti")
+    # 7. frontier DELTA in ONE write job: only this round's additions
+    #    (deferred re-adds + fresh discoveries), hive-partitioned on
+    #    is_new so the fresh slice doubles as the round's append-only
+    #    seen delta (see _seen_delta_path). Removals need NO write at
+    #    all — the popped rows are already in the fetched ledger
+    #    (url_hash column), and ``load_frontier`` replays additions
+    #    against removals per url_hash. The pre-r6 form rewrote the
+    #    ENTIRE frontier here (remaining ∪ deferred ∪ fresh) —
+    #    O(frontier) write I/O per round, the largest state table of
+    #    all at 10^10-URL scale.
     # temporarily-blocked URLs (robots unreachable / transient fetch
     # failure) go BACK into the frontier for a later round — they were
     # popped but not consumed. Bounded: at most MAX_DEFERS re-adds per
@@ -511,9 +617,8 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                 # URL as deferred on the very round it is dropped);
                 # rides the frontier write action below
                 .observe(obs_defer, F.count(F.lit(1)).alias("n")))
-    next_frontier = (remaining.withColumn("is_new", F.lit(0))
-                     .unionByName(deferred.withColumn("is_new", F.lit(0)))
-                     .unionByName(fresh.withColumn("is_new", F.lit(1))))
+    frontier_delta = (deferred.withColumn("is_new", F.lit(0))
+                      .unionByName(fresh.withColumn("is_new", F.lit(1))))
 
     # per-host fetch counts + newest fetch timestamp drive next
     # round's budget scoring and crawl-delay gate. This is a grouped
@@ -576,10 +681,10 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # error path before the exception propagates.
     try:
         obs_front = Observation(f"frontier-r{round_no}")
-        next_frontier = next_frontier.observe(
+        frontier_delta = frontier_delta.observe(
             obs_front,
             F.coalesce(F.sum("is_new"), F.lit(0)).alias("n_new"))
-        wh.save(next_frontier, "frontier", round_no,
+        wh.save(frontier_delta, "frontier_delta", round_no,
                 partition_by="is_new")
         n_actions += 1
         n_new = int(obs_front.get["n_new"])
@@ -592,6 +697,10 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
             wh.save(seen_mod.merge_filters(filters, fresh,
                                            kind=filter_kind),
                     "seen_filter", round_no)
+            n_actions += 1
+        # base re-materialization must follow the delta write (the
+        # reconstructed view includes this round's events)
+        if maybe_compact_frontier(spark, wh, round_no):
             n_actions += 1
         if maybe_compact_seen(spark, wh, round_no):
             n_actions += 1

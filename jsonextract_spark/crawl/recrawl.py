@@ -132,11 +132,14 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
         refresh.unpersist()
         return 0
     rn = after_round + 1
-    frontier = wh.load(spark, "frontier", after_round).drop("is_new")
-    if "attempts" not in frontier.columns:  # pre-column warehouses
-        frontier = frontier.withColumn("attempts", F.lit(0))
+    from jsonextract_spark.crawl.pipeline import load_frontier
+
+    frontier = load_frontier(spark, wh, after_round)
     merged = (reopen_in_frontier(frontier, refresh)
               .withColumn("is_new", F.lit(0)))
+    # the merged frontier is written as a NEW FULL BASE (is_new=0
+    # everywhere — recrawl re-opens URLs, it never forgets them), so
+    # load_frontier's event replay restarts from this round
     wh.save(merged, "frontier", rn, partition_by="is_new")
     if wh.exists("seen_filter", after_round):
         # filters carry forward UNCHANGED: reopened URLs stay in the

@@ -123,6 +123,10 @@ def fetch_extract_partition(rows: Iterable[pd.DataFrame]):
         links = objs.map(_links_from_objs)
         yield pd.DataFrame({
             "url": pdf["url"],
+            # url_hash passes through to the fetched ledger: the round's
+            # popped set IS the frontier-delta removal list, so the
+            # ledger must carry the frontier's key (pipeline r6)
+            "url_hash": pdf["url_hash"],
             "host": pdf["host"],
             "warc_ts": pd.to_datetime(EPOCH + ids, unit="s"),
             "text": texts,
@@ -138,8 +142,12 @@ def fetch_extract_partition(rows: Iterable[pd.DataFrame]):
         })
 
 
+# NOTE: every fetch kernel must copy the input batch's ``url_hash``
+# through to its output (the popped rows double as the frontier-delta
+# removal list — see pipeline.load_frontier).
 FETCH_EXTRACT_SCHEMA = (
-    "url string, host string, warc_ts timestamp, text string, lang string,"
+    "url string, url_hash long, host string, warc_ts timestamp,"
+    " text string, lang string,"
     " depth int, batch_id int, rank long, n_objects int,"
     " links array<string>, bytes int, blocked boolean, retry boolean"
 )

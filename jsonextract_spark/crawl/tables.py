@@ -16,16 +16,33 @@ On a real cluster, swap ``save``/``load`` for
 
 Schemas
 -------
-frontier     url, url_hash, host, depth, priority, attempts (deferral
-             count, bounded by pipeline.MAX_DEFERS), hive-partitioned
-             on is_new (0/1) — the is_new=1 partition IS the round's
-             append-only seen delta (one write job for both tables)
+frontier     FULL frontier BASE: url, url_hash, host, depth, priority,
+             attempts (deferral count, bounded by pipeline.MAX_DEFERS),
+             hive-partitioned on is_new. Written only at init (round
+             0, where is_new=1 seeds double as the first seen delta),
+             at recrawl reopen rounds, and as the amortized
+             COMPACT_EVERY re-materialization (all is_new=0) — never
+             per round. Pre-r6 warehouses have one per round; the
+             loader treats any of these as a base.
+frontier_delta
+             the round's frontier ADDITIONS only (same columns),
+             partitioned on is_new: 0 = deferred re-adds, 1 = fresh
+             discoveries (the is_new=1 slice IS the round's
+             append-only seen delta — one write job for both tables).
+             REMOVALS are not written anywhere: the round's popped
+             rows are already the fetched ledger (url_hash column),
+             and pipeline.load_frontier replays additions against
+             removals per url_hash, newest event wins — a round's
+             frontier write is O(adds), never O(frontier).
 seen_compact url_hash — periodic compaction of the deltas (the
              IcebergLite analogue of rewrite_data_files), written every
              pipeline.COMPACT_EVERY rounds so load_seen unions a
              bounded source list
 seen_filter  bucket, kind, bits (binary), m, k, n
-fetched      batch_id, rank, url, host, depth, warc_ts, n_objects,
+fetched      batch_id, rank, url, url_hash (the frontier key — the
+             round's popped rows double as the frontier-delta removal
+             list, see load_frontier; pre-r6 rounds lack the column),
+             host, depth, warc_ts, n_objects,
              n_links, bytes, partition_id (lineage), blocked (popped
              but stopped by the robots per-path check — never GET'd),
              retry (blocked by a NON-definitive verdict, i.e. robots

@@ -108,11 +108,12 @@ def _ledger(warehouse: str):
 
 def _seen_set(warehouse: str, round_no: int):
     # seen is stored as append-only per-round deltas: each round's
-    # frontier is_new=1 partition (written in the same job as the
-    # frontier itself)
+    # frontier_delta is_new=1 partition (written in the same job as
+    # the frontier update; round 0's seeds live in the initial full
+    # frontier, same layout — the frontier* glob covers both)
     return set(r[0] for r in duckdb.sql(
         f"SELECT url_hash FROM "
-        f"'{warehouse}/frontier/*/is_new=1/*.parquet'"
+        f"'{warehouse}/frontier*/*/is_new=1/*.parquet'"
     ).fetchall())
 
 
@@ -174,30 +175,46 @@ def test_crawl_with_explicit_empty_seed_list(spark, tmp_path):
     assert wh.last_committed_round() == 2
 
 
-def test_carry_frontier_forward_folds_delta(spark, tmp_path):
-    """An empty round republishes the frontier but must NOT republish
-    the previous round's seen delta (is_new=1) — otherwise load_seen
-    double-counts it once per empty round."""
+def test_empty_round_carries_state_without_writes(spark, tmp_path):
+    """An empty round writes NO frontier state at all (the delta-layout
+    loaders read a round RANGE and skip rounds without a delta) —
+    frontier view and seen set are unchanged across the empty round,
+    with no double-counted seen delta and no per-round copy of the
+    full frontier (the pre-r6 carry)."""
     import os
 
     from jsonextract_spark.crawl import pipeline as P
+    from jsonextract_spark.crawl.pipeline import run_crawl
     from jsonextract_spark.crawl.tables import Warehouse
 
-    wh = Warehouse(str(tmp_path / "w"))
-    df = spark.createDataFrame(
-        [("u1", 11, 1), ("u2", 22, 0), ("u3", 33, 1)],
-        "url string, url_hash long, is_new int")
-    wh.save(df, "frontier", 3, partition_by="is_new")
-    P._carry_frontier_forward(wh, 3, 4)
+    wdir = str(tmp_path / "w_er")
+    run_crawl(spark, wdir, rounds=1, n_seeds=10, host_budget=3,
+              batch_size=20)
+    wh = Warehouse(wdir)
+    front_before = {r["url_hash"]
+                    for r in P.load_frontier(spark, wh, 1).collect()}
+    seen_before = sorted(r["url_hash"]
+                         for r in P.load_seen(spark, wh, 1).collect())
 
-    assert not os.path.exists(
-        os.path.join(wh._path("frontier", 4), "is_new=1"))
-    carried = wh.load(spark, "frontier", 4)
-    assert carried.count() == 3  # frontier content unchanged
-    # delta accounting: round 3 contributed u1,u3; round 4 contributed
-    # nothing — the seen union must see exactly {11, 33}, once each
-    seen = P.load_seen(spark, wh, 4)
-    assert sorted(r["url_hash"] for r in seen.collect()) == [11, 33]
+    def deny_all(spark_, frontier):
+        return (frontier.select("host").distinct()
+                .withColumn("allowed", F.lit(False)))
+
+    run_crawl(spark, wdir, rounds=2, resume=True, n_seeds=10,
+              host_budget=3, batch_size=20, robots_provider=deny_all)
+    led = {r["round"]: r for r in wh.ledger()["rounds"]}
+    assert led[2].get("empty")
+    # no frontier state written for the empty round
+    assert not wh.exists("frontier", 2)
+    assert not wh.exists("frontier_delta", 2)
+    assert not os.path.exists(P._seen_delta_path(wh, 2))
+    # view and seen set unchanged, nothing double-counted
+    front_after = {r["url_hash"]
+                   for r in P.load_frontier(spark, wh, 2).collect()}
+    seen_after = sorted(r["url_hash"]
+                        for r in P.load_seen(spark, wh, 2).collect())
+    assert front_after == front_before
+    assert seen_after == seen_before
 
 
 def test_crawl_over_live_http(spark, tmp_path):
@@ -416,6 +433,7 @@ def test_fused_kernel_defers_on_robots_5xx():
     try:
         pdf = pd.DataFrame({
             "url": [f"http://127.0.0.1:{port}/p/{i}" for i in (1, 2)],
+            "url_hash": [11, 22],
             "host": ["127.0.0.1"] * 2, "depth": [0, 0],
             "batch_id": [1, 1], "rank": [1, 2]})
         kernel = make_fetch_extract_kernel(timeout_sec=5)
@@ -445,7 +463,8 @@ def test_deferred_urls_return_to_frontier(spark, tmp_path):
                 pdf["url"].str.contains("/u2")
             n = len(pdf)
             yield pd.DataFrame({
-                "url": pdf["url"], "host": pdf["host"],
+                "url": pdf["url"], "url_hash": pdf["url_hash"],
+                "host": pdf["host"],
                 "warc_ts": pd.to_datetime([1_700_000_000_000_000] * n,
                                           unit="us"),
                 "text": ["" if d else "<script>var c = {id: 1,"
@@ -483,7 +502,8 @@ def test_deferral_is_bounded_by_attempts(spark, tmp_path):
             defer = pdf["url"].str.contains("/u2")
             n = len(pdf)
             yield pd.DataFrame({
-                "url": pdf["url"], "host": pdf["host"],
+                "url": pdf["url"], "url_hash": pdf["url_hash"],
+                "host": pdf["host"],
                 "warc_ts": pd.to_datetime([1_700_000_000_000_000] * n,
                                           unit="us"),
                 "text": ["" if d else "<script>var c = {id: 1,"
@@ -538,6 +558,7 @@ def test_fused_kernel_retries_transient_fetch_failures():
         pdf = pd.DataFrame({
             "url": [f"http://127.0.0.1:{port}/{x}/1"
                     for x in ("boom", "ok", "gone")],
+            "url_hash": [11, 22, 33],
             "host": ["127.0.0.1"] * 3, "depth": [0] * 3,
             "batch_id": [1] * 3, "rank": [1, 2, 3]})
         kernel = make_fetch_extract_kernel(timeout_sec=5)
@@ -843,7 +864,7 @@ def test_seen_compaction_preserves_set(spark, tmp_path, monkeypatch):
     assert wh.exists("seen_compact", 2)
     raw = set(r[0] for r in _duck.sql(
         f"SELECT url_hash FROM "
-        f"'{wh_dir}/frontier/*/is_new=1/*.parquet'").fetchall())
+        f"'{wh_dir}/frontier*/*/is_new=1/*.parquet'").fetchall())
     got = set(r["url_hash"]
               for r in P.load_seen(spark, wh, 3).collect())
     assert got == raw and len(got) > 10
@@ -944,6 +965,56 @@ def test_empty_round_keeps_host_stats_compaction_cadence(
     assert before == after and len(after) > 0
 
 
+def test_frontier_delta_is_o_round_adds(spark, tmp_path, monkeypatch):
+    """The frontier is base + per-round deltas (r6): rounds write ONLY
+    their additions (delta rows == the ledger's new+deferred counts —
+    the pre-r6 layout rewrote the full frontier every round), the full
+    base re-materializes only on the COMPACT_EVERY cadence, and the
+    reconstructed view matches an independent DuckDB event replay
+    (newest event per url_hash wins; adds outrank same-round pops)."""
+    import duckdb as _duck
+
+    from jsonextract_spark.crawl import pipeline as P
+
+    monkeypatch.setattr(P, "COMPACT_EVERY", 3)
+    wh_dir = str(tmp_path / "wfd")
+    P.run_crawl(spark, wh_dir, rounds=4, n_seeds=10, host_budget=3,
+                batch_size=20)
+    wh = P.Warehouse(wh_dir)
+
+    for r in (1, 2, 4):
+        assert not wh.exists("frontier", r)   # no per-round rewrite
+    assert wh.exists("frontier", 3)           # cadence base
+    led = {x["round"]: x for x in wh.ledger()["rounds"]}
+    for r in (1, 2, 3, 4):
+        n_delta = spark.read.parquet(
+            wh._path("frontier_delta", r)).count()
+        assert n_delta == led[r]["new"] + led[r]["deferred"] > 0
+
+    got = {(r["url_hash"], r["depth"], r["priority"])
+           for r in P.load_frontier(spark, wh, 4).collect()}
+    want = {(h, d, p) for h, d, p in _duck.sql(f"""
+        WITH ev AS (
+            SELECT url_hash, CAST(1 AS BIGINT) AS ev, depth, priority
+            FROM '{wh_dir}/frontier/round=0/is_new=1/*.parquet'
+            UNION ALL
+            SELECT url_hash, CAST(round AS BIGINT) * 2 + 1, depth,
+                   priority
+            FROM read_parquet(
+                '{wh_dir}/frontier_delta/*/*/*.parquet',
+                hive_partitioning = true)
+            UNION ALL
+            SELECT url_hash, CAST(round AS BIGINT) * 2, NULL, NULL
+            FROM read_parquet('{wh_dir}/fetched/*/*.parquet',
+                              hive_partitioning = true)
+        )
+        SELECT url_hash, arg_max(depth, ev) AS depth,
+               arg_max(priority, ev) AS priority
+        FROM ev GROUP BY url_hash HAVING max(ev) % 2 = 1
+        """).fetchall()}
+    assert got == want and len(got) > 50
+
+
 def test_stale_uncommitted_compact_ignored_on_resume(spark, tmp_path,
                                                      monkeypatch):
     """A compact checkpoint written by a FAILED round attempt (the
@@ -986,7 +1057,7 @@ def test_stale_uncommitted_compact_ignored_on_resume(spark, tmp_path,
     assert -424242 not in seen
     raw = set(r[0] for r in _duck.sql(
         f"SELECT url_hash FROM "
-        f"'{wh_dir}/frontier/*/is_new=1/*.parquet'").fetchall())
+        f"'{wh_dir}/frontier*/*/is_new=1/*.parquet'").fetchall())
     assert seen == raw
 
 
@@ -1112,6 +1183,7 @@ def test_fetch_kernel_default_floor_paces_silent_host():
         host = f"127.0.0.1:{port}"
         pdf = pd.DataFrame({
             "url": [f"http://{host}/x/{i}" for i in range(3)],
+            "url_hash": [11, 22, 33],
             "host": [host] * 3, "depth": [0] * 3,
             "batch_id": [1] * 3, "rank": [1, 2, 3]})
         kern = make_fetch_extract_kernel(timeout_sec=5,

@@ -58,7 +58,7 @@ def test_schedule_recrawl_roundtrip(spark, tmp_path):
     def seen_set():
         return set(r[0] for r in _duck.sql(
             f"SELECT url_hash FROM "
-            f"'{wdir}/frontier/*/is_new=1/*.parquet'").fetchall())
+            f"'{wdir}/frontier*/*/is_new=1/*.parquet'").fetchall())
 
     def fetched_urls(rno):
         return set(r[0] for r in _duck.sql(
@@ -107,7 +107,7 @@ def test_recrawl_keeps_cuckoo_gate_exact(spark, tmp_path):
 
     dup_hashes = _duck.sql(
         f"SELECT url_hash, count(*) AS c FROM "
-        f"'{wdir}/frontier/*/is_new=1/*.parquet' "
+        f"'{wdir}/frontier*/*/is_new=1/*.parquet' "
         f"GROUP BY url_hash HAVING count(*) > 1").fetchall()
     assert dup_hashes == [], \
         f"seen deltas duplicated after recrawl: {dup_hashes[:5]}"
