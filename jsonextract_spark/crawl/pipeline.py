@@ -232,6 +232,67 @@ _FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority",
                   "attempts"]
 
 
+def _frontier_sources(spark: SparkSession, wh: Warehouse,
+                      upto_round: int):
+    """(normalized base df | None, addition delta paths, removal
+    ledger paths) for the frontier reconstruction — shared by the full
+    replay (``load_frontier``) and the cheaper pending-superset gate
+    (``frontier_gate_keys``)."""
+    import os
+
+    base_round = None
+    for r in range(upto_round, -1, -1):
+        if wh.exists("frontier", r):
+            base_round = r
+            break
+    if base_round is None:
+        return None, [], []
+    base = wh.load(spark, "frontier", base_round).drop("is_new")
+    if "attempts" not in base.columns:   # pre-column warehouses
+        base = base.withColumn("attempts", F.lit(0))
+    base = base.select(*_FRONTIER_COLS)
+
+    def _nonempty_delta(r):
+        # a round with a non-empty batch but ZERO additions wrote the
+        # Warehouse's schema-only empty fallback (no is_new= subdirs);
+        # mixing such flat dirs with hive-partitioned ones breaks
+        # partition discovery, and they contribute no events anyway
+        p = wh._path("frontier_delta", r)
+        return any(os.path.isdir(os.path.join(p, f"is_new={v}"))
+                   for v in (0, 1))
+
+    add_paths = [wh._path("frontier_delta", r)
+                 for r in range(base_round + 1, upto_round + 1)
+                 if wh.exists("frontier_delta", r) and _nonempty_delta(r)]
+    rm_paths = [wh._path("fetched", r)
+                for r in range(base_round + 1, upto_round + 1)
+                if wh.exists("fetched", r)]
+    return base, add_paths, rm_paths
+
+
+def frontier_gate_keys(spark: SparkSession, wh: Warehouse,
+                       upto_round: int) -> DataFrame:
+    """A SUPERSET of the pending url_hashes (base ∪ additions, with
+    removals NOT replayed) for the fresh-link gate. Exact for that
+    purpose: a URL only ever enters the frontier through a seen-delta
+    write (round-0 seeds, fresh discoveries) or while already seen
+    (deferred re-adds, recrawl reopens), so everything the replay
+    would REMOVE from this superset is in the seen set — and the
+    fresh stream is seen-filtered before the gate. Using the superset
+    instead of ``load_frontier`` keeps the event replay (groupBy +
+    two joins) out of the frontier-write job: the replay then runs
+    exactly once per round, inside the pop."""
+    base, add_paths, _rm = _frontier_sources(spark, wh, upto_round)
+    if base is None:
+        return spark.createDataFrame([], "url_hash long")
+    keys = base.select("url_hash")
+    if add_paths:
+        keys = keys.unionByName(
+            spark.read.option("basePath", wh._path("frontier_delta"))
+            .parquet(*add_paths).select("url_hash"))
+    return keys
+
+
 def load_frontier(spark: SparkSession, wh: Warehouse,
                   upto_round: int) -> DataFrame:
     """The pending-URL frontier as of ``upto_round``, reconstructed
@@ -262,37 +323,11 @@ def load_frontier(spark: SparkSession, wh: Warehouse,
     A full ``frontier`` table at a round (init, recrawl reopen,
     compaction checkpoint, or every round of a pre-r6 warehouse) is a
     base; resuming legacy warehouses therefore needs no migration."""
-    base_round = None
-    for r in range(upto_round, -1, -1):
-        if wh.exists("frontier", r):
-            base_round = r
-            break
-    if base_round is None:
+    base, add_paths, rm_paths = _frontier_sources(spark, wh, upto_round)
+    if base is None:
         return spark.createDataFrame(
             [], "url string, url_hash long, host string, depth int,"
                 " priority double, attempts int")
-    base = wh.load(spark, "frontier", base_round).drop("is_new")
-    if "attempts" not in base.columns:   # pre-column warehouses
-        base = base.withColumn("attempts", F.lit(0))
-    base = base.select(*_FRONTIER_COLS)
-
-    import os
-
-    def _nonempty_delta(r):
-        # a round with a non-empty batch but ZERO additions wrote the
-        # Warehouse's schema-only empty fallback (no is_new= subdirs);
-        # mixing such flat dirs with hive-partitioned ones breaks
-        # partition discovery, and they contribute no events anyway
-        p = wh._path("frontier_delta", r)
-        return any(os.path.isdir(os.path.join(p, f"is_new={v}"))
-                   for v in (0, 1))
-
-    add_paths = [wh._path("frontier_delta", r)
-                 for r in range(base_round + 1, upto_round + 1)
-                 if wh.exists("frontier_delta", r) and _nonempty_delta(r)]
-    rm_paths = [wh._path("fetched", r)
-                for r in range(base_round + 1, upto_round + 1)
-                if wh.exists("fetched", r)]
     if not add_paths and not rm_paths:
         return base
 
@@ -314,7 +349,9 @@ def load_frontier(spark: SparkSession, wh: Warehouse,
         if part is not None:
             events = part if events is None else events.unionByName(part)
     last = events.groupBy("url_hash").agg(F.max("_ev").alias("_last_ev"))
-    alive = (adds.join(last,
+    # both replay joins broadcast the bounded event table — neither
+    # the base nor the adds are ever shuffled by reconstruction
+    alive = (adds.join(F.broadcast(last),
                        (adds["url_hash"] == last["url_hash"])
                        & (adds["_ev"] == last["_last_ev"]),
                        "left_semi")
@@ -573,9 +610,14 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                  (F.min("depth") + 1).alias("depth")))
 
     # 6. seen-set gate: bloom prune + exact anti-join backstop;
-    #    also exclude urls already pending in the frontier.
+    #    also exclude urls already pending in the frontier. The
+    #    pending exclusion uses the base∪adds SUPERSET rather than the
+    #    replayed view — exact here (see frontier_gate_keys), and it
+    #    keeps the event replay out of this job: the replay runs once
+    #    per round, in the pop.
     fresh = seen_mod.new_urls(cand, seen, filters)
-    fresh = fresh.join(frontier.select("url_hash"), "url_hash", "left_anti")
+    fresh = fresh.join(frontier_gate_keys(spark, wh, prev),
+                       "url_hash", "left_anti")
     fresh = (fresh.withColumn("priority", priority_of(F.col("depth")))
                   .withColumn("attempts", F.lit(0))
                   .select("url", "url_hash", "host", "depth", "priority",
