@@ -192,6 +192,61 @@ def load_host_stats(spark: SparkSession, wh: Warehouse,
                  F.max("last_fetch_ts").alias("last_fetch_ts")))
 
 
+def _drop_uncommitted_round_state(wh: Warehouse, round_no: int):
+    """Delete state-table debris a FAILED earlier attempt of
+    ``round_no`` may have left (the round died after some writes but
+    before its ledger commit — a committed round is never re-entered).
+    The non-empty path overwrites ``fetched``/``frontier_delta``/
+    ``host_stats_delta`` atomically anyway, but the EMPTY path writes
+    none of them, and the loaders consult directory existence: a
+    surviving ``frontier_delta`` would commit phantom additions (and
+    phantom seen entries) with the crashed attempt's removals erased,
+    and a surviving full ``frontier`` base from a crashed
+    ``schedule_recrawl`` would hijack the replay base, masking every
+    event of the re-run round (both reproduced in review). Compaction
+    checkpoints get the same treatment at their own write sites
+    (``_drop_stale_compact``)."""
+    import shutil
+
+    for table in ("frontier", "frontier_delta", "host_stats_delta"):
+        if wh.exists(table, round_no):
+            shutil.rmtree(wh._path(table, round_no))
+
+
+def _validated_kernel(kernel):
+    """Wrap a fetch kernel with the EXACTLY-ONE-ROW-PER-INPUT-ROW
+    contract check, enforced executor-side at zero extra actions.
+    Since r6 the round's removal list IS the fetched ledger, so a
+    kernel that silently drops rows would leave those URLs pending
+    forever — re-popped and re-dropped every round (pre-r6 the
+    frontier anti-join consumed them silently instead, which was
+    quiet data loss). Either way the kernel is broken; failing the
+    round with a clear message beats both. Totals are compared
+    per-task (the kernel is invoked once per task and may re-batch
+    internally)."""
+    def run(batches):
+        counts = [0, 0]   # rows in, rows out
+
+        def counted(bs):
+            for pdf in bs:
+                counts[0] += len(pdf)
+                yield pdf
+
+        for out in kernel(counted(batches)):
+            counts[1] += len(out)
+            yield out
+        if counts[0] != counts[1]:
+            raise ValueError(
+                f"fetch kernel emitted {counts[1]} rows for "
+                f"{counts[0]} input rows — the fused kernel contract "
+                f"is exactly one output row per popped URL (emit "
+                f"blocked/retry rows instead of dropping; dropped "
+                f"rows would stay in the frontier and be re-popped "
+                f"every round)")
+
+    return run
+
+
 def _drop_stale_compact(wh: Warehouse, table: str, round_no: int):
     """A compact checkpoint already present at the round BEING RUN can
     only be debris from a failed earlier attempt of this same round
@@ -268,29 +323,6 @@ def _frontier_sources(spark: SparkSession, wh: Warehouse,
                 for r in range(base_round + 1, upto_round + 1)
                 if wh.exists("fetched", r)]
     return base, add_paths, rm_paths
-
-
-def frontier_gate_keys(spark: SparkSession, wh: Warehouse,
-                       upto_round: int) -> DataFrame:
-    """A SUPERSET of the pending url_hashes (base ∪ additions, with
-    removals NOT replayed) for the fresh-link gate. Exact for that
-    purpose: a URL only ever enters the frontier through a seen-delta
-    write (round-0 seeds, fresh discoveries) or while already seen
-    (deferred re-adds, recrawl reopens), so everything the replay
-    would REMOVE from this superset is in the seen set — and the
-    fresh stream is seen-filtered before the gate. Using the superset
-    instead of ``load_frontier`` keeps the event replay (groupBy +
-    two joins) out of the frontier-write job: the replay then runs
-    exactly once per round, inside the pop."""
-    base, add_paths, _rm = _frontier_sources(spark, wh, upto_round)
-    if base is None:
-        return spark.createDataFrame([], "url_hash long")
-    keys = base.select("url_hash")
-    if add_paths:
-        keys = keys.unionByName(
-            spark.read.option("basePath", wh._path("frontier_delta"))
-            .parquet(*add_paths).select("url_hash"))
-    return keys
 
 
 def load_frontier(spark: SparkSession, wh: Warehouse,
@@ -477,6 +509,9 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     job_group = f"crawl-round-{round_no}"
     sc.setJobGroup(job_group, f"crawl round {round_no}")
     prev = round_no - 1
+    # a failed earlier attempt of THIS round may have left state-table
+    # debris the delta-layout loaders would otherwise trust
+    _drop_uncommitted_round_state(wh, round_no)
     frontier = load_frontier(spark, wh, prev)
     seen = load_seen(spark, wh, prev)
     filters = wh.load(spark, "seen_filter", prev) if use_bloom else None
@@ -528,8 +563,9 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # kernel is pluggable: synth (deterministic corpus, the default) or
     # fetch_http.make_fetch_extract_kernel (live HTTP).
     enriched = (fetch_input
-                .mapInPandas(fetch_kernel or synth.fetch_extract_partition,
-                             synth.FETCH_EXTRACT_SCHEMA)
+                .mapInPandas(_validated_kernel(
+                    fetch_kernel or synth.fetch_extract_partition),
+                    synth.FETCH_EXTRACT_SCHEMA)
                 .withColumn("partition_id", F.spark_partition_id())
                 .cache())
 
@@ -609,15 +645,17 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                  F.min("host").alias("host"),
                  (F.min("depth") + 1).alias("depth")))
 
-    # 6. seen-set gate: bloom prune + exact anti-join backstop;
-    #    also exclude urls already pending in the frontier. The
-    #    pending exclusion uses the base∪adds SUPERSET rather than the
-    #    replayed view — exact here (see frontier_gate_keys), and it
-    #    keeps the event replay out of this job: the replay runs once
-    #    per round, in the pop.
+    # 6. seen-set gate: bloom prune + exact anti-join backstop. The
+    #    gate ALSO excludes URLs already pending in the frontier, for
+    #    free: every pending row entered the frontier either through
+    #    an is_new=1 seen-delta write (round-0 seeds, fresh
+    #    discoveries) or while already seen (deferred re-adds, recrawl
+    #    reopens), so pending ⊆ seen and the exact seen anti-join
+    #    covers both. The pre-r6 code carried a second anti-join
+    #    against the full frontier here — provably a no-op by the same
+    #    argument, and an O(frontier) scan per round at the design
+    #    point.
     fresh = seen_mod.new_urls(cand, seen, filters)
-    fresh = fresh.join(frontier_gate_keys(spark, wh, prev),
-                       "url_hash", "left_anti")
     fresh = (fresh.withColumn("priority", priority_of(F.col("depth")))
                   .withColumn("attempts", F.lit(0))
                   .select("url", "url_hash", "host", "depth", "priority",

@@ -1015,6 +1015,104 @@ def test_frontier_delta_is_o_round_adds(spark, tmp_path, monkeypatch):
     assert got == want and len(got) > 50
 
 
+def test_uncommitted_round_debris_dropped_on_rerun(spark, tmp_path):
+    """Crash-window regressions (review round 6, both reproduced
+    before the fix): (a) a full ``frontier`` base left by a crashed
+    schedule_recrawl must not hijack the replay base on the re-run —
+    it would mask every event of that round (popped URLs resurrected,
+    fresh discoveries lost forever); (b) a ``frontier_delta`` left by
+    a crashed round attempt whose RE-RUN pops an empty batch must not
+    commit phantom additions/seen entries. run_round deletes any
+    round-state debris at the round being run before loading."""
+    import duckdb as _duck
+
+    from jsonextract_spark.crawl import pipeline as P
+
+    wh_dir = str(tmp_path / "wdebris")
+    P.run_crawl(spark, wh_dir, rounds=2, n_seeds=10, host_budget=3,
+                batch_size=20)
+    wh = P.Warehouse(wh_dir)
+    # (a) crashed-recrawl debris: an uncommitted full base at round 3
+    bogus_base = spark.createDataFrame(
+        [("https://debris.example/a", -111, "debris.example", 0,
+          1.0, 0, 0)],
+        "url string, url_hash long, host string, depth int,"
+        " priority double, attempts int, is_new int")
+    wh.save(bogus_base, "frontier", 3, partition_by="is_new")
+    # (b) crashed-attempt delta debris at the same round
+    bogus_delta = spark.createDataFrame(
+        [("https://debris.example/b", -999, "debris.example", 1,
+          0.5, 0, 1)],
+        "url string, url_hash long, host string, depth int,"
+        " priority double, attempts int, is_new int")
+    wh.save(bogus_delta, "frontier_delta", 3, partition_by="is_new")
+
+    P.run_crawl(spark, wh_dir, rounds=4, resume=True, n_seeds=10,
+                host_budget=3, batch_size=20)
+
+    hashes = {r["url_hash"]
+              for r in P.load_frontier(spark, wh, 4).collect()}
+    assert -111 not in hashes and -999 not in hashes
+    seen = {r["url_hash"] for r in P.load_seen(spark, wh, 4).collect()}
+    assert -999 not in seen
+    # the reconstruction still equals the independent event replay —
+    # i.e. round 3's real events were NOT masked by the debris base
+    want = {h for (h,) in _duck.sql(f"""
+        WITH ev AS (
+            SELECT url_hash, CAST(1 AS BIGINT) AS ev
+            FROM '{wh_dir}/frontier/round=0/is_new=1/*.parquet'
+            UNION ALL
+            SELECT url_hash, CAST(round AS BIGINT) * 2 + 1
+            FROM read_parquet('{wh_dir}/frontier_delta/*/*/*.parquet',
+                              hive_partitioning = true)
+            UNION ALL
+            SELECT url_hash, CAST(round AS BIGINT) * 2
+            FROM read_parquet('{wh_dir}/fetched/*/*.parquet',
+                              hive_partitioning = true)
+        )
+        SELECT url_hash FROM ev GROUP BY url_hash
+        HAVING max(ev) % 2 = 1""").fetchall()}
+    assert hashes == want
+
+
+def test_kernel_dropping_rows_fails_fast(spark, tmp_path):
+    """A fetch kernel that silently drops input rows would leave those
+    URLs pending forever (re-popped every round — the removal list is
+    the emitted ledger). The pipeline's kernel wrapper enforces
+    exactly one output row per popped URL and fails the round with a
+    clear message instead."""
+    import pandas as pd
+
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    def dropping_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = ~pdf["url"].str.contains("/u2")   # drops u2
+            kept = pdf[keep].reset_index(drop=True)
+            n = len(kept)
+            if n == 0:
+                continue   # the classic empty-filtered-batch dodge
+            yield pd.DataFrame({
+                "url": kept["url"], "url_hash": kept["url_hash"],
+                "host": kept["host"],
+                "warc_ts": pd.to_datetime([1_700_000_000_000_000] * n,
+                                          unit="us"),
+                "text": [""] * n, "lang": "und",
+                "depth": kept["depth"], "batch_id": kept["batch_id"],
+                "rank": kept["rank"], "n_objects": [0] * n,
+                "links": [[] for _ in range(n)], "bytes": [0] * n,
+                "blocked": [False] * n, "retry": [False] * n,
+            })
+
+    with pytest.raises(Exception, match="one output row per popped"):
+        run_crawl(spark, str(tmp_path / "w_dropk"), rounds=1,
+                  seeds=["http://h.example/u1", "http://h.example/u2"],
+                  host_budget=5, batch_size=5,
+                  fetch_kernel=dropping_kernel)
+
+
 def test_stale_uncommitted_compact_ignored_on_resume(spark, tmp_path,
                                                      monkeypatch):
     """A compact checkpoint written by a FAILED round attempt (the
