@@ -244,6 +244,15 @@ CASES = [
     ("{k: 'a\\\nb'}", []),
     # \uXXXX is shared JSON/JS syntax — survives both quote styles
     ("{k: '\\u0041'}", ['{"k":"\\u0041"}']),
+    # -- object-key dispatch pins (r6 fuzz family probes): keys run
+    # the same ident mapping as values (reader.go:318-338 is
+    # position-independent), so a keyword KEY becomes a non-string
+    # JSON token and the object is dropped; sign truncation applies
+    # there too --
+    ("{true: 1}", []),
+    ("{undefined: 1}", []),
+    ("{-true: 1}", []),
+    ("{a: 1, NaN: 2}", []),
     # the single-pass rewrite consumes the backslash of \\ as a plain
     # byte, so '\\' + quote ends as \,",… -> invalid, object dropped
     ("{k: 'a\\\\'b'}", []),

@@ -1,11 +1,11 @@
 """Grammar-directed fuzzing of the extraction kernel.
 
-TEN generator families, each with an exact oracle that needs no Go
+ELEVEN generator families, each with an exact oracle that needs no Go
 binary — the first three below, plus comments/templates, regex
 literals, limit-prefix, bracket soup (all r4), number-literal
-decimalization and identifier-value mapping (both r5), and string
-escape sequences across both quote styles (r6; see the section
-comments):
+decimalization and identifier-value mapping (both r5), string escape
+sequences across both quote styles, and object-key dispatch (both r6;
+see the section comments):
 
 * STRICT-JSON EMBED — hypothesis generates arbitrary JSON values,
   embeds their ``json.dumps`` renderings between brace-free garbage,
@@ -332,6 +332,62 @@ def test_identifier_values_map_like_reference(objs, seps):
             expected.append(
                 "{" + ",".join(f'"{k}":{exp}'
                                for k, (_l, exp) in kvs) + "}")
+    out = extract_objects(page.encode("utf-8"))
+    assert [o.decode() for o in out] == expected, page
+    for o in out:
+        json.loads(o)
+
+
+# -- object-key family (r6) ---------------------------------------------------
+#
+# KEYS go through the exact same token dispatch as values — the
+# reference's loop is position-independent (reader.go:318-338 ident
+# handling, :404-409 strings): a reserved-keyword key maps to its
+# JSON spelling (true/false/null — a non-string key, so json.Valid
+# drops the whole object), every other identifier key is
+# Marshal-quoted into a string, quoted keys take the string paths
+# (single-quoted rewritten, double-quoted verbatim), and a leading
+# sign before a key invalidates the object whether it survives (-a ->
+# -"a") or is truncated (the keyword rule: -true -> true, still not a
+# string key).
+
+@st.composite
+def _key_case(draw):
+    """-> (key_text, expected_json_key | None==object dropped)."""
+    kind = draw(st.sampled_from(["ident", "keyword", "signed",
+                                 "squote", "dquote"]))
+    if kind == "keyword":
+        return draw(st.sampled_from(sorted(_KEYWORDS))), None
+    if kind == "signed":
+        sign = draw(st.sampled_from("+-"))
+        base = draw(_IDENT | st.sampled_from(sorted(_KEYWORDS)))
+        return sign + base, None
+    if kind == "ident":
+        k = draw(_IDENT)
+        return k, '"' + k + '"'
+    inner = draw(st.text(alphabet=string.ascii_lowercase + "_ ",
+                         max_size=8))
+    if kind == "squote":
+        return "'" + inner + "'", '"' + inner + '"'
+    return '"' + inner + '"', '"' + inner + '"'
+
+
+@settings(max_examples=200, deadline=None)
+@given(objs=st.lists(st.lists(_key_case(), min_size=1, max_size=3),
+                     min_size=1, max_size=3),
+       seps=st.lists(_GARBAGE, min_size=4, max_size=4))
+def test_object_keys_dispatch_like_values(objs, seps):
+    page = seps[0]
+    expected = []
+    for keys, sep in zip(objs, seps[1:]):
+        page += ("{" + ", ".join(f"{k}: {i}"
+                                 for i, (k, _) in enumerate(keys))
+                 + "}") + sep
+        if all(ek is not None for _k, ek in keys):
+            expected.append(
+                "{" + ",".join(f"{ek}:{i}"
+                               for i, (_k, ek) in enumerate(keys))
+                + "}")
     out = extract_objects(page.encode("utf-8"))
     assert [o.decode() for o in out] == expected, page
     for o in out:
