@@ -203,12 +203,20 @@ def _drop_uncommitted_round_state(wh: Warehouse, round_no: int):
     phantom seen entries) with the crashed attempt's removals erased,
     and a surviving full ``frontier`` base from a crashed
     ``schedule_recrawl`` would hijack the replay base, masking every
-    event of the re-run round (both reproduced in review). Compaction
-    checkpoints get the same treatment at their own write sites
-    (``_drop_stale_compact``)."""
+    event of the re-run round (both reproduced in review). ``fetched``
+    debris matters too: if the re-run pops a DIFFERENT batch (the
+    crawl-delay eligibility gate is clock-dependent) or commits empty,
+    the crashed attempt's ledger rows become phantom removals in later
+    rounds' frontier replay and phantom pages in crawl_order/recrawl —
+    the non-empty path overwrites it atomically, but only with the
+    same-shape write. Compaction checkpoints get the same treatment at
+    their own write sites (``_drop_stale_compact``), and
+    ``schedule_recrawl`` runs both cleanups before committing its
+    maintenance round."""
     import shutil
 
-    for table in ("frontier", "frontier_delta", "host_stats_delta"):
+    for table in ("frontier", "frontier_delta", "host_stats_delta",
+                  "fetched"):
         if wh.exists(table, round_no):
             shutil.rmtree(wh._path(table, round_no))
 
@@ -232,9 +240,16 @@ def _validated_kernel(kernel):
                 counts[0] += len(pdf)
                 yield pdf
 
-        for out in kernel(counted(batches)):
+        counted_in = counted(batches)
+        for out in kernel(counted_in):
             counts[1] += len(out)
             yield out
+        # a kernel that returns WITHOUT exhausting its input would
+        # otherwise pass the check over the consumed prefix while
+        # silently dropping the remaining batches — drain what it left
+        # unread so counts[0] reflects the task's true input
+        for pdf in counted_in:
+            pass
         if counts[0] != counts[1]:
             raise ValueError(
                 f"fetch kernel emitted {counts[1]} rows for "

@@ -132,8 +132,21 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
         refresh.unpersist()
         return 0
     rn = after_round + 1
-    from jsonextract_spark.crawl.pipeline import load_frontier
+    from jsonextract_spark.crawl.pipeline import (
+        _drop_stale_compact, _drop_uncommitted_round_state, load_frontier)
 
+    # if run_round(rn) crashed after some writes and the operator
+    # resumes via schedule_recrawl instead of re-running the round,
+    # committing rn would adopt the crashed attempt's debris: its
+    # frontier_delta becomes the round's seen delta (URLs marked seen
+    # but absent from the reopened frontier — never crawled), its
+    # host_stats_delta double-counts into politeness stats, and its
+    # fetched rows surface in crawl_order / later recrawl ages. Same
+    # cleanup run_round performs at entry, plus the compaction
+    # checkpoints a crashed attempt of rn may have written.
+    _drop_uncommitted_round_state(wh, rn)
+    for tbl in ("seen_compact", "host_stats_compact"):
+        _drop_stale_compact(wh, tbl, rn)
     frontier = load_frontier(spark, wh, after_round)
     merged = (reopen_in_frontier(frontier, refresh)
               .withColumn("is_new", F.lit(0)))

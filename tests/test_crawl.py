@@ -1508,3 +1508,79 @@ def test_robots_provider_output_bounded_to_round_hosts(spark, tmp_path):
         assert log.count("/robots.txt") == n_gets
     finally:
         srv.shutdown()
+
+
+def test_recrawl_drops_crashed_round_debris(spark, tmp_path):
+    """If run_round(rn) crashed after some writes and the operator
+    resumes via schedule_recrawl (which commits rn as its maintenance
+    round) instead of re-running rn, the recrawl commit must not adopt
+    the crashed attempt's debris: its frontier_delta would become the
+    round's seen delta (URLs marked seen but absent from the reopened
+    frontier — never crawled), its host_stats_delta would double-count
+    politeness stats, and its fetched rows would surface in
+    crawl_order and later recrawl age computations."""
+    from jsonextract_spark.crawl import pipeline as P
+    from jsonextract_spark.crawl.recrawl import schedule_recrawl
+
+    wh_dir = str(tmp_path / "wrecrawl_debris")
+    P.run_crawl(spark, wh_dir, rounds=2, n_seeds=10, host_budget=3,
+                batch_size=20)
+    wh = P.Warehouse(wh_dir)
+
+    # debris from a crashed round-3 attempt: delta (-777 would become
+    # a phantom seen entry), host stats, and a fetched ledger row
+    wh.save(spark.createDataFrame(
+        [("https://debris.example/d", -777, "debris.example", 1,
+          0.5, 0, 1)],
+        "url string, url_hash long, host string, depth int,"
+        " priority double, attempts int, is_new int"),
+        "frontier_delta", 3, partition_by="is_new")
+    wh.save(spark.createDataFrame(
+        [("debris.example", 99.0, 1.0)],
+        "host string, crawled double, last_fetch_ts double"),
+        "host_stats_delta", 3)
+    wh.save(spark.read.parquet(wh._path("fetched", 1)).limit(1)
+            .withColumn("url", F.lit("https://debris.example/f")),
+            "fetched", 3)
+
+    import time as _time
+    n = schedule_recrawl(spark, wh, after_round=2, max_age_sec=0.0,
+                         now_ts=_time.time() + 10.0)
+    assert n > 0 and wh.last_committed_round() == 3
+
+    seen = {r["url_hash"] for r in P.load_seen(spark, wh, 3).collect()}
+    assert -777 not in seen
+    stats = P.load_host_stats(spark, wh, 3)
+    assert "debris.example" not in {r["host"] for r in stats.collect()}
+    urls = {r["url"] for r in P.crawl_order(spark, wh_dir).collect()}
+    assert "https://debris.example/f" not in urls
+    # the reopened frontier (still-pending ∪ n reopened stale URLs)
+    # holds the real rows, not the debris
+    reopened = {r["url_hash"]
+                for r in P.load_frontier(spark, wh, 3).collect()}
+    assert -777 not in reopened and len(reopened) >= n
+
+
+def test_validated_kernel_counts_unread_input():
+    """A kernel that returns without exhausting its input iterator
+    must still fail the 1:1 contract — counting only the consumed
+    prefix would pass while the remaining batches are silently dropped
+    (the exact re-popped-forever failure mode the check exists for)."""
+    import pandas as pd
+
+    from jsonextract_spark.crawl.pipeline import _validated_kernel
+
+    batches = [pd.DataFrame({"a": [1, 2]}), pd.DataFrame({"a": [3]})]
+
+    def lazy_kernel(bs):
+        for pdf in bs:
+            yield pdf
+            return            # first batch only; input NOT exhausted
+
+    with pytest.raises(ValueError, match="one output row per popped"):
+        list(_validated_kernel(lazy_kernel)(iter(batches)))
+
+    # a kernel consuming everything still passes, rows preserved
+    out = list(_validated_kernel(lambda bs: (p for p in bs))(
+        iter(batches)))
+    assert sum(len(p) for p in out) == 3
