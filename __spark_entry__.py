@@ -3,16 +3,14 @@
 ``entry(spark)`` — flagship extraction query at sf0.001.
 ``queries()`` / ``oracle_sql()`` — per-operator Spark vs DuckDB
 cross-checks at sf0.01 (row count + schema + order-insensitive value
-hash). Only two queries lack a SQL-expressible oracle: q_simhash_pairs
-(its token hash is wrapping 64-bit multiply/shift arithmetic — DuckDB
-integer ops raise on overflow instead of wrapping) and q_fingerprint
-(murmur3, which DuckDB doesn't ship). They are listed in ``queries()``
-only and get the driver's rows-only check; each hash family still has
-a value-level DuckDB cross-check through its invariant-oracle twin
-(q_simhash_stable: exact word-order invariance + edit sensitivity;
-q_fingerprint_stable: reflow/case invariance + edit sensitivity), plus
-pytest pins (batch-partitioning-invariance property test for simhash,
-reference-implementation cross-check, murmur3 batch/scalar parity).
+hash). Since r7 EVERY query is hash-oracled: q_simhash_pairs and
+q_fingerprint — rows-only through r6 because their hashes need
+wrapping 64-bit arithmetic — now have from-scratch DuckDB restatements
+built on HUGEINT multiply-mod-2^64 (see the hash-oracle SQL generator
+section). Their invariant-oracle twins (q_simhash_stable,
+q_fingerprint_stable) and pytest pins (batch-partitioning-invariance
+property, reference cross-check, murmur3 batch/scalar parity) remain
+as independent checks of the same families.
 
 Type discipline: every count/rank is cast to BIGINT on the Spark side
 because DuckDB's COUNT/ROW_NUMBER produce BIGINT; ratios stay DOUBLE.
@@ -348,13 +346,22 @@ def _q_minhash_pairs(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs. Oracled since r7: combination
+    blocking has EXACT recall at the hamming threshold (pigeonhole),
+    so the output equals the all-pairs hamming≤3 set the DuckDB oracle
+    computes from its own from-scratch simhash (HUGEINT wrapping
+    arithmetic) — a full value-level check of tokenization, token
+    hashing, bit-majority packing, blocking recall, and the verify
+    filter at once."""
     from jsonextract_spark.datapipe.dedup import simhash_candidates
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     dup = docs.filter("doc_id % 25 = 0").select(
         (F.col("doc_id") + 300000).alias("doc_id"), "text")
     corpus = docs.unionByName(dup)
-    return simhash_candidates(corpus, "text", "doc_id", max_hamming=3)
+    return (simhash_candidates(corpus, "text", "doc_id", max_hamming=3)
+            .select("a", "b", F.col("hamming").cast("bigint")
+                    .alias("hamming")))
 
 
 def _q_langid(spark, sf_dir):
@@ -666,6 +673,227 @@ def _q_frontier_state(spark, sf_dir):
                     F.col("priority").cast("double").alias("priority")))
 
 
+# -- wrapping-64-bit hash oracles in pure DuckDB SQL -------------------------
+#
+# DuckDB integer ops raise on overflow instead of wrapping, which is
+# why q_fingerprint (murmur3_x64_128 low word) and q_simhash_pairs
+# (FNV-roll + splitmix64 token hashes) were rows-only checks through
+# r6. HUGEINT (native int128) closes that: a wrapping 64-bit multiply
+# is exact in HUGEINT followed by % 2^64 — with one care, a*b for two
+# 64-bit operands can reach 2^128 and overflow SIGNED int128, so
+# multiplies split the (always-constant) multiplier into 32-bit
+# halves, keeping every intermediate under 2^97. xor / right-shift run
+# on UBIGINT (native); left-shift-by-constant is HUGEINT multiply+mod
+# (DuckDB's << raises on bit-63 overflow even for UBIGINT).
+#
+# The SQL below is generated by tiny expression helpers, restating the
+# public-domain algorithms (Appleby's MurmurHash3, Vigna's SplitMix64,
+# FNV) independently of jsonextract_spark — the helpers emit SQL text
+# only and share no code with the Spark-side implementations.
+#
+# The murmur3 16-byte block loop is a recursive CTE, NOT list_reduce:
+# DuckDB 1.0's list_reduce with a STRUCT accumulator updates fields in
+# place in field order, so a later field's lambda expression observes
+# the earlier field's NEW value (verified: (acc,b) -> struct(x :=
+# acc.x*2 + b.x, y := acc.y*3 + b.y + acc.x) folded over
+# [(1,1),(2,2),(3,3)] yields y=32 where standard fold semantics give
+# 25). A recursive CTE has standard SQL semantics.
+
+_M64 = "18446744073709551616"                     # 2^64
+
+
+def _s_mul64(x: str, c: int) -> str:
+    """Wrapping 64-bit multiply of HUGEINT expr in [0,2^64) by const."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    if hi == 0:
+        return f"((({x}) * {lo}) % {_M64})"
+    return (f"(((({x}) * {lo}) + (((({x}) * {hi}) % 4294967296) "
+            f"* 4294967296)) % {_M64})")
+
+
+def _s_xor64(a: str, b: str) -> str:
+    return (f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT)) "
+            f"AS HUGEINT)")
+
+
+def _s_shr(x: str, r: int) -> str:
+    return f"(({x}) // {1 << r})"
+
+
+def _s_rotl64(x: str, r: int) -> str:
+    # the two halves occupy disjoint bit ranges, so | == +
+    return f"((((({x}) * {1 << r}) % {_M64}) + (({x}) // {1 << (64 - r)})))"
+
+
+def _s_fmix64(x: str) -> str:
+    e = _s_xor64(x, _s_shr(x, 33))
+    e = _s_mul64(e, 0xFF51AFD7ED558CCD)
+    e = _s_xor64(e, _s_shr(e, 33))
+    e = _s_mul64(e, 0xC4CEB9FE1A85EC53)
+    return _s_xor64(e, _s_shr(e, 33))
+
+
+def _s_splitmix64(x: str) -> str:
+    e = f"((({x}) + {0x9E3779B97F4A7C15}) % {_M64})"
+    e = _s_mul64(_s_xor64(e, _s_shr(e, 30)), 0xBF58476D1CE4E5B9)
+    e = _s_mul64(_s_xor64(e, _s_shr(e, 27)), 0x94D049BB133111EB)
+    return _s_xor64(e, _s_shr(e, 31))
+
+
+def _s_signed(x: str) -> str:
+    return (f"CAST(CASE WHEN ({x}) >= 9223372036854775808 "
+            f"THEN ({x}) - {_M64} ELSE ({x}) END AS BIGINT)")
+
+
+_MM3_C1, _MM3_C2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+
+
+def _s_mm3_k(k: str, c_first: int, r: int, c_second: int) -> str:
+    """The k1/k2 pre-mix shared by murmur3 block and tail rounds."""
+    return _s_mul64(_s_rotl64(_s_mul64(k, c_first), r), c_second)
+
+
+# UTF-8 byte values of a string as an int list, via its hex dump
+# (DuckDB has no direct BLOB indexing); {v} is the 0-based byte index,
+# `hx` the hex(encode(..)) column in scope
+_S_HEXBYTE = ("(strpos('0123456789ABCDEF', hx[2*{v}+1]) - 1) * 16 + "
+              "strpos('0123456789ABCDEF', hx[2*{v}+2]) - 1")
+
+_S_POW256 = "[" + ", ".join(f"{256 ** j}::HUGEINT" for j in range(8)) + "]"
+_S_POW2 = "[" + ", ".join(f"{1 << i}::HUGEINT" for i in range(64)) + "]"
+
+# whitespace runs as Python str.split() sees them (RE2 \s is
+# ASCII-only; the explicit ranges add the C1/Unicode whitespace
+# Python's .split() also breaks on)
+_S_WS = (r"[\s\x0b\x1c-\x1f\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}"
+         r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+")
+
+
+def _s_le8(off: str, count: str) -> str:
+    """Little-endian HUGEINT from ``count`` bytes of list col ``bytes``
+    at 0-based offset ``off`` (SQL list indexing is 1-based)."""
+    return (f"CAST(COALESCE(list_sum(list_transform(range({count}), "
+            f"j -> CAST(bytes[({off}) + j + 1] AS HUGEINT) "
+            f"* {_S_POW256}[j + 1])), 0) AS HUGEINT)")
+
+
+def _s_norm(text: str) -> str:
+    """lower + whitespace-normalize, as `' '.join(t.lower().split())`."""
+    return (f"COALESCE(array_to_string(list_filter(string_split_regex("
+            f"lower({text}), '{_S_WS}'), w -> w <> ''), ' '), '')")
+
+
+def _murmur3_fp_sql(corpus_sql: str) -> str:
+    """doc_id, fp = signed low-64 of murmur3_x64_128(text) over a
+    (doc_id, text) corpus query — the fingerprint_udf contract
+    (normalization happens in ``corpus_sql`` via ``_s_norm``)."""
+    k1x, k2x = "blk.ks[2*st.i + 1]", "blk.ks[2*st.i + 2]"
+    k1p = _s_mm3_k(k1x, _MM3_C1, 31, _MM3_C2)
+    h1a = _s_xor64("st.h1", k1p)
+    h1b = f"(({_s_rotl64(h1a, 27)} + st.h2) % {_M64})"
+    h1n = f"((({h1b}) * 5 + {0x52DCE729}) % {_M64})"
+    k2p = _s_mm3_k(k2x, _MM3_C2, 33, _MM3_C1)
+    h2a = _s_xor64("st.h2", k2p)
+    h2b = f"(({_s_rotl64(h2a, 31)} + ({h1n})) % {_M64})"
+    h2n = f"((({h2b}) * 5 + {0x38495AB5}) % {_M64})"
+    h1t = (f"CASE WHEN tl > 0 THEN "
+           f"{_s_xor64('h1', _s_mm3_k('tk1', _MM3_C1, 31, _MM3_C2))} "
+           f"ELSE h1 END")
+    h2t = (f"CASE WHEN tl > 8 THEN "
+           f"{_s_xor64('h2', _s_mm3_k('tk2', _MM3_C2, 33, _MM3_C1))} "
+           f"ELSE h2 END")
+    return f"""
+WITH RECURSIVE corpus AS ({corpus_sql}),
+nrm AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM corpus
+),
+byt AS (
+  SELECT doc_id, n,
+         list_transform(range(n), i -> {_S_HEXBYTE.format(v='i')}) AS bytes
+  FROM nrm
+),
+blk AS (
+  SELECT doc_id, n, bytes, n // 16 AS nb, n % 16 AS tl,
+         list_transform(range(2 * (n // 16)),
+                        i -> {_s_le8('8*i', '8')}) AS ks
+  FROM byt
+),
+st AS (
+  SELECT doc_id, 0 AS i, 0::HUGEINT AS h1, 0::HUGEINT AS h2 FROM blk
+  UNION ALL
+  SELECT st.doc_id, st.i + 1, {h1n} AS h1, {h2n} AS h2
+  FROM st JOIN blk USING (doc_id)
+  WHERE st.i < blk.nb
+),
+looped AS (
+  SELECT st.doc_id, st.h1, st.h2, blk.n, blk.tl,
+         {_s_le8('16*blk.nb', 'least(blk.tl, 8)')} AS tk1,
+         {_s_le8('16*blk.nb + 8', 'greatest(blk.tl - 8, 0)')} AS tk2
+  FROM st JOIN blk USING (doc_id)
+  WHERE st.i = blk.nb
+),
+tailed AS (
+  SELECT doc_id,
+         {h1t} AS h1t, {h2t} AS h2t,
+         {_s_xor64('h1t', 'n')} AS h1x, {_s_xor64('h2t', 'n')} AS h2x,
+         (h1x + h2x) % {_M64} AS h1s,
+         (h2x + h1s) % {_M64} AS h2s,
+         {_s_fmix64('h1s')} AS h1m,
+         {_s_fmix64('h2s')} AS h2m,
+         (h1m + h2m) % {_M64} AS h1f
+  FROM looped
+)
+SELECT doc_id, {_s_signed('h1f')} AS fp FROM tailed
+"""
+
+
+def _simhash_sql(corpus_sql: str) -> str:
+    """doc_id, sh = 64-bit SimHash over a (doc_id, text) corpus query:
+    whitespace tokens of lowercased text, token hash = splitmix64(
+    FNV-roll(bytes) XOR byte_len), per-bit ±1 majority vote."""
+    tok_hash = _s_splitmix64(_s_xor64(
+        f"list_reduce(list_prepend(0::HUGEINT, bytes), "
+        f"(a, b) -> (a * 1099511628211 + b) % {_M64})",
+        "octet_length(encode(tok))"))
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(text), '{_S_WS}'), w -> w <> '')) AS tok
+  FROM corpus
+),
+th AS (
+  SELECT tok, {tok_hash} AS th
+  FROM (
+    SELECT tok, hex(encode(tok)) AS hx,
+           list_transform(range(octet_length(encode(tok))),
+                          i -> {_S_HEXBYTE.format(v='i')}) AS bytes
+    FROM (SELECT DISTINCT tok FROM toks)
+  )
+),
+bits AS (
+  SELECT t.doc_id, b.i,
+         SUM(CASE WHEN (CAST(h.th AS UBIGINT) >> CAST(b.i AS UBIGINT))
+                       & 1::UBIGINT = 1::UBIGINT
+                  THEN 1 ELSE -1 END) AS acc
+  FROM toks t
+  JOIN th h USING (tok)
+  CROSS JOIN (SELECT unnest(range(64)) AS i) b
+  GROUP BY t.doc_id, b.i
+),
+packed AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0 THEN {_S_POW2}[i + 1]
+                       ELSE 0::HUGEINT END) AS HUGEINT) AS shu
+  FROM bits GROUP BY doc_id
+)
+SELECT c.doc_id, {_s_signed('COALESCE(p.shu, 0)')} AS sh
+FROM corpus c LEFT JOIN packed p USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_props": _q_extract_props,
@@ -700,9 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_sample": _q_frame_sample,
         "q_host_stats": _q_host_stats,
         "q_frontier_state": _q_frontier_state,
-        # rows-only (no SQL oracle — simhash needs wrapping uint64
-        # multiply/shift hashing, fingerprint needs murmur3; neither is
-        # expressible in DuckDB SQL):
+        # oracled since r7 via HUGEINT wrapping arithmetic (see the
+        # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
         "q_fingerprint": _q_fingerprint,
     }
@@ -1135,5 +1362,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(arg_max(depth, ev) AS INT) AS depth,
                    arg_max(priority, ev) AS priority
             FROM ev GROUP BY url_hash HAVING max(ev) % 2 = 1
+        """,
+        # From-scratch murmur3_x64_128 low word over the normalized
+        # text, all in SQL (recursive-CTE block loop, HUGEINT wrapping
+        # multiplies) — a full value-level check of the fingerprint
+        # path: normalization, UTF-8 bytes, block/tail/finalize mixing,
+        # signed wrap.
+        "q_fingerprint": _murmur3_fp_sql(
+            f"SELECT doc_id, {_s_norm('text')} AS text FROM documents"),
+        # From-scratch simhash over the same planted-duplicate corpus
+        # as the Spark query, then ALL-PAIRS hamming≤3 — equal to the
+        # blocked Spark output because combination blocking has exact
+        # recall at the threshold.
+        "q_simhash_pairs": f"""
+            WITH sh AS ({_simhash_sql('''
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 300000, text FROM documents
+                WHERE doc_id % 25 = 0''')})
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS hamming
+            FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.sh, r.sh)) <= 3
         """,
     }
