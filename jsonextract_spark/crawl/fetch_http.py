@@ -311,10 +311,30 @@ def make_robots_provider(user_agent: str | None = None,
         return sorted(e for e in os.listdir(path)
                       if e.startswith("delta="))
 
+    def _clean_cache_dir(path):
+        """WRITE-side housekeeping (r7, was inside ``_load_cache``):
+        clear pre-delta legacy layouts and crashed ``.tmp-`` debris.
+        Called once per round by the provider — the cache's owning
+        writer — so a pure read can never race another reader with a
+        delete (two crawls sharing a cache dir would otherwise have
+        readers deleting under each other)."""
+        import os
+        import shutil
+
+        for e in (os.listdir(path) if os.path.isdir(path) else []):
+            if e.endswith(".parquet") or e == "_SUCCESS":
+                os.remove(os.path.join(path, e))   # pre-delta layout
+            elif e.startswith(".tmp-"):            # crashed half-write
+                shutil.rmtree(os.path.join(path, e),
+                              ignore_errors=True)
+
     def _load_cache(spark, path, hosts=None):
         """Newest row per host across all deltas, or None if no
-        readable delta layout exists. Also clears pre-delta layouts
-        (bare part files would break partition discovery).
+        readable delta layout exists. PURE READ (r7): only the
+        ``delta=`` dirs are listed explicitly (basePath keeps the
+        hive ``delta`` column), so legacy bare part files or foreign
+        tmp dirs are simply ignored — cleanup belongs to the write
+        path (``_clean_cache_dir``).
 
         ``hosts`` (DataFrame with a ``host`` column) restricts the
         result with a SEMI-JOIN applied BEFORE the newest-wins window:
@@ -322,22 +342,14 @@ def make_robots_provider(user_agent: str | None = None,
         windowing the whole crawl-lifetime cache would shuffle O(total
         hosts ever crawled) rows every round."""
         import os
-        import shutil
 
         from pyspark.sql import Window, functions as F
 
-        legacy = [e for e in (os.listdir(path)
-                              if os.path.isdir(path) else [])
-                  if e.endswith(".parquet") or e == "_SUCCESS"]
-        for e in legacy:
-            os.remove(os.path.join(path, e))
-        for e in (os.listdir(path) if os.path.isdir(path) else []):
-            if e.startswith(".tmp-"):  # crashed half-written delta
-                shutil.rmtree(os.path.join(path, e),
-                              ignore_errors=True)
-        if not _delta_dirs(path):
+        deltas = _delta_dirs(path)
+        if not deltas:
             return None
-        c = spark.read.parquet(path)
+        c = (spark.read.option("basePath", path)
+             .parquet(*[os.path.join(path, d) for d in deltas]))
         if not ({"fetched_at", "definitive", "crawl_delay"}
                 <= set(c.columns)):
             return None
@@ -405,9 +417,11 @@ def make_robots_provider(user_agent: str | None = None,
             return (origins.mapInPandas(make_kernel(refresh=False),
                                         ROBOTS_SCHEMA)
                     .select("host", "allowed", "crawl_delay"))
-        # compact BEFORE this round's delta is appended, so the delta
-        # written below always survives the round (the read-back scan
-        # of it is lazy — pop_batch executes it later)
+        # writer-side housekeeping, then compact BEFORE this round's
+        # delta is appended, so the delta written below always
+        # survives the round (the read-back scan of it is lazy —
+        # pop_batch executes it later)
+        _clean_cache_dir(cache_path)
         _maybe_compact(spark, cache_path)
         # ONE cache read per round, semi-joined to the round's hosts
         # BEFORE the newest-wins window: the table this round consults
@@ -441,6 +455,9 @@ def make_robots_provider(user_agent: str | None = None,
         return (cached.select("host", "allowed", "crawl_delay")
                 .unionByName(fresh_back))
 
+    # exposed for tests: the pure read and the writer-side cleanup
+    provider._load_cache = _load_cache
+    provider._clean_cache_dir = _clean_cache_dir
     return provider
 
 

@@ -16,6 +16,7 @@ Determinism contract (pinned by tests):
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 from pyspark.sql import (DataFrame, Observation, SparkSession,
@@ -135,6 +136,30 @@ def load_seen(spark: SparkSession, wh: Warehouse, upto_round: int):
     return spark.read.parquet(*paths).select("url_hash")
 
 
+def _host_stats_sources(wh: Warehouse, upto_round: int):
+    """(base (round, table) | None, delta paths) for the host_stats
+    fold — shared by ``load_host_stats`` and the pop-side broadcast
+    size estimate."""
+    base = None
+    for r in range(upto_round, -1, -1):
+        # bounded scan: once compaction has run, a checkpoint exists
+        # within COMPACT_EVERY rounds of ``upto_round``; before that,
+        # upto_round itself is < COMPACT_EVERY (except the one-time
+        # legacy-resume window, where the legacy table sits at the
+        # resume round)
+        if wh.exists("host_stats_compact", r):
+            base = (r, "host_stats_compact")
+            break
+        if wh.exists("host_stats", r):   # legacy cumulative layout
+            base = (r, "host_stats")
+            break
+    start = base[0] + 1 if base is not None else 1
+    delta_paths = [wh._path("host_stats_delta", r)
+                   for r in range(start, upto_round + 1)
+                   if wh.exists("host_stats_delta", r)]
+    return base, delta_paths
+
+
 def load_host_stats(spark: SparkSession, wh: Warehouse,
                     upto_round: int) -> DataFrame | None:
     """Cumulative per-host (crawled count, newest fetch ts) up to
@@ -152,19 +177,7 @@ def load_host_stats(spark: SparkSession, wh: Warehouse,
     cumulative ``host_stats`` table when resuming a pre-r6 warehouse)
     plus the deltas after it — at most COMPACT_EVERY+1 sources once
     the first checkpoint exists, regardless of crawl age."""
-    base = None
-    for r in range(upto_round, -1, -1):
-        # bounded scan: once compaction has run, a checkpoint exists
-        # within COMPACT_EVERY rounds of ``upto_round``; before that,
-        # upto_round itself is < COMPACT_EVERY (except the one-time
-        # legacy-resume window, where the legacy table sits at the
-        # resume round)
-        if wh.exists("host_stats_compact", r):
-            base = (r, "host_stats_compact")
-            break
-        if wh.exists("host_stats", r):   # legacy cumulative layout
-            base = (r, "host_stats")
-            break
+    base, delta_paths = _host_stats_sources(wh, upto_round)
     parts = []
     if base is not None:
         b = wh.load(spark, base[1], base[0])
@@ -175,10 +188,6 @@ def load_host_stats(spark: SparkSession, wh: Warehouse,
         parts.append(b.select("host",
                               F.col("crawled").cast("double")
                               .alias("crawled"), "last_fetch_ts"))
-    start = base[0] + 1 if base is not None else 1
-    delta_paths = [wh._path("host_stats_delta", r)
-                   for r in range(start, upto_round + 1)
-                   if wh.exists("host_stats_delta", r)]
     if delta_paths:
         parts.append(spark.read.parquet(*delta_paths)
                      .select("host", "crawled", "last_fetch_ts"))
@@ -301,22 +310,62 @@ def maybe_compact_host_stats(spark: SparkSession, wh: Warehouse,
 _FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority",
                   "attempts"]
 
+# Broadcast switch point for the replay/aux joins: a broadcast hint is
+# only emitted when a FOOTER-ONLY parquet row-count estimate proves the
+# small side is actually small. 4M rows of (url_hash, ev) ≈ 64 MB raw —
+# comfortably under executor/driver broadcast budgets; past it the hint
+# is dropped and the join planned as a shuffle, where AQE's RUNTIME
+# size statistics still convert it to broadcast whenever the actual
+# build side turns out small (the estimate is deliberately an
+# overestimate — deltas repeat keys). At the 10^6-10^7-adds-per-round
+# design point the event window is GBs, which a forced broadcast would
+# OOM on the driver; tests force the shuffled path and pin equality.
+BROADCAST_MAX_EST_ROWS = 4_000_000
+
+
+def _parquet_rows(paths) -> int:
+    """Total row count across parquet files/dirs from FOOTER metadata
+    only — no data pages are read. O(#files) driver-side footer reads,
+    the same cost class as the file listing Spark itself performs on
+    these paths; on object storage each footer is one ranged GET."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            files = [p]
+        else:
+            files = [os.path.join(root, f)
+                     for root, _, fs in os.walk(p)
+                     for f in fs if f.endswith(".parquet")]
+        for f in files:
+            try:
+                total += pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                # unreadable footer → treat as unbounded: the only
+                # consequence is a dropped hint, which AQE recovers
+                return BROADCAST_MAX_EST_ROWS + 1
+    return total
+
+
+def _hint_small(df: DataFrame, est_rows: int) -> DataFrame:
+    """Broadcast hint iff the footer estimate proves smallness."""
+    return F.broadcast(df) if est_rows <= BROADCAST_MAX_EST_ROWS else df
+
 
 def _frontier_sources(spark: SparkSession, wh: Warehouse,
                       upto_round: int):
     """(normalized base df | None, addition delta paths, removal
-    ledger paths) for the frontier reconstruction — shared by the full
-    replay (``load_frontier``) and the cheaper pending-superset gate
-    (``frontier_gate_keys``)."""
-    import os
-
+    ledger paths, base round | None) for the frontier reconstruction —
+    shared by the full replay (``load_frontier``) and the pop-side
+    broadcast size estimates."""
     base_round = None
     for r in range(upto_round, -1, -1):
         if wh.exists("frontier", r):
             base_round = r
             break
     if base_round is None:
-        return None, [], []
+        return None, [], [], None
     base = wh.load(spark, "frontier", base_round).drop("is_new")
     if "attempts" not in base.columns:   # pre-column warehouses
         base = base.withColumn("attempts", F.lit(0))
@@ -337,7 +386,7 @@ def _frontier_sources(spark: SparkSession, wh: Warehouse,
     rm_paths = [wh._path("fetched", r)
                 for r in range(base_round + 1, upto_round + 1)
                 if wh.exists("fetched", r)]
-    return base, add_paths, rm_paths
+    return base, add_paths, rm_paths, base_round
 
 
 def load_frontier(spark: SparkSession, wh: Warehouse,
@@ -370,7 +419,8 @@ def load_frontier(spark: SparkSession, wh: Warehouse,
     A full ``frontier`` table at a round (init, recrawl reopen,
     compaction checkpoint, or every round of a pre-r6 warehouse) is a
     base; resuming legacy warehouses therefore needs no migration."""
-    base, add_paths, rm_paths = _frontier_sources(spark, wh, upto_round)
+    base, add_paths, rm_paths, _ = _frontier_sources(spark, wh,
+                                                     upto_round)
     if base is None:
         return spark.createDataFrame(
             [], "url string, url_hash long, host string, depth int,"
@@ -396,15 +446,24 @@ def load_frontier(spark: SparkSession, wh: Warehouse,
         if part is not None:
             events = part if events is None else events.unionByName(part)
     last = events.groupBy("url_hash").agg(F.max("_ev").alias("_last_ev"))
-    # both replay joins broadcast the bounded event table — neither
-    # the base nor the adds are ever shuffled by reconstruction
-    alive = (adds.join(F.broadcast(last),
+    # Both replay joins hint-broadcast the event window only when the
+    # parquet footers prove it small (≤ BROADCAST_MAX_EST_ROWS events
+    # since the last base) — then neither the base nor the adds are
+    # shuffled by reconstruction. Past the threshold (production-scale
+    # rounds: 10^6-10^7 adds × up to COMPACT_EVERY rounds is a GB-scale
+    # build side that must not be forced onto the driver) the hint is
+    # dropped: the joins plan as shuffles on url_hash — the two last-
+    # side exchanges are identical subplans (ReusedExchange) — and AQE
+    # still converts to broadcast at runtime if the actual window is
+    # small. Equality of both paths is test-pinned.
+    est_events = _parquet_rows(add_paths) + _parquet_rows(rm_paths)
+    alive = (adds.join(_hint_small(last, est_events),
                        (adds["url_hash"] == last["url_hash"])
                        & (adds["_ev"] == last["_last_ev"]),
                        "left_semi")
              .select(*_FRONTIER_COLS)
              if adds is not None else None)
-    out = base.join(F.broadcast(last.select("url_hash")),
+    out = base.join(_hint_small(last.select("url_hash"), est_events),
                     "url_hash", "left_anti").select(*_FRONTIER_COLS)
     return out if alive is None else out.unionByName(alive)
 
@@ -552,10 +611,34 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                                     0.0) or 0.0
     if hot_hosts is None:
         hot_hosts = getattr(fetch_kernel, "hot_hosts", None)
+    # Broadcast the pop's aux tables only when footer row counts prove
+    # them small (see BROADCAST_MAX_EST_ROWS): host_stats grows with
+    # hosts-ever-crawled, the robots table with the frontier's distinct
+    # hosts — both unbounded at the design point. When unprovable the
+    # hint is dropped and AQE's runtime sizes still pick broadcast for
+    # genuinely small sides.
+    hs_base, hs_deltas = _host_stats_sources(wh, prev)
+    hs_paths = ([wh._path(hs_base[1], hs_base[0])]
+                if hs_base is not None else []) + hs_deltas
+    est_hosts = _parquet_rows(hs_paths)
+    # The robots table covers the round's frontier hosts; no footer
+    # counts hosts directly, so bound it through the frontier row
+    # estimate at a host-keyed threshold (web URL:host ratios run
+    # ≥ ~100:1, so ≤ 64×BROADCAST_MAX_EST_ROWS URLs keeps the host
+    # side comfortably within broadcast budget). Past it — the 10^10
+    # design point — the robots join is legitimately a shuffle.
+    _, fr_adds, _, fr_base = _frontier_sources(spark, wh, prev)
+    est_frontier = _parquet_rows(
+        ([wh._path("frontier", fr_base)] if fr_base is not None else [])
+        + fr_adds)
     batch = pop_batch(frontier, robots, host_budget, batch_size,
                       host_stats=host_stats, now_ts=time.time(),
                       default_delay_sec=default_delay_sec,
-                      hot_hosts=hot_hosts)
+                      hot_hosts=hot_hosts,
+                      broadcast_robots=(
+                          est_frontier <= 64 * BROADCAST_MAX_EST_ROWS),
+                      broadcast_host_stats=(
+                          est_hosts <= BROADCAST_MAX_EST_ROWS))
     batch = batch.withColumn("batch_id", F.lit(round_no)).cache()
 
     # 2. politeness repartition: salted host key spreads an operator-

@@ -2,13 +2,25 @@
 
 Scale notes
 -----------
-* robots is a tiny per-host table → **broadcast join**.
-* per-host budget is a top-k per group. A naive window over ``host``
+* robots is a tiny per-host table → **broadcast join** (hint dropped by
+  the pipeline when footer estimates can't prove it small).
+* per-host budget is a top-k per group. A bare window over ``host``
   sorts each host's rows inside one task — with 10^9 URLs on one hot
-  host that task is the straggler. We use a **salted two-phase top-k**:
-  phase 1 takes top-k within (host, salt) over S salts (bounded work per
-  task), phase 2 re-ranks the ≤ k·S survivors per host. Same result,
-  skew-proof. (north_star: "salted repartitioning to defeat host skew")
+  host that task is the straggler. Since r7 the primary path is the
+  plain rank-filter window, because Catalyst compiles it to
+  **WindowGroupLimit** (SPARK-37099, Spark ≥3.5): a MAP-SIDE partial
+  top-k per group below the exchange plus a final per-group limit
+  above it — the engine-native form of the salted two-phase pop, with
+  only ≤ k rows per group PER MAP TASK ever crossing the shuffle
+  (measured 1.5× faster than the hand-salted form at a 16M-row hot
+  host; bench_pop_skew publishes engine vs hand-salted vs
+  optimization-disabled). The hand-rolled **salted two-phase top-k**
+  (phase 1 top-k within (host, salt) over S salts, phase 2 re-rank of
+  the ≤ k·S survivors) remains as the fallback for k above
+  ``spark.sql.optimizer.windowGroupLimitThreshold`` (default 1000),
+  where the optimizer declines the rewrite. Both satisfy north_star's
+  "salted repartitioning to defeat host skew"; equality of the two is
+  test-pinned.
 * all orderings have total tie-breaks (priority DESC, depth ASC, url ASC)
   so the pop is identical at any parallelism — required for reproducible
   crawl ordering.
@@ -21,15 +33,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 SALT_PARTS = 16
 
 
-def salted_top_k_per_group(df: DataFrame, group_cols: list[str],
-                           order_cols: list, k: int,
-                           salts: int = SALT_PARTS,
-                           salt_on: str = "url") -> DataFrame:
-    """Deterministic top-k per group that survives heavy group skew.
-
-    ``order_cols`` must define a total order (include a unique tie-break);
-    ``salt_on`` is any column that spreads rows inside a group.
-    """
+def _two_phase_salted_top_k(df: DataFrame, group_cols: list[str],
+                            order_cols: list, k: int,
+                            salts: int = SALT_PARTS,
+                            salt_on: str = "url") -> DataFrame:
+    """Hand-rolled skew-proof top-k: phase 1 bounds every task at k
+    rows per (group, salt); phase 2 re-ranks the ≤ k·salts survivors.
+    Fallback for k past the WindowGroupLimit threshold — and the
+    explicit form of what that optimizer rule does engine-side."""
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salts)))
     w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
@@ -41,13 +52,46 @@ def salted_top_k_per_group(df: DataFrame, group_cols: list[str],
                   .filter(F.col("rank_in_group") <= k))
 
 
+def salted_top_k_per_group(df: DataFrame, group_cols: list[str],
+                           order_cols: list, k: int,
+                           salts: int = SALT_PARTS,
+                           salt_on: str = "url") -> DataFrame:
+    """Deterministic top-k per group that survives heavy group skew.
+
+    ``order_cols`` must define a total order (include a unique
+    tie-break); ``salt_on`` only matters on the fallback path.
+
+    Primary path: the plain rank-filter window — Catalyst's
+    WindowGroupLimit rewrite (see module docstring) plans a map-side
+    partial top-k per group BELOW the shuffle, so the hot group never
+    lands in one task and only ≤ k rows per group per map task are
+    shuffled. Falls back to the explicit salted two-phase form when
+    ``k`` exceeds the optimizer's rewrite threshold (the rewrite would
+    silently not fire and the bare window would re-open the straggler)."""
+    try:
+        threshold = int(df.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold"))
+    except Exception:
+        threshold = 1000
+    if threshold < 0 or k > threshold:
+        # rewrite disabled (-1) or k past it: the bare window would
+        # silently re-open the single-task hot-group straggler
+        return _two_phase_salted_top_k(df, group_cols, order_cols, k,
+                                       salts, salt_on)
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (df.withColumn("rank_in_group", F.row_number().over(w))
+              .filter(F.col("rank_in_group") <= k))
+
+
 def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
               batch_size: int, salts: int = SALT_PARTS,
               host_stats: DataFrame | None = None,
               now_ts: float | None = None,
               politeness_budget_sec: float = 15.0,
               default_delay_sec: float = 0.0,
-              hot_hosts=None) -> DataFrame:
+              hot_hosts=None,
+              broadcast_robots: bool = True,
+              broadcast_host_stats: bool = True) -> DataFrame:
     """Select this round's fetch set.
 
     frontier:   url, url_hash, host, depth, priority
@@ -75,11 +119,21 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
                 drives the cross-round gate and the per-round pop cap
                 here, and single-task routing + within-round pacing in
                 the pipeline/kernel.
+    broadcast_robots / broadcast_host_stats: emit the broadcast hint
+                for the aux join (default). The pipeline clears a flag
+                when its footer-based row estimate can NOT prove the
+                table small (host_stats grows with hosts-ever-crawled;
+                robots with frontier hosts) — the join then plans as a
+                shuffle and AQE's runtime statistics still convert it
+                to broadcast whenever the actual build side is small.
     Returns the batch with a deterministic global ``rank`` and the
     ``eff_delay`` politeness column.
     """
+    def _hint(df, want):
+        return F.broadcast(df) if want else df
+
     allowed = (frontier
-               .join(F.broadcast(robots), "host", "left")
+               .join(_hint(robots, broadcast_robots), "host", "left")
                .filter(F.coalesce(F.col("allowed"), F.lit(True)))
                .drop("allowed"))
     ask = (F.col("crawl_delay") if "crawl_delay" in robots.columns
@@ -93,7 +147,8 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
     allowed = allowed.withColumn("eff_delay", F.coalesce(ask, floor))
     if host_stats is not None:
         allowed = (allowed
-                   .join(F.broadcast(host_stats), "host", "left")
+                   .join(_hint(host_stats, broadcast_host_stats),
+                         "host", "left")
                    .withColumn(
                        "priority",
                        F.col("priority") /

@@ -64,6 +64,80 @@ def test_salted_topk_equals_naive_window(spark):
     assert a == b
 
 
+def test_topk_engine_path_under_host_skew(spark):
+    """The r7 pop re-layering (north_star: 'salted repartitioning to
+    defeat host skew'): the primary path is the plain rank-filter
+    window BECAUSE Catalyst rewrites it to WindowGroupLimit — a
+    map-side partial top-k per host below the exchange, i.e. the
+    engine-native salted two-phase pop. Pins, on a frontier where ONE
+    host owns half the rows: (1) the plan really carries the map-side
+    WindowGroupLimit below the Exchange (if the rewrite ever stops
+    firing, the hot host silently becomes a single-task straggler);
+    (2) result equality engine vs the explicit two-phase fallback;
+    (3) k past the optimizer threshold selects the fallback; (4) the
+    engine path is never materially slower than the fallback (generous
+    margin — this guards catastrophe, bench_pop_skew publishes the
+    real numbers)."""
+    import statistics
+    import time
+
+    from jsonextract_spark.crawl.scheduler import (
+        _two_phase_salted_top_k, salted_top_k_per_group)
+
+    n = 200_000
+    df = (spark.range(n)
+          .withColumn("host",
+                      F.when(F.col("id") % 2 == 0, F.lit("hot.example"))
+                      .otherwise(F.concat(F.lit("h"),
+                                          F.pmod(F.col("id"), 500))))
+          .withColumn("url", F.concat(F.lit("u"), F.col("id")))
+          .withColumn("priority", (F.xxhash64("id") % 1000) / 1000.0)
+          .cache())
+    df.count()
+    order = [F.col("priority").desc(), F.col("url").asc()]
+
+    engine = salted_top_k_per_group(df, ["host"], order, k=8)
+    plan = engine._jdf.queryExecution().executedPlan().toString()
+    below_exchange = plan.split("Exchange", 1)[-1]
+    assert "WindowGroupLimit" in below_exchange, plan
+
+    cols = ["host", "url", "rank_in_group"]
+    fast = sorted(map(tuple, engine.select(*cols).collect()))
+    two_phase = sorted(map(tuple, _two_phase_salted_top_k(
+        df, ["host"], order, k=8).select(*cols).collect()))
+    assert fast == two_phase
+
+    # k above the rewrite threshold must select the explicit fallback
+    # (the bare window would silently re-open the straggler there)
+    wgl = "spark.sql.optimizer.windowGroupLimitThreshold"
+    old = spark.conf.get(wgl)
+    spark.conf.set(wgl, "4")
+    try:
+        fb = salted_top_k_per_group(df, ["host"], order, k=8)
+        fb_plan = fb._jdf.queryExecution().executedPlan().toString()
+        assert "pmod(xxhash64" in fb_plan, fb_plan   # the salt key
+    finally:
+        spark.conf.set(wgl, old)
+
+    def t_engine():
+        t0 = time.time()
+        salted_top_k_per_group(df, ["host"], order, k=8).count()
+        return time.time() - t0
+
+    def t_two_phase():
+        t0 = time.time()
+        _two_phase_salted_top_k(df, ["host"], order, k=8).count()
+        return time.time() - t0
+
+    t_engine(); t_two_phase()                  # warm both plans
+    pairs = [(t_engine(), t_two_phase()) for _ in range(3)]
+    df.unpersist()
+    e = statistics.median(p[0] for p in pairs)
+    tp = statistics.median(p[1] for p in pairs)
+    assert e <= tp * 1.5 + 0.5, (pairs, "engine top-k slower than the "
+                                 "two-phase fallback beyond noise")
+
+
 def test_pop_respects_robots_and_budget(spark):
     from jsonextract_spark.crawl.pipeline import make_robots
     from jsonextract_spark.crawl.scheduler import pop_batch, priority_of
@@ -1584,3 +1658,122 @@ def test_validated_kernel_counts_unread_input():
     out = list(_validated_kernel(lambda bs: (p for p in bs))(
         iter(batches)))
     assert sum(len(p) for p in out) == 3
+
+
+def test_replay_shuffle_path_equals_broadcast(spark, tmp_path,
+                                              monkeypatch):
+    """The broadcast→shuffle switch point (VERDICT r6 #3): when the
+    footer row estimate cannot prove the replay event window / aux
+    tables small, every hint is dropped and the joins plan as shuffles
+    — results must be identical to the broadcast path. Forces the
+    shuffled path via BROADCAST_MAX_EST_ROWS=0 plus
+    autoBroadcastJoinThreshold=-1 (which also stops AQE re-converting
+    to broadcast), runs a FULL crawl on each path, and pins equality
+    of the fetched ledger (crawl order), the reconstructed frontier,
+    and the folded host_stats."""
+    from jsonextract_spark.crawl import pipeline as P
+    from jsonextract_spark.crawl.pipeline import (crawl_order,
+                                                  run_crawl)
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    kw = dict(rounds=3, n_seeds=30, host_budget=4, batch_size=100)
+    wa = str(tmp_path / "wh_bcast")
+    run_crawl(spark, wa, **kw)
+
+    monkeypatch.setattr(P, "BROADCAST_MAX_EST_ROWS", 0)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        wb = str(tmp_path / "wh_shuffle")
+        run_crawl(spark, wb, **kw)
+
+        wha, whb = Warehouse(wa), Warehouse(wb)
+        last = wha.last_committed_round()
+        assert whb.last_committed_round() == last
+
+        def orows(df, cols):
+            return sorted(tuple(r) for r in df.select(*cols).collect())
+
+        assert orows(crawl_order(spark, wb),
+                     ["batch_id", "rank", "url"]) == \
+            orows(crawl_order(spark, wa), ["batch_id", "rank", "url"])
+        fcols = ["url_hash", "depth", "priority", "attempts"]
+        assert orows(P.load_frontier(spark, whb, last), fcols) == \
+            orows(P.load_frontier(spark, wha, last), fcols)
+        hcols = ["host", "crawled"]
+        assert orows(P.load_host_stats(spark, whb, last), hcols) == \
+            orows(P.load_host_stats(spark, wha, last), hcols)
+
+        # plan pin: with the hint off and auto-broadcast disabled the
+        # replay join really is a shuffle join, not a broadcast
+        plan = (P.load_frontier(spark, whb, last)
+                ._jdf.queryExecution().sparkPlan().toString())
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, \
+            plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_replay_broadcast_hint_on_small_windows(spark, tmp_path):
+    """Default path: at test scale the footer estimate proves the
+    event window small, so the replay joins carry the broadcast hint
+    (no frontier shuffle during reconstruction)."""
+    from jsonextract_spark.crawl import pipeline as P
+    from jsonextract_spark.crawl.pipeline import run_crawl
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    wdir = str(tmp_path / "wh_hint")
+    run_crawl(spark, wdir, rounds=2, n_seeds=20, host_budget=3,
+              batch_size=60)
+    wh = Warehouse(wdir)
+    plan = (P.load_frontier(spark, wh, wh.last_committed_round())
+            ._jdf.queryExecution().sparkPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_robots_cache_read_is_pure(spark, tmp_path):
+    """ADVICE r6: the cache read must not mutate the cache dir —
+    legacy bare part files and crashed .tmp- debris are ignored by
+    ``_load_cache`` (explicit delta-dir listing) and cleared only by
+    the WRITE path (``_clean_cache_dir``, run by the provider, the
+    cache's owning writer). Two crawls sharing a cache dir can then
+    never have a reader deleting under another reader."""
+    import os
+    import time as _time
+
+    from jsonextract_spark.crawl import fetch_http as fh
+
+    cache = str(tmp_path / "rc_pure")
+    os.makedirs(cache)
+    provider = fh.make_robots_provider(cache_path=cache,
+                                       ttl_sec=3600.0)
+    now = _time.time()
+    rows = spark.createDataFrame(
+        [("cached.example", True, None, now, True)], fh.ROBOTS_SCHEMA)
+    tmpdir = os.path.join(cache, ".tmp-write")
+    rows.write.mode("overwrite").parquet(tmpdir)
+    os.replace(tmpdir, os.path.join(cache, "delta=good"))
+
+    # plant debris: a legacy bare part file + a crashed half-write
+    with open(os.path.join(cache, "part-0000-legacy.parquet"),
+              "wb") as f:
+        f.write(b"not really parquet")
+    rows.write.mode("overwrite").parquet(
+        os.path.join(cache, ".tmp-crashed"))
+
+    # pure read: returns the delta rows, ignores and PRESERVES debris
+    got = provider._load_cache(spark, cache)
+    assert [r["host"] for r in got.collect()] == ["cached.example"]
+    assert os.path.exists(os.path.join(cache,
+                                       "part-0000-legacy.parquet"))
+    assert os.path.isdir(os.path.join(cache, ".tmp-crashed"))
+
+    # the write path clears both
+    provider._clean_cache_dir(cache)
+    assert not os.path.exists(os.path.join(cache,
+                                           "part-0000-legacy.parquet"))
+    assert not os.path.exists(os.path.join(cache, ".tmp-crashed"))
+    assert os.path.isdir(os.path.join(cache, "delta=good"))
+    got2 = provider._load_cache(spark, cache)
+    assert [r["host"] for r in got2.collect()] == ["cached.example"]
