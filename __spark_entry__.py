@@ -483,6 +483,102 @@ def _q_multimodal_real(spark, sf_dir):
         (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
 
 
+def _q_png_real(spark, sf_dir):
+    """The REAL PNG codec path (datapipe/codecs.py parse_png — stdlib
+    zlib inflate + per-scanline unfilter, r7): solid-color payloads
+    are assembled HERE straight from the PNG spec (struct + zlib, not
+    via the codec's own encoder), with scanline y filtered as type
+    y % 5 — so every doc with h=8 routes all five filter types
+    (None/Sub/Up/Average/Paeth) through the decoder before the
+    closed-form features DuckDB recomputes from doc_id can match.
+    Feature exactness discipline is q_multimodal_real's: channel
+    means round-to-int, std 0.0, aspect ratios kept to w / 2^k so
+    float32 holds them exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from jsonextract_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, decode_features)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def filt_rows(img: "np.ndarray") -> bytes:
+        """Filter scanlines per the PNG spec, type = y % 5."""
+        h, stride = img.shape[0], img.shape[1] * 3
+        flat = img.reshape(h, stride).astype(int)
+        prev = [0] * stride
+        out = []
+        for y in range(h):
+            f = y % 5
+            rec = flat[y].tolist()
+            raw = bytearray()
+            for x in range(stride):
+                a = rec[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else \
+                        b if pb <= pc else c
+                raw.append((rec[x] - pred) & 0xFF)
+            out.append(bytes([f]) + bytes(raw))
+            prev = rec
+        return b"".join(out)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads, ws, hs = [], [], []
+            for i in ids:
+                w, h = 3 + i % 4, (1, 2, 8)[i % 3]
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[..., 0] = i % 256
+                img[..., 1] = (7 * i) % 256
+                img[..., 2] = (13 * i) % 256
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(filt_rows(img)))
+                    + chunk(b"IEND", b""))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "doc_id": ids, "media_type": "image/png",
+                "payload": payloads, "width": ws, "height": hs,
+                "n_frames": 1})
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+    feats = decode_features(media, decode_mode="real")
+    bin_r = (F.pmod(F.col("doc_id"), F.lit(256)) / 32).cast("int") + 1
+
+    def chan(idx, name):
+        return F.round(F.element_at("feat", idx).cast("double") * 255,
+                       0).alias(name)
+
+    return feats.select(
+        "doc_id", "ok",
+        chan(25, "chan_r"), chan(26, "chan_g"), chan(27, "chan_b"),
+        F.element_at("feat", 28).cast("double").alias("std_r"),
+        F.element_at("feat", 32).cast("double").alias("aspect"),
+        (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
+
+
 def _q_audio_real(spark, sf_dir):
     """The REAL audio codec path (RIFF/WAVE 16-bit PCM parse + sample
     features): two-sample payloads [a, -a] with a = doc_id % 32768 at
@@ -919,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint_stable": _q_fingerprint_stable,
         "q_simhash_stable": _q_simhash_stable,
         "q_multimodal_real": _q_multimodal_real,
+        "q_png_real": _q_png_real,
         "q_audio_real": _q_audio_real,
         "q_langid": _q_langid,
         "q_lsh_ann": _q_lsh_ann,
@@ -1209,6 +1306,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0.0 AS DOUBLE) AS std_r,
                    CAST(2 + doc_id % 3 AS DOUBLE)
                        / (1 + doc_id % 2)              AS aspect,
+                   true AS hist_solid
+            FROM documents
+        """,
+        # Same closed forms for the spec-assembled PNG payloads (real
+        # zlib inflate + all-five-filter-types unfilter on the Spark
+        # side); aspect = w / h with h ∈ {1, 2, 8} so every ratio is
+        # float32-exact.
+        "q_png_real": """
+            SELECT doc_id, true AS ok,
+                   CAST(doc_id % 256 AS DOUBLE)        AS chan_r,
+                   CAST((doc_id * 7) % 256 AS DOUBLE)  AS chan_g,
+                   CAST((doc_id * 13) % 256 AS DOUBLE) AS chan_b,
+                   CAST(0.0 AS DOUBLE) AS std_r,
+                   CAST(3 + doc_id % 4 AS DOUBLE)
+                       / (CASE doc_id % 3 WHEN 0 THEN 1
+                          WHEN 1 THEN 2 ELSE 8 END)    AS aspect,
                    true AS hist_solid
             FROM documents
         """,

@@ -11,8 +11,19 @@ for them:
 * **RIFF/WAVE 16-bit PCM** audio — chunk walk (word-aligned), fmt/data
   extraction, multi-channel downmix to mono float64 in [-1, 1).
 
-Compressed formats (PNG/JPEG/MP4/...) still require external codecs
-and surface as NotImplementedError through the stages' err channel.
+* **PNG** (since r7) — zlib is in the stdlib, so the dominant lossless
+  web format decodes dependency-free: chunk walk, IDAT inflate,
+  per-scanline unfilter (all five filter types; Sub/Up vectorized,
+  Average/Paeth per-byte — their recurrences are inherently
+  sequential), 8-bit gray / RGB / palette / gray+alpha / RGBA to an
+  (h, w, 3) array (alpha dropped, palette expanded). Adam7 interlace
+  and 16-bit depth are rejected with a clear error. A minimal
+  truecolor encoder (filter-0 rows) exists so tests and oracles can
+  build closed-form payloads without PIL.
+
+Remaining compressed formats (JPEG/MP4/...) still require external
+codecs and surface as NotImplementedError through the stages' err
+channel.
 
 Everything here is pure computation over bytes — safe inside Arrow
 kernels, no I/O, deterministic.
@@ -20,10 +31,14 @@ kernels, no I/O, deterministic.
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 
 PPM_TYPES = frozenset({"image/ppm", "image/x-portable-pixmap"})
 WAV_TYPES = frozenset({"audio/wav", "audio/x-wav", "audio/wave"})
+PNG_TYPES = frozenset({"image/png"})
 
 _WS = b" \t\r\n\x0b\x0c"
 
@@ -127,6 +142,126 @@ def parse_wav(data: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering -> (h, w*ch) uint8. Filter types
+    0/2 (None/Up) are whole-row numpy ops and Sub is a wrapping
+    cumulative sum per byte lane; Average and Paeth predict from the
+    in-progress reconstruction, so they run per byte."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("png: truncated pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += stride + 1
+        if ftype == 0:
+            rec = row.copy()
+        elif ftype == 1:                     # Sub: wrap-cumsum per lane
+            rec = np.cumsum(row.reshape(w, ch), axis=0,
+                            dtype=np.uint8).reshape(stride)
+        elif ftype == 2:                     # Up
+            rec = ((row + prev) & 0xFF).astype(np.uint8)
+        elif ftype in (3, 4):                # Average / Paeth
+            r = row.tolist()
+            p = prev.tolist()
+            rl: list[int] = [0] * stride
+            for x in range(stride):
+                a = rl[x - ch] if x >= ch else 0
+                b = p[x]
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = p[x - ch] if x >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else \
+                        b if pb <= pc else c
+                rl[x] = (r[x] + pred) & 0xFF
+            rec = np.asarray(rl, dtype=np.uint8)
+        else:
+            raise ValueError(f"png: unknown filter type {ftype}")
+        out[y] = rec
+        prev = rec.astype(np.int32)
+    return out
+
+
+def parse_png(data: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB. 8-bit depth, color types
+    0/2/3/4/6; alpha dropped, palette expanded, grayscale replicated.
+    Adam7 interlace and 16-bit depth raise (they route to the stages'
+    per-row err channel like any undecodable payload)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(data):
+        size, ctype = struct.unpack(">I4s", data[pos:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body[:len(body) - len(body) % 3],
+                                 dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size                     # len + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("png: missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError("png: only bit depth 8 supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"png: unknown color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("png: nonstandard compression/filter method")
+    if interlace != 0:
+        raise ValueError("png: Adam7 interlace not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError("png: non-positive dimensions")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if color == 2:
+        return px
+    if color == 6:
+        return np.ascontiguousarray(px[..., :3])
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("png: palette image without PLTE")
+    idx = px[..., 0]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("png: palette index out of range")
+    return plte[idx]
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> minimal truecolor PNG (filter-0 scanlines).
+    For building deterministic test/oracle payloads without PIL — any
+    conformant decoder reads it."""
+    h, w = img.shape[:2]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
 FEAT_DIM = 32
 
 
@@ -187,6 +322,8 @@ def real_decode_features(payload: bytes, media_type: str) -> np.ndarray:
     if media_type in PPM_TYPES:
         img, _ = parse_ppm(payload)
         return image_features(img)
+    if media_type in PNG_TYPES:
+        return image_features(parse_png(payload))
     if media_type in WAV_TYPES:
         return audio_features(*parse_wav(payload))
     raise NotImplementedError(

@@ -143,3 +143,118 @@ def test_real_frame_sampling_spark(spark):
     assert colors == [RED, GREEN, BLUE]
     bad = [r for r in rows if r["doc_id"] == 2]
     assert len(bad) == 1 and not bad[0]["ok"] and bad[0]["frame_idx"] == -1
+
+
+# -- PNG (r7: stdlib-zlib decoder) -------------------------------------------
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def _make_png(w, h, color, rows_with_filters, plte=None):
+    """Assemble a PNG straight from the spec (independent of
+    codecs.encode_png): rows_with_filters = [(filter_type, bytes)]."""
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(r) for f, r in rows_with_filters)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(plte))
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) \
+        + _png_chunk(b"IEND", b"")
+
+
+def _ref_unfilter(rows, w, ch):
+    """Independent unfilter implementation, transcribed from the PNG
+    spec's filter definitions — the oracle codecs._png_unfilter is
+    pinned against."""
+    stride = w * ch
+    prev = [0] * stride
+    out = []
+    for f, r in rows:
+        rec = [0] * stride
+        for x in range(stride):
+            a = rec[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else \
+                    b if pb <= pc else c
+            rec[x] = (r[x] + pred) & 0xFF
+        out.append(rec)
+        prev = rec
+    return out
+
+
+def test_png_roundtrip_encoder_decoder():
+    rng = np.random.RandomState(42)
+    for shape in [(1, 1, 3), (7, 5, 3), (64, 48, 3), (33, 1, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(
+            codecs.parse_png(codecs.encode_png(img)), img)
+
+
+def test_png_all_filters_vs_independent_spec_impl():
+    rng = np.random.RandomState(7)
+    w, h, ch = 6, 5, 3
+    rows = [(f, list(rng.randint(0, 256, size=w * ch)))
+            for f in (0, 1, 2, 3, 4)]
+    got = codecs.parse_png(_make_png(w, h, 2, rows))
+    ref = np.array(_ref_unfilter(rows, w, ch),
+                   dtype=np.uint8).reshape(h, w, ch)
+    assert np.array_equal(got, ref)
+
+
+def test_png_color_types_and_palette():
+    rng = np.random.RandomState(3)
+    assert codecs.parse_png(_make_png(
+        4, 1, 0, [(1, list(rng.randint(0, 256, size=4)))]
+    )).shape == (1, 4, 3)                      # gray
+    assert codecs.parse_png(_make_png(
+        4, 1, 4, [(2, list(rng.randint(0, 256, size=8)))]
+    )).shape == (1, 4, 3)                      # gray+alpha
+    assert codecs.parse_png(_make_png(
+        4, 1, 6, [(4, list(rng.randint(0, 256, size=16)))]
+    )).shape == (1, 4, 3)                      # RGBA (alpha dropped)
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    img = codecs.parse_png(_make_png(4, 1, 3, [(0, [0, 1, 2, 1])],
+                                     plte))
+    assert img.tolist() == [[[255, 0, 0], [0, 255, 0],
+                             [0, 0, 255], [0, 255, 0]]]
+
+
+def test_png_rejections_route_to_err_channel():
+    import zlib
+    with pytest.raises(ValueError, match="signature"):
+        codecs.parse_png(b"not a png")
+    with pytest.raises(ValueError, match="interlace"):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        codecs.parse_png(
+            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        codecs.parse_png(_make_png(4, 1, 3, [(0, [0, 1, 2, 9])],
+                                   [255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.parse_png(_make_png(4, 2, 2, [(0, [1] * 12)]))
+    # JPEG still routes to NotImplementedError (err channel)
+    with pytest.raises(NotImplementedError):
+        codecs.real_decode_features(b"\xff\xd8\xff", "image/jpeg")
+    # but PNG now decodes for real
+    img = np.full((2, 4, 3), 77, dtype=np.uint8)
+    feats = codecs.real_decode_features(codecs.encode_png(img),
+                                        "image/png")
+    assert abs(float(feats[24]) - 77 / 255) < 1e-6
