@@ -1,11 +1,12 @@
 """Grammar-directed fuzzing of the extraction kernel.
 
-ELEVEN generator families, each with an exact oracle that needs no Go
+TWELVE generator families, each with an exact oracle that needs no Go
 binary — the first three below, plus comments/templates, regex
 literals, limit-prefix, bracket soup (all r4), number-literal
 decimalization and identifier-value mapping (both r5), string escape
-sequences across both quote styles, and object-key dispatch (both r6;
-see the section comments):
+sequences across both quote styles, object-key dispatch (both r6),
+and multi-byte UTF-8 boundaries against a transcribed rune-loop
+oracle (r7; see the section comments):
 
 * STRICT-JSON EMBED — hypothesis generates arbitrary JSON values,
   embeds their ``json.dumps`` renderings between brace-free garbage,
@@ -467,3 +468,112 @@ def test_string_escapes_convert_like_reference(objs, seps):
     assert [o.decode() for o in out] == expected, page
     for o in out:
         json.loads(o)
+
+
+# ---------------------------------------------------------------------------
+# FAMILY 12 (r7): MULTI-BYTE UTF-8 BOUNDARIES — rune-loop oracle
+#
+# Upstream reads RUNES (reader.go:57,88): candidates start at a
+# '{'/'[' rune and resume offsets count runes. Our scanner indexes
+# BYTES (scanner.py:219-264), relying on two facts: ASCII brackets can
+# never occur inside a multi-byte UTF-8 sequence, and read_js_object's
+# read_input_bytes always lands on a rune boundary. The oracle below
+# IS the upstream rune loop, transcribed: scan runes, run the
+# converter on the UTF-8 suffix, advance by the RUNE length of the
+# consumed prefix — decoded STRICTLY, so a mid-rune landing raises
+# and fails the test instead of silently resyncing. Byte loop and
+# rune loop must extract identical bytes on any valid-UTF-8 input.
+
+from jsonextract_spark.kernel.gojson import json_valid
+from jsonextract_spark.kernel.scanner import read_js_object
+
+# multi-byte-heavy separators: emoji (4-byte), CJK (3-byte), Latin-1
+# supplement (2-byte), LineSeparator/ParagraphSeparator, BOM, NBSP,
+# math alphanumerics (4-byte) — no { [ " ' ` so they can't open or
+# extend a candidate
+_MB_SEP = st.text(
+    alphabet=["\U0001F30D", "\U0001F600", "中", "文", "é",
+              "«", "»", " ", " ", "﻿",
+              " ", "\U0001D54A", "ت", " ", "x", "\n"],
+    max_size=12)
+_MB_TEXT = st.text(st.characters(blacklist_categories=("Cs",)),
+                   max_size=10)
+_MB_TOP = st.dictionaries(_KEY, _MB_TEXT | st.integers(-10**6, 10**6),
+                          min_size=1, max_size=4)
+
+
+def _rune_loop_extract(text: str, limit: int | None = None):
+    """reader.go's rune loop, transcribed as the oracle."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        cands = [k for k in (text.find("{", i), text.find("[", i))
+                 if k >= 0]
+        if not cands:
+            break
+        i = min(cands)
+        sub = text[i:].encode("utf-8")
+        msg, nread, _ = read_js_object(sub, 0)
+        if msg is not None and json_valid(msg):
+            out.append(bytes(msg))
+            if limit is not None and len(out) >= limit:
+                return out
+            consumed = sub[:nread].decode("utf-8") if nread > 0 else ""
+            i += max(len(consumed), 1)
+        else:
+            i += 1           # one RUNE (the opening bracket is ASCII)
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(objs=st.lists(_MB_TOP, min_size=1, max_size=4),
+       seps=st.lists(_MB_SEP, min_size=5, max_size=5))
+def test_multibyte_embed_matches_rune_loop(objs, seps):
+    """Strict-JSON objects with multi-byte keys/values, embedded
+    between multi-byte junk (BOM, U+2028/2029, emoji): the byte-index
+    scanner equals the transcribed rune loop byte-for-byte, and every
+    embedded object is recovered in order, semantically intact."""
+    doc = seps[0]
+    for o, s in zip(objs, seps[1:]):
+        doc += json.dumps(o, ensure_ascii=False) + s
+    got = extract_objects(doc.encode("utf-8"))
+    assert got == _rune_loop_extract(doc)
+    assert [json.loads(g) for g in got] == objs
+
+
+@settings(max_examples=150, deadline=None)
+@given(objs=st.lists(st.lists(st.tuples(_KEY, _MB_TEXT), min_size=1,
+                              max_size=3), min_size=1, max_size=3),
+       seps=st.lists(_MB_SEP, min_size=4, max_size=4))
+def test_multibyte_js_notation_matches_rune_loop(objs, seps):
+    """JS notation (unquoted keys, single-quoted strings) carrying
+    multi-byte content — including U+2028/U+2029 inside the quotes,
+    where the lexer's LineTerminator handling decides accept/reject:
+    whatever it decides, byte loop and rune loop must agree, outputs
+    must be valid JSON, and extraction must be a fixpoint."""
+    doc = seps[0]
+    for kvs, s in zip(objs, seps[1:]):
+        body = ", ".join(
+            "%s: '%s'" % (k, v.replace("\\", "").replace("'", ""))
+            for k, v in kvs)
+        doc += "{" + body + "}" + s
+    data = doc.encode("utf-8")
+    got = extract_objects(data)
+    assert got == _rune_loop_extract(doc)
+    for g in got:
+        json.loads(g)                        # validity
+        assert extract_objects(g) == [g]     # fixpoint
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=st.text(max_size=200), k=st.integers(1, 3))
+def test_arbitrary_unicode_matches_rune_loop(text, k):
+    """ANY valid-UTF-8 text — brackets, quotes, backticks and all:
+    byte loop == rune loop, with and without a limit (the limited run
+    must be a prefix and the rune advance must still land on rune
+    boundaries while candidates abort mid-way)."""
+    data = text.encode("utf-8")
+    full = extract_objects(data)
+    assert full == _rune_loop_extract(text)
+    assert extract_objects(data, limit=k) == \
+        _rune_loop_extract(text, limit=k) == full[:k]
