@@ -329,13 +329,16 @@ def test_multimodal_plumbing(spark):
              decode_features(media, decode_mode="fake").collect()}
     for r in rows:
         assert again[r["doc_id"]] == r["feat"]
-    # real mode on the synthetic corpus: png has no dependency-free
-    # codec (err names it), wav payloads are malformed RIFF — errors
-    # surface per-row without failing the job; real-codec success paths
-    # are pinned in test_multimodal_real.py
+    # real mode on the synthetic corpus: both payload kinds are
+    # malformed for their claimed type (png since r7 has a REAL
+    # stdlib-zlib decoder, so its error is now a parse error, not a
+    # missing-codec error) — errors surface per-row without failing
+    # the job; real-codec success paths are pinned in
+    # test_multimodal_real.py, and the remaining missing-codec branch
+    # (JPEG/MP4) in test_png_rejections_route_to_err_channel
     real = decode_features(media, decode_mode="real").collect()
     assert all(not r["ok"] and r["err"] for r in real)
-    assert any("codec" in r["err"] for r in real)      # png branch
+    assert any("png:" in r["err"] for r in real)       # real png parse
     assert any("wav:" in r["err"] for r in real)       # real wav parse
 
 

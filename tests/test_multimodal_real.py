@@ -91,11 +91,14 @@ def test_resize_nearest_exact():
 
 
 def test_real_decode_features_spark(spark):
+    solid = np.full((2, 2, 3), 128, dtype=np.uint8)
     media = spark.createDataFrame(
         [(1, "image/ppm", bytearray(ppm(2, 1, [RED, BLUE])), 2, 1, 0),
          (2, "audio/wav", bytearray(wav([0, 16384, -16384, 0])), 0, 0, 0),
          (3, "image/png", bytearray(b"\x89PNG..."), 0, 0, 0),
-         (4, "image/ppm", bytearray(b"P6 garbage"), 0, 0, 0)],
+         (4, "image/ppm", bytearray(b"P6 garbage"), 0, 0, 0),
+         (5, "image/png", bytearray(codecs.encode_png(solid)), 2, 2, 0),
+         (6, "image/jpeg", bytearray(b"\xff\xd8\xff"), 0, 0, 0)],
         "doc_id long, media_type string, payload binary, width int,"
         " height int, n_frames int")
     from jsonextract_spark.datapipe.multimodal import decode_features
@@ -104,8 +107,14 @@ def test_real_decode_features_spark(spark):
             decode_features(media, decode_mode="real").collect()}
     assert rows[1]["ok"] and rows[1]["feat"][24] == pytest.approx(0.5)
     assert rows[2]["ok"] and rows[2]["feat"][25] == pytest.approx(0.5)
-    assert not rows[3]["ok"] and "codec" in rows[3]["err"]
+    # r7: PNG decodes for real — a malformed payload is now a PARSE
+    # error (per-row, job alive), a valid one yields pixel features,
+    # and the missing-codec branch moved to JPEG/MP4
+    assert not rows[3]["ok"] and "png" in rows[3]["err"]
     assert not rows[4]["ok"]                      # malformed, job alive
+    assert rows[5]["ok"] and \
+        rows[5]["feat"][24] == pytest.approx(128 / 255)
+    assert not rows[6]["ok"] and "codec" in rows[6]["err"]
 
 
 def test_real_resize_spark(spark):
