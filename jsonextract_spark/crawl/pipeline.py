@@ -349,8 +349,71 @@ def _parquet_rows(paths) -> int:
 
 
 def _hint_small(df: DataFrame, est_rows: int) -> DataFrame:
-    """Broadcast hint iff the footer estimate proves smallness."""
+    """Broadcast hint iff the row estimate proves smallness."""
     return F.broadcast(df) if est_rows <= BROADCAST_MAX_EST_ROWS else df
+
+
+def _est_replay_events(wh: Warehouse, base_round, upto_round: int,
+                       add_paths, rm_paths) -> int:
+    """Event-window row estimate for the replay broadcast switch —
+    LEDGER-FIRST: each committed round already records its additions
+    (``new`` + ``deferred``) and its removal count (``batch``, the
+    round's total ledger rows, recorded since r7), so the estimate is
+    O(rounds) dict reads from the already-loaded ledger. Parquet
+    footer reads are only the fallback for pre-``batch`` warehouses —
+    at the design point (COMPACT_EVERY rounds × ~32 part files × 3
+    tables on object storage) per-round footer scans would cost
+    seconds of driver latency that the ledger gives for free."""
+    if base_round is None:
+        return 0
+    info = {r["round"]: r for r in wh.ledger()["rounds"]
+            if r.get("status") == "committed"}
+    est = 0
+    for r in range(base_round + 1, upto_round + 1):
+        ri = info.get(r)
+        if ri is None or ri.get("empty"):
+            continue
+        if ri.get("phase") in ("init", "recrawl"):
+            # these write a BASE, never deltas/removals (and a base at
+            # r would have been picked as base_round anyway)
+            continue
+        if "batch" not in ri:
+            return _parquet_rows(add_paths) + _parquet_rows(rm_paths)
+        est += ri.get("new", 0) + ri.get("deferred", 0) + ri["batch"]
+    return est
+
+
+def _est_frontier_upper(wh: Warehouse) -> int:
+    """Monotone upper bound on the pending-frontier row count (and so
+    on its distinct hosts): every row ever added — seeds at init plus
+    per-round fresh discoveries. O(rounds) ledger reads, no I/O."""
+    return sum(r.get("seeds", 0) + r.get("new", 0)
+               for r in wh.ledger()["rounds"]
+               if r.get("status") == "committed")
+
+
+def _est_host_stats_rows(wh: Warehouse, upto_round: int) -> int:
+    """Row estimate for the folded host_stats table: footer count of
+    the single checkpoint dir (a handful of part files by
+    construction) plus, per delta round, the round's ``batch`` from
+    the ledger (a round's delta rows = its distinct fetched hosts ≤
+    its batch). Footer fallback over the delta dirs only for
+    pre-``batch`` warehouses."""
+    base, delta_paths = _host_stats_sources(wh, upto_round)
+    est = (_parquet_rows([wh._path(base[1], base[0])])
+           if base is not None else 0)
+    info = {r["round"]: r for r in wh.ledger()["rounds"]
+            if r.get("status") == "committed"}
+    start = base[0] + 1 if base is not None else 1
+    for r in range(start, upto_round + 1):
+        ri = info.get(r)
+        if ri is None or ri.get("empty") or \
+                ri.get("phase") in ("init", "recrawl"):
+            continue
+        if "batch" not in ri:
+            return est + _parquet_rows(delta_paths)
+        est += ri["batch"]
+    return est
 
 
 def _frontier_sources(spark: SparkSession, wh: Warehouse,
@@ -419,8 +482,8 @@ def load_frontier(spark: SparkSession, wh: Warehouse,
     A full ``frontier`` table at a round (init, recrawl reopen,
     compaction checkpoint, or every round of a pre-r6 warehouse) is a
     base; resuming legacy warehouses therefore needs no migration."""
-    base, add_paths, rm_paths, _ = _frontier_sources(spark, wh,
-                                                     upto_round)
+    base, add_paths, rm_paths, base_round = _frontier_sources(
+        spark, wh, upto_round)
     if base is None:
         return spark.createDataFrame(
             [], "url string, url_hash long, host string, depth int,"
@@ -456,7 +519,8 @@ def load_frontier(spark: SparkSession, wh: Warehouse,
     # side exchanges are identical subplans (ReusedExchange) — and AQE
     # still converts to broadcast at runtime if the actual window is
     # small. Equality of both paths is test-pinned.
-    est_events = _parquet_rows(add_paths) + _parquet_rows(rm_paths)
+    est_events = _est_replay_events(wh, base_round, upto_round,
+                                    add_paths, rm_paths)
     alive = (adds.join(_hint_small(last, est_events),
                        (adds["url_hash"] == last["url_hash"])
                        & (adds["_ev"] == last["_last_ev"]),
@@ -537,7 +601,7 @@ def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
     wh.save(seen_mod.build_filters(delta.select("url_hash"),
                                    kind=filter_kind),
             "seen_filter", 0)
-    wh.commit_round(0, {"phase": "init", "seeds": n_seeds,
+    wh.commit_round(0, {"phase": "init", "seeds": len(urls),
                         "filter_kind": filter_kind})
 
 
@@ -617,20 +681,15 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # hosts — both unbounded at the design point. When unprovable the
     # hint is dropped and AQE's runtime sizes still pick broadcast for
     # genuinely small sides.
-    hs_base, hs_deltas = _host_stats_sources(wh, prev)
-    hs_paths = ([wh._path(hs_base[1], hs_base[0])]
-                if hs_base is not None else []) + hs_deltas
-    est_hosts = _parquet_rows(hs_paths)
-    # The robots table covers the round's frontier hosts; no footer
+    est_hosts = _est_host_stats_rows(wh, prev)
+    # The robots table covers the round's frontier hosts; nothing
     # counts hosts directly, so bound it through the frontier row
-    # estimate at a host-keyed threshold (web URL:host ratios run
-    # ≥ ~100:1, so ≤ 64×BROADCAST_MAX_EST_ROWS URLs keeps the host
-    # side comfortably within broadcast budget). Past it — the 10^10
-    # design point — the robots join is legitimately a shuffle.
-    _, fr_adds, _, fr_base = _frontier_sources(spark, wh, prev)
-    est_frontier = _parquet_rows(
-        ([wh._path("frontier", fr_base)] if fr_base is not None else [])
-        + fr_adds)
+    # bound (ledger-derived, no I/O) at a host-keyed threshold (web
+    # URL:host ratios run ≥ ~100:1, so ≤ 64×BROADCAST_MAX_EST_ROWS
+    # URLs keeps the host side comfortably within broadcast budget).
+    # Past it — the 10^10 design point — the robots join is
+    # legitimately a shuffle.
+    est_frontier = _est_frontier_upper(wh)
     batch = pop_batch(frontier, robots, host_budget, batch_size,
                       host_stats=host_stats, now_ts=time.time(),
                       default_delay_sec=default_delay_sec,
@@ -913,9 +972,14 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         "sec_gate_seen": t_gate - t_links,
         "sec_frontier_seen": t_frontier - t_gate,
         "sec_filter": t_filter - t_frontier})
+    # ``batch`` = this round's TOTAL ledger rows (popped URLs incl.
+    # blocked/retry) — the replay removal count, recorded so later
+    # rounds' broadcast-size estimates read the ledger instead of
+    # touching parquet footers (see _est_replay_events)
     wh.commit_round(round_no, {"fetched": n_fetched, "new": n_new,
                                "blocked": n_blocked,
                                "deferred": n_deferred,
+                               "batch": n_batch,
                                "sec": round(sec, 3)})
     return {"fetched": n_fetched, "new": n_new, "objects": n_objects,
             "blocked": n_blocked, "deferred": n_deferred,
