@@ -342,7 +342,8 @@ def _q_minhash_pairs(spark, sf_dir):
             .select("a", "b", F.round("jaccard", 4).alias("jaccard")))
 
 
-# -- rows-only queries (no SQL-expressible oracle) ---------------------------
+# -- hash-family queries (rows-only through r6; oracled since r7 via the
+# HUGEINT SQL generators further down) ---------------------------------------
 
 
 def _q_simhash_pairs(spark, sf_dir):
