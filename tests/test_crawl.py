@@ -1777,3 +1777,44 @@ def test_robots_cache_read_is_pure(spark, tmp_path):
     assert os.path.isdir(os.path.join(cache, "delta=good"))
     got2 = provider._load_cache(spark, cache)
     assert [r["host"] for r in got2.collect()] == ["cached.example"]
+
+
+def test_ledger_event_estimate_matches_footer_truth(spark, tmp_path):
+    """The broadcast-switch row estimates read the round LEDGER
+    (additions = new + deferred, removals = the r7 ``batch`` field)
+    instead of scanning parquet footers every round. On a post-r7
+    warehouse the two must agree EXACTLY — additions are precisely the
+    frontier_delta rows and ``batch`` is precisely the ledger rows —
+    so any drift between the metrics and the written state is a
+    correctness signal, not an estimation error. Also pins the
+    pre-``batch``/legacy fallback path and the frontier upper bound."""
+    from jsonextract_spark.crawl import pipeline as P
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    wdir = str(tmp_path / "w_est")
+    P.run_crawl(spark, wdir, rounds=3, n_seeds=25, host_budget=3,
+                batch_size=60)
+    wh = Warehouse(wdir)
+    last = wh.last_committed_round()
+    _, add_paths, rm_paths, base_round = P._frontier_sources(
+        spark, wh, last)
+    ledger_est = P._est_replay_events(wh, base_round, last,
+                                      add_paths, rm_paths)
+    footer_truth = (P._parquet_rows(add_paths)
+                    + P._parquet_rows(rm_paths))
+    assert ledger_est == footer_truth > 0
+
+    # legacy fallback: strip `batch` from one round's commit — the
+    # estimator must fall back to the footer scan, same answer
+    led = wh.ledger()
+    for r in led["rounds"]:
+        r.pop("batch", None)
+    import json as _json
+    with open(wh._ledger_path, "w") as f:
+        _json.dump(led, f)
+    assert P._est_replay_events(wh, base_round, last, add_paths,
+                                rm_paths) == footer_truth
+
+    # the frontier bound is an upper bound on the actual pending rows
+    pending = P.load_frontier(spark, wh, last).count()
+    assert P._est_frontier_upper(wh) >= pending
