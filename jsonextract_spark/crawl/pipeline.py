@@ -1085,8 +1085,17 @@ def main():
     ap.add_argument("--recrawl-max-age", type=float, default=None,
                     help="after the crawl, re-open fetched URLs older "
                          "than this many seconds as a maintenance round")
+    ap.add_argument("--broadcast-max-est-rows", type=int, default=None,
+                    help="row-estimate bound above which the replay/"
+                         "aux joins drop their broadcast hints and "
+                         "plan as shuffles (default "
+                         f"{BROADCAST_MAX_EST_ROWS}; size to the "
+                         "cluster's driver/executor broadcast budget)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if args.broadcast_max_est_rows is not None:
+        global BROADCAST_MAX_EST_ROWS
+        BROADCAST_MAX_EST_ROWS = args.broadcast_max_est_rows
 
     from jsonextract_spark.session import build_session
     spark = build_session("jsx-crawl", master=args.master)
