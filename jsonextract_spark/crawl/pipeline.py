@@ -1065,6 +1065,8 @@ def crawl_order(spark: SparkSession, warehouse: str) -> DataFrame:
 
 
 def main():
+    global BROADCAST_MAX_EST_ROWS
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--warehouse", default="/tmp/jsx_warehouse")
@@ -1094,7 +1096,6 @@ def main():
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
     if args.broadcast_max_est_rows is not None:
-        global BROADCAST_MAX_EST_ROWS
         BROADCAST_MAX_EST_ROWS = args.broadcast_max_est_rows
 
     from jsonextract_spark.session import build_session
