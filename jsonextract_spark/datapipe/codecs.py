@@ -12,14 +12,16 @@ for them:
   extraction, multi-channel downmix to mono float64 in [-1, 1).
 
 * **PNG** (since r7) — zlib is in the stdlib, so the dominant lossless
-  web format decodes dependency-free: chunk walk, IDAT inflate,
-  per-scanline unfilter (all five filter types; Sub/Up vectorized,
-  Average/Paeth per-byte — their recurrences are inherently
-  sequential), 8-bit gray / RGB / palette / gray+alpha / RGBA to an
-  (h, w, 3) array (alpha dropped, palette expanded). Adam7 interlace
-  and 16-bit depth are rejected with a clear error. A minimal
-  truecolor encoder (filter-0 rows) exists so tests and oracles can
-  build closed-form payloads without PIL.
+  web format decodes dependency-free, at FULL baseline coverage:
+  chunk walk, IDAT inflate, per-scanline unfilter (all five filter
+  types; Sub/Up vectorized, Average/Paeth per-byte — their
+  recurrences are inherently sequential), every legal color-type ×
+  bit-depth combination (1/2/4-bit gray and palette unpack MSB-first,
+  16-bit reduces to the high byte), and both interlace methods
+  (Adam7's seven sub-images decode independently and scatter onto
+  the pass grid) to an (h, w, 3) array (alpha dropped, palette
+  expanded). A minimal truecolor encoder (filter-0 rows) exists so
+  tests and oracles can build closed-form payloads without PIL.
 
 Remaining compressed formats (JPEG/MP4/...) still require external
 codecs and surface as NotImplementedError through the stages' err
@@ -147,17 +149,20 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reverse PNG scanline filtering -> (h, w*ch) uint8. Filter types
-    0/2 (None/Up) are whole-row numpy ops and Sub is a wrapping
-    cumulative sum per byte lane; Average and Paeth predict from the
-    in-progress reconstruction, so they run per byte."""
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
+def _png_unfilter(raw: bytes, offset: int, h: int, stride: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Reverse PNG scanline filtering for one (sub-)image of ``h``
+    scanlines of ``stride`` bytes at ``offset`` -> ((h, stride) uint8,
+    end offset). ``bpp`` is the filter distance in BYTES (1 for
+    sub-byte depths per the spec). Filter types 0/2 (None/Up) are
+    whole-row numpy ops and Sub is a wrapping cumulative sum per byte
+    lane; Average and Paeth predict from the in-progress
+    reconstruction, so they run per byte."""
+    if len(raw) - offset < h * (stride + 1):
         raise ValueError("png: truncated pixel data")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    pos = 0
+    pos = offset
     for y in range(h):
         ftype = raw[pos]
         row = np.frombuffer(raw, np.uint8, stride, pos + 1)
@@ -165,7 +170,7 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
         if ftype == 0:
             rec = row.copy()
         elif ftype == 1:                     # Sub: wrap-cumsum per lane
-            rec = np.cumsum(row.reshape(w, ch), axis=0,
+            rec = np.cumsum(row.reshape(-1, bpp), axis=0,
                             dtype=np.uint8).reshape(stride)
         elif ftype == 2:                     # Up
             rec = ((row + prev) & 0xFF).astype(np.uint8)
@@ -174,12 +179,12 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
             p = prev.tolist()
             rl: list[int] = [0] * stride
             for x in range(stride):
-                a = rl[x - ch] if x >= ch else 0
+                a = rl[x - bpp] if x >= bpp else 0
                 b = p[x]
                 if ftype == 3:
                     pred = (a + b) >> 1
                 else:
-                    c = p[x - ch] if x >= ch else 0
+                    c = p[x - bpp] if x >= bpp else 0
                     pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                     pred = a if pa <= pb and pa <= pc else \
                         b if pb <= pc else c
@@ -189,14 +194,43 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
             raise ValueError(f"png: unknown filter type {ftype}")
         out[y] = rec
         prev = rec.astype(np.int32)
-    return out
+    return out, pos
+
+
+def _png_rows_to_samples(rows: np.ndarray, w: int, ch: int,
+                         depth: int) -> np.ndarray:
+    """Unpacked (h, w, ch) uint8 samples from unfiltered scanline
+    bytes: sub-byte depths unpack MSB-first (values left unscaled —
+    the caller scales gray, palette keeps raw indexes); depth 16
+    keeps the high byte (the standard 8-bit reduction)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, :w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows[:, :w * ch * 2].reshape(h, w, ch, 2)[..., 0]
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits[:, :(bits.shape[1] // depth) * depth]
+    vals = vals.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    packed = (vals * weights).sum(axis=2).astype(np.uint8)
+    return packed[:, :w].reshape(h, w, 1)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
 
 
 def parse_png(data: bytes) -> np.ndarray:
-    """PNG -> (h, w, 3) uint8 RGB. 8-bit depth, color types
-    0/2/3/4/6; alpha dropped, palette expanded, grayscale replicated.
-    Adam7 interlace and 16-bit depth raise (they route to the stages'
-    per-row err channel like any undecodable payload)."""
+    """PNG -> (h, w, 3) uint8 RGB. Full baseline coverage: color
+    types 0/2/3/4/6 at every legal bit depth (1/2/4-bit gray and
+    palette unpack MSB-first; 16-bit reduces to the high byte), both
+    interlace methods (Adam7 decodes its seven sub-images and
+    scatters them onto the pass grid). Alpha dropped, palette
+    expanded, grayscale replicated."""
     if data[:8] != _PNG_SIG:
         raise ValueError("png: bad signature")
     pos, ihdr, plte, idat = 8, None, None, []
@@ -216,19 +250,39 @@ def parse_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("png: missing IHDR or IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError("png: only bit depth 8 supported")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"png: unknown color type {color}")
+    if depth not in _PNG_DEPTHS[color]:
+        raise ValueError(
+            f"png: illegal depth {depth} for color type {color}")
     if comp != 0 or filt != 0:
         raise ValueError("png: nonstandard compression/filter method")
-    if interlace != 0:
-        raise ValueError("png: Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"png: unknown interlace method {interlace}")
     if w <= 0 or h <= 0:
         raise ValueError("png: non-positive dimensions")
     ch = _PNG_CHANNELS[color]
+    bpp = max(1, ch * depth // 8)
     raw = zlib.decompress(b"".join(idat))
-    px = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+
+    def stride_of(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    px = np.zeros((h, w, ch), dtype=np.uint8)
+    passes = (_ADAM7 if interlace == 1 else [(0, 0, 1, 1)])
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue                         # empty pass: zero bytes
+        rows, off = _png_unfilter(raw, off, ph, stride_of(pw), bpp)
+        px[y0::dy, x0::dx] = _png_rows_to_samples(rows, pw, ch, depth)
+
+    if depth < 8 and color == 0:
+        # scale sub-byte gray to full range (255/85/17 are exact)
+        px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))) \
+            .astype(np.uint8)
     if color == 2:
         return px
     if color == 6:

@@ -249,10 +249,17 @@ def test_png_rejections_route_to_err_channel():
     with pytest.raises(ValueError, match="signature"):
         codecs.parse_png(b"not a png")
     with pytest.raises(ValueError, match="interlace"):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        # method 2 does not exist (Adam7 = 1 is SUPPORTED since late r7)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
         codecs.parse_png(
             b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="illegal depth"):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # 4-bit RGB
+        codecs.parse_png(
+            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 8))
             + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="palette index"):
         codecs.parse_png(_make_png(4, 1, 3, [(0, [0, 1, 2, 9])],
@@ -267,3 +274,119 @@ def test_png_rejections_route_to_err_channel():
     feats = codecs.real_decode_features(codecs.encode_png(img),
                                         "image/png")
     assert abs(float(feats[24]) - 77 / 255) < 1e-6
+
+
+def _png_pack_row(vals, depth):
+    """Samples -> scanline bytes per spec: MSB-first packing below 8
+    bits, big-endian above (independent of the decoder's unpacker)."""
+    if depth == 8:
+        return bytes(int(v) for v in vals.reshape(-1))
+    if depth == 16:
+        out = bytearray()
+        for v in vals.reshape(-1):
+            out += struct.pack(">H", int(v))
+        return bytes(out)
+    bits = "".join(format(int(v), f"0{depth}b") for v in vals.reshape(-1))
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def _png_filter_rows(rows, stride, bpp, ftypes):
+    """Apply per-row filters f = ftypes[y % len] (spec transcription)."""
+    out, prev = b"", [0] * stride
+    for y in range(rows.shape[0]):
+        rec = [int(v) for v in rows[y]]
+        f = ftypes[y % len(ftypes)]
+        raw = bytearray()
+        for x in range(stride):
+            a = rec[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else \
+                    b if pb <= pc else c
+            raw.append((rec[x] - pred) & 0xFF)
+        out += bytes([f]) + bytes(raw)
+        prev = rec
+    return out
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _make_full_png(samples, depth, color, ch, interlace, plte=None):
+    """Assemble any legal PNG from a sample grid — pass splitting,
+    packing and filtering all transcribed from the spec, sharing no
+    code with codecs.parse_png."""
+    import zlib
+    h, w = samples.shape[:2]
+    raw = b""
+    for x0, y0, dx, dy in (_ADAM7 if interlace else [(0, 0, 1, 1)]):
+        sub = samples[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        stride = (sub.shape[1] * ch * depth + 7) // 8
+        bpp = max(1, ch * depth // 8)
+        rows = np.zeros((sub.shape[0], stride), np.uint8)
+        for y in range(sub.shape[0]):
+            rows[y] = np.frombuffer(_png_pack_row(sub[y], depth),
+                                    np.uint8)
+        raw += _png_filter_rows(rows, stride, bpp, (0, 1, 2, 3, 4))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += _png_chunk(b"PLTE", bytes(plte))
+    return png + _png_chunk(b"IDAT", zlib.compress(raw)) \
+        + _png_chunk(b"IEND", b"")
+
+
+def test_png_full_baseline_coverage():
+    """Late-r7 extension: every legal color-type × depth combination
+    plus Adam7 interlace, each against the independent spec-side
+    constructor above — odd/tiny sizes exercise empty passes and
+    non-byte-aligned sub-byte rows."""
+    rng = np.random.RandomState(5)
+    # interlaced RGB8 at awkward sizes (incl. 1x1: six empty passes)
+    for (w, h) in [(13, 11), (1, 1), (7, 3), (8, 8), (9, 2), (2, 9)]:
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        assert np.array_equal(
+            codecs.parse_png(_make_full_png(img, 8, 2, 3, 1)), img), \
+            (w, h)
+    # sub-byte gray, both interlace modes, 13-wide = padded rows
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        for il in (0, 1):
+            g = rng.randint(0, mx + 1, (9, 13, 1), np.uint8)
+            expect = np.repeat(
+                (g.astype(np.uint16) * (255 // mx)).astype(np.uint8),
+                3, axis=2)
+            assert np.array_equal(
+                codecs.parse_png(_make_full_png(g, depth, 0, 1, il)),
+                expect), (depth, il)
+    # 4-bit palette, interlaced
+    plte = list(rng.randint(0, 256, 16 * 3))
+    p = rng.randint(0, 16, (6, 10, 1), np.uint8)
+    expect = np.array(plte, np.uint8).reshape(-1, 3)[p[..., 0]]
+    assert np.array_equal(
+        codecs.parse_png(_make_full_png(p, 4, 3, 1, 1, plte=plte)),
+        expect)
+    # 16-bit RGB (high-byte reduction) + 16-bit gray+alpha
+    img16 = rng.randint(0, 65536, (5, 7, 3)).astype(np.uint32)
+    assert np.array_equal(
+        codecs.parse_png(_make_full_png(img16, 16, 2, 3, 1)),
+        (img16 >> 8).astype(np.uint8))
+    ga16 = rng.randint(0, 65536, (4, 6, 2)).astype(np.uint32)
+    assert np.array_equal(
+        codecs.parse_png(_make_full_png(ga16, 16, 4, 2, 0)),
+        np.repeat((ga16[..., :1] >> 8).astype(np.uint8), 3, axis=2))
