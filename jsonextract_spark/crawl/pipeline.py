@@ -353,8 +353,17 @@ def _hint_small(df: DataFrame, est_rows: int) -> DataFrame:
     return F.broadcast(df) if est_rows <= BROADCAST_MAX_EST_ROWS else df
 
 
+def _committed_info(wh: Warehouse) -> dict:
+    """{round: commit info} for committed rounds — load ONCE per
+    round and share across the three estimators (the ledger JSON is
+    O(rounds); re-reading it per estimator would reintroduce the
+    driver-latency class the ledger-first design removes)."""
+    return {r["round"]: r for r in wh.ledger()["rounds"]
+            if r.get("status") == "committed"}
+
+
 def _est_replay_events(wh: Warehouse, base_round, upto_round: int,
-                       add_paths, rm_paths) -> int:
+                       add_paths, rm_paths, info=None) -> int:
     """Event-window row estimate for the replay broadcast switch —
     LEDGER-FIRST: each committed round already records its additions
     (``new`` + ``deferred``) and its removal count (``batch``, the
@@ -366,8 +375,8 @@ def _est_replay_events(wh: Warehouse, base_round, upto_round: int,
     seconds of driver latency that the ledger gives for free."""
     if base_round is None:
         return 0
-    info = {r["round"]: r for r in wh.ledger()["rounds"]
-            if r.get("status") == "committed"}
+    if info is None:
+        info = _committed_info(wh)
     est = 0
     for r in range(base_round + 1, upto_round + 1):
         ri = info.get(r)
@@ -383,37 +392,60 @@ def _est_replay_events(wh: Warehouse, base_round, upto_round: int,
     return est
 
 
-def _est_frontier_upper(wh: Warehouse) -> int:
+# round-0 seed-count floors by warehouse root (one footer scan of the
+# single round-0 frontier dir per warehouse per process)
+_SEED_FLOOR_CACHE: dict = {}
+
+
+def _est_frontier_upper(wh: Warehouse, info=None) -> int:
     """Monotone upper bound on the pending-frontier row count (and so
     on its distinct hosts): every row ever added — seeds at init plus
-    per-round fresh discoveries. O(rounds) ledger reads, no I/O."""
-    return sum(r.get("seeds", 0) + r.get("new", 0)
-               for r in wh.ledger()["rounds"]
-               if r.get("status") == "committed")
+    per-round fresh discoveries. O(rounds) ledger reads.
+
+    The init round's ``seeds`` field is trusted only as a LOWER
+    component: pre-r7 warehouses recorded the ``n_seeds`` parameter
+    (default 100) even when an explicit multi-million-URL seed list
+    was passed, so the recorded value is floored by a one-time footer
+    count of the round-0 frontier dir (one bounded directory; cached
+    per warehouse) — an UNDERestimate here would wrongly 'prove' the
+    robots table broadcastable."""
+    if info is None:
+        info = _committed_info(wh)
+    seeds = sum(r.get("seeds", 0) for r in info.values())
+    if 0 in info and wh.exists("frontier", 0):
+        floor = _SEED_FLOOR_CACHE.get(wh.root)
+        if floor is None:
+            floor = _parquet_rows([wh._path("frontier", 0)])
+            _SEED_FLOOR_CACHE[wh.root] = floor
+        seeds = max(seeds, floor)
+    return seeds + sum(r.get("new", 0) for r in info.values())
 
 
-def _est_host_stats_rows(wh: Warehouse, upto_round: int) -> int:
+def _est_host_stats_rows(wh: Warehouse, upto_round: int,
+                         info=None) -> int:
     """Row estimate for the folded host_stats table: footer count of
     the single checkpoint dir (a handful of part files by
     construction) plus, per delta round, the round's ``batch`` from
     the ledger (a round's delta rows = its distinct fetched hosts ≤
     its batch). Footer fallback over the delta dirs only for
-    pre-``batch`` warehouses."""
+    pre-``batch`` warehouses (the partial ledger sum is discarded —
+    the delta dirs cover those same rounds)."""
     base, delta_paths = _host_stats_sources(wh, upto_round)
-    est = (_parquet_rows([wh._path(base[1], base[0])])
-           if base is not None else 0)
-    info = {r["round"]: r for r in wh.ledger()["rounds"]
-            if r.get("status") == "committed"}
+    base_est = (_parquet_rows([wh._path(base[1], base[0])])
+                if base is not None else 0)
+    if info is None:
+        info = _committed_info(wh)
     start = base[0] + 1 if base is not None else 1
+    est = 0
     for r in range(start, upto_round + 1):
         ri = info.get(r)
         if ri is None or ri.get("empty") or \
                 ri.get("phase") in ("init", "recrawl"):
             continue
         if "batch" not in ri:
-            return est + _parquet_rows(delta_paths)
+            return base_est + _parquet_rows(delta_paths)
         est += ri["batch"]
-    return est
+    return base_est + est
 
 
 def _frontier_sources(spark: SparkSession, wh: Warehouse,
@@ -675,27 +707,26 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                                     0.0) or 0.0
     if hot_hosts is None:
         hot_hosts = getattr(fetch_kernel, "hot_hosts", None)
-    # Broadcast the pop's aux tables only when footer row counts prove
-    # them small (see BROADCAST_MAX_EST_ROWS): host_stats grows with
-    # hosts-ever-crawled, the robots table with the frontier's distinct
-    # hosts — both unbounded at the design point. When unprovable the
-    # hint is dropped and AQE's runtime sizes still pick broadcast for
-    # genuinely small sides.
-    est_hosts = _est_host_stats_rows(wh, prev)
-    # The robots table covers the round's frontier hosts; nothing
-    # counts hosts directly, so bound it through the frontier row
-    # bound (ledger-derived, no I/O) at a host-keyed threshold (web
-    # URL:host ratios run ≥ ~100:1, so ≤ 64×BROADCAST_MAX_EST_ROWS
-    # URLs keeps the host side comfortably within broadcast budget).
-    # Past it — the 10^10 design point — the robots join is
-    # legitimately a shuffle.
-    est_frontier = _est_frontier_upper(wh)
+    # Broadcast the pop's aux tables only when ledger-derived row
+    # bounds PROVE them small (see BROADCAST_MAX_EST_ROWS): host_stats
+    # grows with hosts-ever-crawled, the robots table with the
+    # frontier's distinct hosts — both unbounded at the design point.
+    # The robots gate uses the frontier row bound directly (hosts ≤
+    # rows — a proof, not the r7-draft ≥100:1 URL:host heuristic,
+    # which a wildcard-subdomain-spam frontier with ratio ~1:1 would
+    # have defeated into a forced multi-GB broadcast). When unprovable
+    # the hint is dropped and AQE's runtime sizes still pick broadcast
+    # for genuinely small sides — measured cliff-free at bench scale
+    # (PLANS.md r7).
+    lg = _committed_info(wh)
+    est_hosts = _est_host_stats_rows(wh, prev, info=lg)
+    est_frontier = _est_frontier_upper(wh, info=lg)
     batch = pop_batch(frontier, robots, host_budget, batch_size,
                       host_stats=host_stats, now_ts=time.time(),
                       default_delay_sec=default_delay_sec,
                       hot_hosts=hot_hosts,
                       broadcast_robots=(
-                          est_frontier <= 64 * BROADCAST_MAX_EST_ROWS),
+                          est_frontier <= BROADCAST_MAX_EST_ROWS),
                       broadcast_host_stats=(
                           est_hosts <= BROADCAST_MAX_EST_ROWS))
     batch = batch.withColumn("batch_id", F.lit(round_no)).cache()

@@ -72,7 +72,11 @@ def salted_top_k_per_group(df: DataFrame, group_cols: list[str],
         threshold = int(df.sparkSession.conf.get(
             "spark.sql.optimizer.windowGroupLimitThreshold"))
     except Exception:
-        threshold = 1000
+        # conf absent ⇒ Spark < 3.5 ⇒ the WindowGroupLimit rule does
+        # not exist AT ALL there — the safe direction is the explicit
+        # two-phase form, never the bare window (which would be a
+        # single-task hot-group sort on such a runtime)
+        threshold = -1
     if threshold < 0 or k > threshold:
         # rewrite disabled (-1) or k past it: the bare window would
         # silently re-open the single-task hot-group straggler

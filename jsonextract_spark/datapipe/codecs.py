@@ -220,6 +220,10 @@ def _png_rows_to_samples(rows: np.ndarray, w: int, ch: int,
 _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
+# decoder allocation cap for untrusted web payloads: 64M pixels
+# (~192 MB RGB) — beyond it the row errs instead of the task dying
+PNG_MAX_PIXELS = 1 << 26
+
 _PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
                4: (8, 16), 6: (8, 16)}
 
@@ -238,6 +242,8 @@ def parse_png(data: bytes) -> np.ndarray:
         size, ctype = struct.unpack(">I4s", data[pos:pos + 8])
         body = data[pos + 8:pos + 8 + size]
         if ctype == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("png: truncated IHDR")
             ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif ctype == b"PLTE":
             plte = np.frombuffer(body[:len(body) - len(body) % 3],
@@ -261,15 +267,41 @@ def parse_png(data: bytes) -> np.ndarray:
         raise ValueError(f"png: unknown interlace method {interlace}")
     if w <= 0 or h <= 0:
         raise ValueError("png: non-positive dimensions")
+    if w * h > PNG_MAX_PIXELS:
+        # untrusted web bytes: a 100-byte payload may declare
+        # 100k×100k and the output allocation alone would be 30 GB —
+        # cap BEFORE allocating anything (MemoryError would escape the
+        # stages' per-row err channel and kill the whole task)
+        raise ValueError(
+            f"png: {w}x{h} exceeds the decoder pixel cap "
+            f"({PNG_MAX_PIXELS})")
     ch = _PNG_CHANNELS[color]
     bpp = max(1, ch * depth // 8)
-    raw = zlib.decompress(b"".join(idat))
 
     def stride_of(width: int) -> int:
         return (width * ch * depth + 7) // 8
 
-    px = np.zeros((h, w, ch), dtype=np.uint8)
     passes = (_ADAM7 if interlace == 1 else [(0, 0, 1, 1)])
+    # exact filtered-stream size follows from the header, so cap the
+    # inflate at it (+1 to detect trailing excess) — a crafted IDAT
+    # can otherwise expand thousandfold (decompression bomb), and raw
+    # zlib errors on corrupt streams must surface as the same
+    # ValueError family every other malformed payload uses
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw and ph:
+            expected += ph * (stride_of(pw) + 1)
+    try:
+        raw = zlib.decompressobj().decompress(b"".join(idat),
+                                              expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"png: corrupt IDAT stream ({e})") from None
+    if len(raw) > expected:
+        raise ValueError("png: IDAT inflates past the declared size")
+
+    px = np.zeros((h, w, ch), dtype=np.uint8)
     off = 0
     for x0, y0, dx, dy in passes:
         pw = (w - x0 + dx - 1) // dx if w > x0 else 0

@@ -134,8 +134,12 @@ def test_topk_engine_path_under_host_skew(spark):
     df.unpersist()
     e = statistics.median(p[0] for p in pairs)
     tp = statistics.median(p[1] for p in pairs)
-    assert e <= tp * 1.5 + 0.5, (pairs, "engine top-k slower than the "
-                                 "two-phase fallback beyond noise")
+    # catastrophe guard only (the real numbers are bench_pop_skew's
+    # job and the plan pin above is the non-flaky regression guard) —
+    # the margin is deliberately huge so a noisy CI host can't flake
+    # a correctness suite on wall-clock
+    assert e <= tp * 4 + 2.0, (pairs, "engine top-k catastrophically "
+                               "slower than the two-phase fallback")
 
 
 def test_pop_respects_robots_and_budget(spark):

@@ -390,3 +390,39 @@ def test_png_full_baseline_coverage():
     assert np.array_equal(
         codecs.parse_png(_make_full_png(ga16, 16, 4, 2, 0)),
         np.repeat((ga16[..., :1] >> 8).astype(np.uint8), 3, axis=2))
+
+
+def test_png_hostile_payloads_err_not_crash():
+    """Code-review r7: untrusted web bytes must surface as the err
+    channel's ValueError family, never zlib.error/struct.error/
+    MemoryError (which would escape the stages' catch list and kill
+    the whole Spark task): corrupt IDAT, truncated IHDR, declared
+    dimensions beyond the pixel cap, and a decompression bomb whose
+    IDAT inflates past the header's exact stream size."""
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        codecs.parse_png(sig + _png_chunk(b"IHDR", ihdr)
+                         + _png_chunk(b"IDAT", b"\x00not zlib at all")
+                         + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated IHDR"):
+        codecs.parse_png(sig + _png_chunk(b"IHDR", ihdr[:9])
+                         + _png_chunk(b"IDAT", b"x")
+                         + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="pixel cap"):
+        big = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+        codecs.parse_png(sig + _png_chunk(b"IHDR", big)
+                         + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+                         + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflates past"):
+        # header says 2x2 RGB (14 raw bytes) but the stream holds 1 MB
+        codecs.parse_png(sig + _png_chunk(b"IHDR", ihdr)
+                         + _png_chunk(b"IDAT",
+                                      zlib.compress(b"\x00" * 2**20))
+                         + _png_chunk(b"IEND", b""))
+    # a truncated-but-valid zlib stream still errs as truncated pixels
+    with pytest.raises(ValueError, match="truncated pixel"):
+        codecs.parse_png(sig + _png_chunk(b"IHDR", ihdr)
+                         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+                         + _png_chunk(b"IEND", b""))
