@@ -580,6 +580,57 @@ def _q_png_real(spark, sf_dir):
         (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
 
 
+def _q_jpeg_real(spark, sf_dir):
+    """The REAL baseline-JPEG codec path (datapipe/jpeg.py — from-spec
+    Huffman entropy decode, dequant, IDCT, late r7): flat grayscale
+    payloads encoded with an all-8 quantization table quantize
+    LOSSLESSLY (DC of a flat block of value v-128 is exactly
+    8(v-128)), so the decoded image equals the input EXACTLY and
+    every feature has a closed form DuckDB computes from doc_id alone
+    — the expectation comes from arithmetic, not from either side of
+    the codec, so a mutually-cancelling encoder/decoder bug cannot
+    pass. Dimensions 8x8 / 16x8 keep aspect ratios float32-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from jsonextract_spark.datapipe import jpeg as jpeg_mod
+    from jsonextract_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, decode_features)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    q8 = np.full((8, 8), 8, np.int32)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads, ws = [], []
+            for i in ids:
+                v, w = i % 256, 8 * (1 + i % 2)
+                img = np.full((8, w), v, dtype=np.uint8)
+                payloads.append(jpeg_mod.encode_jpeg(img, qtable=q8,
+                                                     gray=True))
+                ws.append(w)
+            yield pd.DataFrame({
+                "doc_id": ids, "media_type": "image/jpeg",
+                "payload": payloads, "width": ws, "height": 8,
+                "n_frames": 1})
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+    feats = decode_features(media, decode_mode="real")
+    bin_v = (F.pmod(F.col("doc_id"), F.lit(256)) / 32).cast("int") + 1
+
+    def chan(idx, name):
+        return F.round(F.element_at("feat", idx).cast("double") * 255,
+                       0).alias(name)
+
+    return feats.select(
+        "doc_id", "ok",
+        chan(25, "chan_r"), chan(26, "chan_g"), chan(27, "chan_b"),
+        F.element_at("feat", 28).cast("double").alias("std_r"),
+        F.element_at("feat", 32).cast("double").alias("aspect"),
+        (F.element_at("feat", bin_v) == F.lit(1.0)).alias("hist_solid"))
+
+
 def _q_audio_real(spark, sf_dir):
     """The REAL audio codec path (RIFF/WAVE 16-bit PCM parse + sample
     features): two-sample payloads [a, -a] with a = doc_id % 32768 at
@@ -1021,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_stable": _q_simhash_stable,
         "q_multimodal_real": _q_multimodal_real,
         "q_png_real": _q_png_real,
+        "q_jpeg_real": _q_jpeg_real,
         "q_audio_real": _q_audio_real,
         "q_langid": _q_langid,
         "q_lsh_ann": _q_lsh_ann,
@@ -1327,6 +1379,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 + doc_id % 4 AS DOUBLE)
                        / (CASE doc_id % 3 WHEN 0 THEN 1
                           WHEN 1 THEN 2 ELSE 8 END)    AS aspect,
+                   true AS hist_solid
+            FROM documents
+        """,
+        # Closed forms for the flat grayscale baseline-JPEG payloads
+        # (real from-spec Huffman+IDCT decode on the Spark side; the
+        # all-8 quant table makes flat blocks quantize losslessly, so
+        # decode == input EXACTLY — gray replicates to all channels).
+        "q_jpeg_real": """
+            SELECT doc_id, true AS ok,
+                   CAST(doc_id % 256 AS DOUBLE) AS chan_r,
+                   CAST(doc_id % 256 AS DOUBLE) AS chan_g,
+                   CAST(doc_id % 256 AS DOUBLE) AS chan_b,
+                   CAST(0.0 AS DOUBLE) AS std_r,
+                   CAST(1 + doc_id % 2 AS DOUBLE) AS aspect,
                    true AS hist_solid
             FROM documents
         """,

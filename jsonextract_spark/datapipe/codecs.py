@@ -23,9 +23,14 @@ for them:
   expanded). A minimal truecolor encoder (filter-0 rows) exists so
   tests and oracles can build closed-form payloads without PIL.
 
-Remaining compressed formats (JPEG/MP4/...) still require external
-codecs and surface as NotImplementedError through the stages' err
-channel.
+* **Baseline JPEG** (late r7, `datapipe/jpeg.py`) — full from-spec
+  decoder: Huffman entropy decode with restart intervals, dequant,
+  matrix IDCT, 4:4:4/4:2:2/4:2:0, grayscale and YCbCr. Progressive
+  and arithmetic-coded streams reject to the err channel.
+
+Remaining compressed formats (video/MP4, progressive JPEG, WebP/AVIF)
+still require external codecs and surface as NotImplementedError (or
+a parse ValueError) through the stages' err channel.
 
 Everything here is pure computation over bytes — safe inside Arrow
 kernels, no I/O, deterministic.
@@ -41,6 +46,7 @@ import numpy as np
 PPM_TYPES = frozenset({"image/ppm", "image/x-portable-pixmap"})
 WAV_TYPES = frozenset({"audio/wav", "audio/x-wav", "audio/wave"})
 PNG_TYPES = frozenset({"image/png"})
+JPEG_TYPES = frozenset({"image/jpeg", "image/jpg"})
 
 _WS = b" \t\r\n\x0b\x0c"
 
@@ -410,8 +416,12 @@ def real_decode_features(payload: bytes, media_type: str) -> np.ndarray:
         return image_features(img)
     if media_type in PNG_TYPES:
         return image_features(parse_png(payload))
+    if media_type in JPEG_TYPES:
+        from jsonextract_spark.datapipe.jpeg import parse_jpeg
+        return image_features(parse_jpeg(payload))
     if media_type in WAV_TYPES:
         return audio_features(*parse_wav(payload))
     raise NotImplementedError(
-        f"no dependency-free codec for {media_type} (compressed formats "
-        "need PIL/ffmpeg, not bundled in this environment)")
+        f"no dependency-free codec for {media_type} (video and other "
+        "compressed formats need ffmpeg, not bundled in this "
+        "environment)")

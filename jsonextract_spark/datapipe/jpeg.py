@@ -1,0 +1,559 @@
+"""Dependency-free baseline JPEG codec (ITU-T T.81, public spec).
+
+``parse_jpeg`` decodes baseline sequential DCT JPEGs (SOF0/SOF1) with
+numpy + stdlib only: marker walk (DQT 8/16-bit, DHT, DRI restart
+intervals, APPn/COM skipped), Huffman entropy decode with 0xFF00
+unstuffing and RSTn predictor resets, dequantization, zigzag,
+separable matrix IDCT, grayscale or YCbCr with sampling factors 1-2
+per axis (4:4:4 / 4:2:2 / 4:2:0 via replication upsampling), BT.601
+color conversion. Progressive (SOF2), hierarchical, arithmetic-coded
+and 12-bit streams are rejected with a clear ``ValueError`` — the
+multimodal stages' per-row err channel, same discipline as the PNG
+codec. Every malformed-input path raises ValueError (never
+struct/zlib/Huffman internals), and the pixel cap bounds allocation
+for untrusted web bytes.
+
+``encode_jpeg`` is the test/oracle harness: baseline grayscale or
+color at 4:4:4 / 4:2:2 / 4:2:0 with a caller-chosen quantization
+table and optional restart intervals. Its FDCT is the O(N^4)
+definition sum straight from the spec — deliberately NOT the
+decoder's matrix IDCT — so a transform bug cannot cancel in
+roundtrip tests; flat blocks with a divisor-friendly quant table
+quantize losslessly, which is what makes exact closed-form oracles
+possible (q_jpeg_real).
+
+Performance note: the entropy decode is a per-bit Python loop —
+fine for the pipeline's thumbnails/test payloads; megapixel photos
+decode in seconds, not milliseconds. The vectorizable stages
+(dequant, IDCT, upsample, color convert) are numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAX_PIXELS = 1 << 26          # same allocation cap as PNG
+
+# zigzag order: scan index -> (row, col)
+_ZZ = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# T.81 Annex K typical Huffman tables (spec constants)
+_DC_LUM_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHR_BITS = [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHR_VALS = list(range(12))
+_AC_LUM_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHR_BITS = [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# IDCT basis: block = C.T @ coef @ C, C[u,x] = c(u) cos((2x+1)uπ/16)/2
+_IDCT_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _cu = (1 / np.sqrt(2)) if _u == 0 else 1.0
+        _IDCT_C[_u, _x] = 0.5 * _cu * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16)
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _IDCT_C.T @ coef @ _IDCT_C
+
+
+class _Huff:
+    """Canonical Huffman decode table from DHT (bits, vals)."""
+
+    def __init__(self, bits, vals):
+        self.lut = {}
+        code = k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln]):
+                self.lut[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br):
+        code = ln = 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            v = self.lut.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+class _BitReader:
+    """Entropy-coded segment reader: 0xFF00 unstuffing; a bare marker
+    mid-stream is an error (strict: many decoders zero-pad instead)."""
+
+    def __init__(self, data, pos):
+        self.d = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def bit(self):
+        if self.nbits == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("jpeg: truncated entropy stream")
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = (self.d[self.pos] if self.pos < len(self.d)
+                       else None)
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("jpeg: marker inside entropy data")
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self):
+        self.nbits = 0
+        while self.pos + 1 < len(self.d):
+            if self.d[self.pos] == 0xFF and self.d[self.pos + 1] != 0:
+                return
+            self.pos += 1
+        raise ValueError("jpeg: truncated at restart")
+
+
+def _extend(v, n):
+    """T.81 EXTEND: n-bit magnitude -> signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def parse_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w, 3) uint8 RGB (grayscale replicated)."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    sof = None
+    restart_interval = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        m = data[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            raise ValueError("jpeg: no scan data")
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated segment header")
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        body = data[pos + 2:pos + seglen]
+        if seglen < 2 or len(body) != seglen - 2:
+            raise ValueError("jpeg: truncated segment")
+        if m == 0xDB:                        # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                p += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[p:p + n]
+                if len(raw) < n:
+                    raise ValueError("jpeg: truncated DQT")
+                tbl = (np.frombuffer(raw, ">u2") if pq
+                       else np.frombuffer(raw, np.uint8))
+                q = np.zeros((8, 8), np.int32)
+                for i, (r, c) in enumerate(_ZZ):
+                    q[r, c] = int(tbl[i])
+                qt[tq] = q
+                p += n
+        elif m in (0xC0, 0xC1):              # SOF0/1: baseline
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOF")
+            prec = body[0]
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("jpeg: truncated SOF components")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq_ = body[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq_})
+            sof = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: only baseline (SOF0/1) supported, got SOF "
+                f"marker 0x{m:02X}")
+        elif m == 0xC4:                      # DHT
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = [0] + list(body[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17:p + 17 + nv])
+                if len(vals) < nv:
+                    raise ValueError("jpeg: truncated DHT")
+                (huff_ac if tc else huff_dc)[th] = _Huff(bits, vals)
+                p += 17 + nv
+        elif m == 0xDD:                      # DRI
+            if len(body) < 2:
+                raise ValueError("jpeg: truncated DRI")
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif m == 0xDA:                      # SOS
+            if sof is None:
+                raise ValueError("jpeg: SOS before SOF")
+            if len(body) < 1 + 2 * body[0]:
+                raise ValueError("jpeg: truncated SOS")
+            scan = []
+            for i in range(body[0]):
+                cs, tds = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cs, tds >> 4, tds & 0xF))
+            return _decode_scan(data, pos + seglen, sof, scan, qt,
+                                huff_dc, huff_ac, restart_interval)
+        pos += seglen
+    raise ValueError("jpeg: no SOS marker")
+
+
+def _decode_scan(data, pos, sof, scan, qt, huff_dc, huff_ac, ri):
+    h, w, comps = sof
+    if w <= 0 or h <= 0:
+        raise ValueError("jpeg: non-positive dimensions")
+    if w * h > JPEG_MAX_PIXELS:
+        raise ValueError(
+            f"jpeg: {w}x{h} exceeds the decoder pixel cap "
+            f"({JPEG_MAX_PIXELS})")
+    if len(comps) not in (1, 3):
+        raise ValueError("jpeg: only 1 or 3 components")
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise ValueError("jpeg: unsupported sampling factors")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError("jpeg: scan references unknown component")
+        c["td"], c["ta"] = td, ta
+        order.append(c)
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        c["pred"] = 0
+    br = _BitReader(data, pos)
+    for mi in range(mcux * mcuy):
+        if ri and mi and mi % ri == 0:
+            br.align_to_marker()
+            mk = br.d[br.pos:br.pos + 2]
+            if len(mk) < 2 or mk[0] != 0xFF or not \
+                    (0xD0 <= mk[1] <= 0xD7):
+                raise ValueError("jpeg: expected restart marker")
+            br.pos += 2
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(mi, mcux)
+        for c in order:
+            q = qt.get(c["tq"])
+            dct = huff_dc.get(c.get("td"))
+            act = huff_ac.get(c.get("ta"))
+            if q is None or dct is None or act is None:
+                raise ValueError("jpeg: missing quant/Huffman table")
+            for vy in range(c["v"]):
+                for vx in range(c["h"]):
+                    coef = np.zeros((8, 8), np.float64)
+                    t = dct.decode(br)
+                    c["pred"] += _extend(br.receive(t), t)
+                    coef[0, 0] = c["pred"] * q[0, 0]
+                    k = 1
+                    while k < 64:
+                        rs = act.decode(br)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:          # ZRL
+                                k += 16
+                                continue
+                            break                # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        zr, zc = _ZZ[k]
+                        coef[zr, zc] = _extend(br.receive(s), s) \
+                            * q[zr, zc]
+                        k += 1
+                    py = (my * c["v"] + vy) * 8
+                    px = (mx * c["h"] + vx) * 8
+                    planes[c["id"]][py:py + 8, px:px + 8] = \
+                        _idct2(coef) + 128.0
+    out = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)),
+                   0, 255).astype(np.uint8)
+
+
+# --------------------------- encoder (test/oracle harness) ------------------
+
+def _fdct_def(block: np.ndarray) -> np.ndarray:
+    """FDCT as the T.81 definition sum (O(N^4)) — deliberately
+    independent of the decoder's matrix IDCT."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += block[x, y] * \
+                        np.cos((2 * x + 1) * u * np.pi / 16) * \
+                        np.cos((2 * y + 1) * v * np.pi / 16)
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.bytes.append(self.acc)
+                if self.acc == 0xFF:
+                    self.bytes.append(0x00)   # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            pad = (1 << (8 - self.n)) - 1     # 1-fill per spec
+            self.acc = (self.acc << (8 - self.n)) | pad
+            self.bytes.append(self.acc)
+            if self.acc == 0xFF:
+                self.bytes.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _enc_table(bits, vals):
+    out = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _category(v):
+    n, a = 0, abs(v)
+    while a:
+        a >>= 1
+        n += 1
+    return n
+
+
+def encode_jpeg(img: np.ndarray, qtable: np.ndarray | None = None,
+                gray: bool = False, sampling: tuple = (1, 1),
+                restart_interval: int = 0) -> bytes:
+    """Baseline encoder for deterministic test/oracle payloads.
+
+    ``sampling`` = luma (h, v): (1,1)=4:4:4, (2,1)=4:2:2, (2,2)=4:2:0
+    (chroma box-mean downsampled). ``qtable`` (default all-16) is
+    used for every component — an all-8 table quantizes flat blocks
+    LOSSLESSLY (DC of a flat block of value c-128 is exactly 8(c-128),
+    see the module docstring), the property the exact oracles use."""
+    if qtable is None:
+        qtable = np.full((8, 8), 16, np.int32)
+    sh_, sv = (1, 1) if gray else sampling
+    h, w = img.shape[:2]
+    if gray:
+        comps = [np.asarray(img[..., 0] if img.ndim == 3 else img,
+                            np.float64)]
+    else:
+        rgb = np.asarray(img, np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        comps = [0.299 * r + 0.587 * g + 0.114 * b,
+                 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+    nc = len(comps)
+    mh, mw = 8 * sv, 8 * sh_
+    ph, pw = (h + mh - 1) // mh * mh, (w + mw - 1) // mw * mw
+
+    def pad(p):
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]
+        pp[:, w:] = pp[:, w - 1:w]
+        return pp
+
+    comps = [pad(p) for p in comps]
+    if nc == 3 and (sv > 1 or sh_ > 1):
+        def down(p):
+            return p.reshape(ph // sv, sv, pw // sh_, sh_).mean(
+                axis=(1, 3))
+        comps = [comps[0], down(comps[1]), down(comps[2])]
+
+    out = bytearray(b"\xff\xd8")
+    zz = bytes(int(qtable[r, c]) for r, c in _ZZ)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof += bytes([1, (sh_ << 4) | sv, 0])
+    for i in range(1, nc):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, bits, vals):
+        body = bytes([tc << 4 | th]) + bytes(bits[1:]) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
+    if nc == 3:
+        out += dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+        out += dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc]) + bytes([1, 0x00])
+    for i in range(1, nc):
+        sos += bytes([i + 1, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_enc = [_enc_table(_DC_LUM_BITS, _DC_LUM_VALS),
+              _enc_table(_DC_CHR_BITS, _DC_CHR_VALS)]
+    ac_enc = [_enc_table(_AC_LUM_BITS, _AC_LUM_VALS),
+              _enc_table(_AC_CHR_BITS, _AC_CHR_VALS)]
+    state = {"bw": _BitWriter(), "preds": [0] * nc}
+
+    def put_block(blk, ci):
+        t = 0 if ci == 0 else 1
+        bw = state["bw"]
+        coef = np.round(_fdct_def(blk - 128.0) / qtable).astype(int)
+        diff = int(coef[0, 0]) - state["preds"][ci]
+        state["preds"][ci] = int(coef[0, 0])
+        cat = _category(diff)
+        code, ln = dc_enc[t][cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        seq = [int(coef[_ZZ[k][0], _ZZ[k][1]]) for k in range(1, 64)]
+        last = -1
+        for k, v in enumerate(seq):
+            if v:
+                last = k
+        run = 0
+        for k in range(last + 1):
+            v = seq[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[t][0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_enc[t][(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 62:
+            code, ln = ac_enc[t][0x00]
+            bw.put(code, ln)
+
+    n_mcux, n_mcuy = pw // mw, ph // mh
+    for mi in range(n_mcux * n_mcuy):
+        if restart_interval and mi and mi % restart_interval == 0:
+            state["bw"].flush()
+            out += state["bw"].bytes
+            state["bw"] = _BitWriter()
+            out += bytes([0xFF,
+                          0xD0 + ((mi // restart_interval - 1) % 8)])
+            state["preds"] = [0] * nc
+        my, mx = divmod(mi, n_mcux)
+        for vy in range(sv):
+            for vx in range(sh_):
+                py, px = (my * sv + vy) * 8, (mx * sh_ + vx) * 8
+                put_block(comps[0][py:py + 8, px:px + 8], 0)
+        for ci in range(1, nc):
+            put_block(comps[ci][my * 8:my * 8 + 8,
+                                mx * 8:mx * 8 + 8], ci)
+    state["bw"].flush()
+    out += state["bw"].bytes
+    out += b"\xff\xd9"
+    return bytes(out)

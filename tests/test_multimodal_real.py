@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from jsonextract_spark.datapipe import codecs
+from jsonextract_spark.datapipe import jpeg as jpeg_mod
 
 pytestmark = pytest.mark.spark
 
@@ -98,7 +99,10 @@ def test_real_decode_features_spark(spark):
          (3, "image/png", bytearray(b"\x89PNG..."), 0, 0, 0),
          (4, "image/ppm", bytearray(b"P6 garbage"), 0, 0, 0),
          (5, "image/png", bytearray(codecs.encode_png(solid)), 2, 2, 0),
-         (6, "image/jpeg", bytearray(b"\xff\xd8\xff"), 0, 0, 0)],
+         (6, "image/jpeg", bytearray(jpeg_mod.encode_jpeg(
+             np.full((8, 8), 99, np.uint8),
+             qtable=np.full((8, 8), 8, np.int32), gray=True)), 8, 8, 0),
+         (7, "video/mp4", bytearray(b"\x00\x00ftyp"), 0, 0, 0)],
         "doc_id long, media_type string, payload binary, width int,"
         " height int, n_frames int")
     from jsonextract_spark.datapipe.multimodal import decode_features
@@ -107,14 +111,16 @@ def test_real_decode_features_spark(spark):
             decode_features(media, decode_mode="real").collect()}
     assert rows[1]["ok"] and rows[1]["feat"][24] == pytest.approx(0.5)
     assert rows[2]["ok"] and rows[2]["feat"][25] == pytest.approx(0.5)
-    # r7: PNG decodes for real — a malformed payload is now a PARSE
-    # error (per-row, job alive), a valid one yields pixel features,
-    # and the missing-codec branch moved to JPEG/MP4
+    # r7: PNG and baseline JPEG decode for real — a malformed payload
+    # is a PARSE error (per-row, job alive), valid ones yield pixel
+    # features, and the missing-codec branch moved to video
     assert not rows[3]["ok"] and "png" in rows[3]["err"]
     assert not rows[4]["ok"]                      # malformed, job alive
     assert rows[5]["ok"] and \
         rows[5]["feat"][24] == pytest.approx(128 / 255)
-    assert not rows[6]["ok"] and "codec" in rows[6]["err"]
+    assert rows[6]["ok"] and \
+        rows[6]["feat"][24] == pytest.approx(99 / 255)  # exact: flat q8
+    assert not rows[7]["ok"] and "codec" in rows[7]["err"]
 
 
 def test_real_resize_spark(spark):
@@ -266,8 +272,11 @@ def test_png_rejections_route_to_err_channel():
                                    [255, 0, 0, 0, 255, 0, 0, 0, 255]))
     with pytest.raises(ValueError, match="truncated"):
         codecs.parse_png(_make_png(4, 2, 2, [(0, [1] * 12)]))
-    # JPEG still routes to NotImplementedError (err channel)
+    # video still routes to NotImplementedError (err channel); a
+    # malformed JPEG is a parse ValueError since the late-r7 codec
     with pytest.raises(NotImplementedError):
+        codecs.real_decode_features(b"\x00\x00ftyp", "video/mp4")
+    with pytest.raises(ValueError, match="jpeg"):
         codecs.real_decode_features(b"\xff\xd8\xff", "image/jpeg")
     # but PNG now decodes for real
     img = np.full((2, 4, 3), 77, dtype=np.uint8)
@@ -426,3 +435,100 @@ def test_png_hostile_payloads_err_not_crash():
         codecs.parse_png(sig + _png_chunk(b"IHDR", ihdr)
                          + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
                          + _png_chunk(b"IEND", b""))
+
+
+# -- baseline JPEG (late r7: from-spec decoder) ------------------------------
+
+def test_jpeg_idct_matches_definition():
+    """The decoder's matrix IDCT against the T.81 inverse-DCT
+    definition sum, on random coefficient blocks — the two transforms
+    are implemented independently (matrix product vs O(N^4) loops), so
+    agreement pins both."""
+    from jsonextract_spark.datapipe.jpeg import _idct2
+
+    rng = np.random.RandomState(9)
+    for _ in range(5):
+        coef = rng.uniform(-500, 500, (8, 8))
+        ref = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+                        cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+                        s += cu * cv * coef[u, v] * \
+                            np.cos((2 * x + 1) * u * np.pi / 16) * \
+                            np.cos((2 * y + 1) * v * np.pi / 16)
+                ref[x, y] = s / 4
+        assert np.allclose(_idct2(coef), ref, atol=1e-9)
+
+
+def test_jpeg_flat_gray_exact():
+    """Flat gray blocks with an all-8 quant table quantize LOSSLESSLY
+    (DC of a flat block of value v-128 is exactly 8(v-128)), so decode
+    must return the input value EXACTLY — a closed form no shared
+    encoder/decoder bug can fake, since the expectation comes from
+    arithmetic, not from either codec."""
+    q8 = np.full((8, 8), 8, np.int32)
+    for v in (0, 1, 37, 128, 200, 255):
+        img = np.full((16, 8), v, np.uint8)
+        dec = jpeg_mod.parse_jpeg(
+            jpeg_mod.encode_jpeg(img, qtable=q8, gray=True))
+        assert dec.shape == (16, 8, 3)
+        assert int(dec.min()) == int(dec.max()) == v
+
+
+def test_jpeg_roundtrip_and_subsampling():
+    """Fine-quant roundtrips: gray within ±1 (DCT float rounding),
+    4:4:4 color within ±3 (YCbCr rounding), flat color through
+    4:2:0/4:2:2 within ±2 (chroma of a flat image is flat, so
+    subsampling loses nothing), restart intervals byte-equivalent."""
+    rng = np.random.RandomState(11)
+    q1 = np.full((8, 8), 1, np.int32)
+    g = rng.randint(0, 256, (24, 17), np.uint8)
+    dec = jpeg_mod.parse_jpeg(
+        jpeg_mod.encode_jpeg(g, qtable=q1, gray=True))
+    assert np.abs(dec[..., 0].astype(int) - g.astype(int)).max() <= 1
+
+    img = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    dec = jpeg_mod.parse_jpeg(jpeg_mod.encode_jpeg(img, qtable=q1))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+    for sampling in ((2, 2), (2, 1), (1, 2)):
+        for rgbv in ((200, 100, 50), (0, 0, 0), (13, 200, 77)):
+            flat = np.full((20, 13, 3), rgbv, np.uint8)
+            dec = jpeg_mod.parse_jpeg(jpeg_mod.encode_jpeg(
+                flat, qtable=q1, sampling=sampling))
+            assert np.abs(dec.astype(int) - flat.astype(int)).max() \
+                <= 2, (sampling, rgbv)
+
+    g = rng.randint(0, 256, (24, 32), np.uint8)
+    with_rst = jpeg_mod.parse_jpeg(jpeg_mod.encode_jpeg(
+        g, qtable=q1, gray=True, restart_interval=2))
+    without = jpeg_mod.parse_jpeg(
+        jpeg_mod.encode_jpeg(g, qtable=q1, gray=True))
+    assert np.array_equal(with_rst, without)
+
+
+def test_jpeg_rejections_err_not_crash():
+    """Hostile/unsupported payloads stay in the ValueError family:
+    progressive SOF2, bad SOI, truncated streams, giant declared
+    dimensions."""
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_mod.parse_jpeg(b"\xff\xd8\xff\xc2"
+                            + struct.pack(">H", 8) + b"\x00" * 6)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_mod.parse_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg_mod.parse_jpeg(b"\xff\xd8\xff\xdb" + struct.pack(">H", 8)
+                            + b"\x00" * 6)          # truncated, no SOS
+    good = jpeg_mod.encode_jpeg(np.full((8, 8), 7, np.uint8),
+                                gray=True)
+    with pytest.raises(ValueError):
+        jpeg_mod.parse_jpeg(good[:len(good) // 2])  # truncated entropy
+    with pytest.raises(ValueError, match="pixel cap"):
+        big = good.replace(
+            struct.pack(">BHHB", 8, 8, 8, 1),
+            struct.pack(">BHHB", 8, 60000, 60000, 1))
+        jpeg_mod.parse_jpeg(big)
