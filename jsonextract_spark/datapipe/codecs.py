@@ -23,14 +23,17 @@ for them:
   expanded). A minimal truecolor encoder (filter-0 rows) exists so
   tests and oracles can build closed-form payloads without PIL.
 
-* **Baseline JPEG** (late r7, `datapipe/jpeg.py`) — full from-spec
-  decoder: Huffman entropy decode with restart intervals, dequant,
-  matrix IDCT, 4:4:4/4:2:2/4:2:0, grayscale and YCbCr. Progressive
-  and arithmetic-coded streams reject to the err channel.
+* **JPEG — baseline AND progressive** (late r7, `datapipe/jpeg.py`)
+  — full from-spec decoder: Huffman entropy decode with restart
+  intervals, progressive multi-scan coefficient accumulation
+  (spectral selection + successive approximation, EOB-run correction
+  bits), dequant, matrix IDCT, 4:4:4/4:2:2/4:2:0, grayscale and
+  YCbCr. Arithmetic-coded/hierarchical/12-bit streams reject to the
+  err channel.
 
-Remaining compressed formats (video/MP4, progressive JPEG, WebP/AVIF)
-still require external codecs and surface as NotImplementedError (or
-a parse ValueError) through the stages' err channel.
+Remaining compressed formats (video/MP4, WebP/AVIF) still require
+external codecs and surface as NotImplementedError (or a parse
+ValueError) through the stages' err channel.
 
 Everything here is pure computation over bytes — safe inside Arrow
 kernels, no I/O, deterministic.

@@ -1,13 +1,17 @@
 """Dependency-free baseline JPEG codec (ITU-T T.81, public spec).
 
-``parse_jpeg`` decodes baseline sequential DCT JPEGs (SOF0/SOF1) with
-numpy + stdlib only: marker walk (DQT 8/16-bit, DHT, DRI restart
-intervals, APPn/COM skipped), Huffman entropy decode with 0xFF00
-unstuffing and RSTn predictor resets, dequantization, zigzag,
-separable matrix IDCT, grayscale or YCbCr with sampling factors 1-2
-per axis (4:4:4 / 4:2:2 / 4:2:0 via replication upsampling), BT.601
-color conversion. Progressive (SOF2), hierarchical, arithmetic-coded
-and 12-bit streams are rejected with a clear ``ValueError`` — the
+``parse_jpeg`` decodes baseline (SOF0/1) AND progressive (SOF2)
+DCT JPEGs with numpy + stdlib only: marker walk (DQT 8/16-bit, DHT —
+including per-scan overrides, DRI restart intervals, APPn/COM
+skipped), Huffman entropy decode with 0xFF00 unstuffing and RSTn
+predictor/EOB-run resets, and for progressive streams the full
+multi-scan coefficient accumulation of T.81 Annex G: spectral
+selection, successive approximation (DC and AC, first and refinement
+passes with EOB-run correction bits), non-interleaved true-block-grid
+walks for single-component scans. Reconstruction (dequant, zigzag,
+separable matrix IDCT, 1-2x sampling-factor upsampling, BT.601
+conversion) runs once at EOI. Hierarchical, arithmetic-coded and
+12-bit streams are rejected with a clear ``ValueError`` — the
 multimodal stages' per-row err channel, same discipline as the PNG
 codec. Every malformed-input path raises ValueError (never
 struct/zlib/Huffman internals), and the pixel cap bounds allocation
@@ -178,15 +182,22 @@ def _extend(v, n):
 
 
 def parse_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, 3) uint8 RGB (grayscale replicated)."""
+    """Baseline OR progressive JPEG -> (h, w, 3) uint8 RGB (grayscale
+    replicated). Coefficient-accumulating: every scan — baseline's one
+    interleaved scan, or progressive's many (spectral selection and
+    successive approximation, DC and AC, first and refinement passes,
+    per-scan DHT overrides, restart intervals) — writes RAW
+    coefficients into per-component block arrays; dequant + IDCT +
+    upsample + color conversion run once at EOI."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     pos = 2
     qt: dict = {}
     huff_dc: dict = {}
     huff_ac: dict = {}
-    sof = None
-    restart_interval = 0
+    progressive = False
+    ri = 0
+    st = None
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -194,8 +205,10 @@ def parse_jpeg(data: bytes) -> np.ndarray:
         pos += 2
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             continue
-        if m == 0xD9:
-            raise ValueError("jpeg: no scan data")
+        if m == 0xD9:                        # EOI: reconstruct
+            if st is None:
+                raise ValueError("jpeg: no scan data")
+            return _reconstruct(st, qt)
         if pos + 2 > len(data):
             raise ValueError("jpeg: truncated segment header")
         seglen = struct.unpack(">H", data[pos:pos + 2])[0]
@@ -218,7 +231,8 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                     q[r, c] = int(tbl[i])
                 qt[tq] = q
                 p += n
-        elif m in (0xC0, 0xC1):              # SOF0/1: baseline
+        elif m in (0xC0, 0xC1, 0xC2):        # SOF0/1 baseline, SOF2 prog
+            progressive = (m == 0xC2)
             if len(body) < 6:
                 raise ValueError("jpeg: truncated SOF")
             prec = body[0]
@@ -233,13 +247,13 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq_ = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq_})
-            sof = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            st = _init_state((h, w, comps))
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "jpeg: only baseline (SOF0/1) supported, got SOF "
-                f"marker 0x{m:02X}")
-        elif m == 0xC4:                      # DHT
+                "jpeg: only baseline/progressive DCT (SOF0/1/2) "
+                f"supported, got SOF marker 0x{m:02X}")
+        elif m == 0xC4:                      # DHT (per-scan overrides)
             p = 0
             while p + 17 <= len(body):
                 tc, th = body[p] >> 4, body[p] & 0xF
@@ -253,23 +267,28 @@ def parse_jpeg(data: bytes) -> np.ndarray:
         elif m == 0xDD:                      # DRI
             if len(body) < 2:
                 raise ValueError("jpeg: truncated DRI")
-            restart_interval = struct.unpack(">H", body[:2])[0]
-        elif m == 0xDA:                      # SOS
-            if sof is None:
+            ri = struct.unpack(">H", body[:2])[0]
+        elif m == 0xDA:                      # SOS (one of possibly many)
+            if st is None:
                 raise ValueError("jpeg: SOS before SOF")
-            if len(body) < 1 + 2 * body[0]:
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("jpeg: truncated SOS")
             scan = []
-            for i in range(body[0]):
+            for i in range(ns):
                 cs, tds = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tds >> 4, tds & 0xF))
-            return _decode_scan(data, pos + seglen, sof, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            pos = _decode_one_scan(data, pos + seglen, st, scan,
+                                   huff_dc, huff_ac, ri, ss, se, ah,
+                                   al, progressive)
+            continue
         pos += seglen
-    raise ValueError("jpeg: no SOS marker")
+    raise ValueError("jpeg: truncated before EOI")
 
 
-def _decode_scan(data, pos, sof, scan, qt, huff_dc, huff_ac, ri):
+def _init_state(sof):
     h, w, comps = sof
     if w <= 0 or h <= 0:
         raise ValueError("jpeg: non-positive dimensions")
@@ -285,6 +304,26 @@ def _decode_scan(data, pos, sof, scan, qt, huff_dc, huff_ac, ri):
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        # block grid incl. MCU padding (interleaved scans cover it) …
+        c["bx"] = mcux * c["h"]
+        c["by"] = mcuy * c["v"]
+        # … and the TRUE block grid (non-interleaved scans cover only
+        # this, T.81 A.2.2)
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch_ = (h * c["v"] + vmax - 1) // vmax
+        c["nbx"] = (cw + 7) // 8
+        c["nby"] = (ch_ + 7) // 8
+        c["coef"] = np.zeros((c["by"], c["bx"], 8, 8), np.int32)
+        c["pred"] = 0
+        c["eobrun"] = 0
+    return {"sof": sof, "hmax": hmax, "vmax": vmax,
+            "mcux": mcux, "mcuy": mcuy}
+
+
+def _decode_one_scan(data, pos, st, scan, huff_dc, huff_ac, ri,
+                     ss, se, ah, al, progressive):
+    comps = st["sof"][2]
     by_id = {c["id"]: c for c in comps}
     order = []
     for cs, td, ta in scan:
@@ -292,63 +331,221 @@ def _decode_scan(data, pos, sof, scan, qt, huff_dc, huff_ac, ri):
         if c is None:
             raise ValueError("jpeg: scan references unknown component")
         c["td"], c["ta"] = td, ta
-        order.append(c)
-    planes = {}
-    for c in comps:
-        planes[c["id"]] = np.zeros(
-            (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
         c["pred"] = 0
+        c["eobrun"] = 0
+        order.append(c)
     br = _BitReader(data, pos)
-    for mi in range(mcux * mcuy):
+    if not progressive:
+        _scan_blocks(br, st, order, huff_dc, huff_ac, ri,
+                     mode="full", ah=0, al=0)
+    elif ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: progressive DC scan with Se != 0")
+        _scan_blocks(br, st, order, huff_dc, huff_ac, ri,
+                     mode="dc", ah=ah, al=al)
+    else:
+        if len(order) != 1:
+            raise ValueError(
+                "jpeg: progressive AC scan must be single-component")
+        _scan_ac(br, order[0], huff_ac, ri, ss, se, ah, al)
+    # resume the marker walk at the next marker after the entropy data
+    p = br.pos
+    while p + 1 < len(data) and not (data[p] == 0xFF
+                                     and data[p + 1] != 0x00):
+        p += 1
+    if p + 1 >= len(data):
+        raise ValueError("jpeg: truncated after scan")
+    return p
+
+
+def _restart(br, comps):
+    br.align_to_marker()
+    mk = br.d[br.pos:br.pos + 2]
+    if len(mk) < 2 or mk[0] != 0xFF or not (0xD0 <= mk[1] <= 0xD7):
+        raise ValueError("jpeg: expected restart marker")
+    br.pos += 2
+    for c in comps:
+        c["pred"] = 0
+        c["eobrun"] = 0
+
+
+def _scan_blocks(br, st, order, huff_dc, huff_ac, ri, mode, ah, al):
+    """Baseline full blocks (mode='full') or progressive DC passes
+    (mode='dc'; first when ah==0, refinement otherwise). Multi-
+    component scans walk the MCU grid; single-component scans are
+    non-interleaved and walk the component's true block grid."""
+    interleaved = len(order) > 1
+    if interleaved:
+        n_units_x = st["mcux"]
+        n_units = st["mcux"] * st["mcuy"]
+    else:
+        n_units_x = order[0]["nbx"]
+        n_units = order[0]["nbx"] * order[0]["nby"]
+    for mi in range(n_units):
         if ri and mi and mi % ri == 0:
-            br.align_to_marker()
-            mk = br.d[br.pos:br.pos + 2]
-            if len(mk) < 2 or mk[0] != 0xFF or not \
-                    (0xD0 <= mk[1] <= 0xD7):
-                raise ValueError("jpeg: expected restart marker")
-            br.pos += 2
-            for c in comps:
-                c["pred"] = 0
-        my, mx = divmod(mi, mcux)
+            _restart(br, order)
+        my, mx = divmod(mi, n_units_x)
         for c in order:
-            q = qt.get(c["tq"])
-            dct = huff_dc.get(c.get("td"))
-            act = huff_ac.get(c.get("ta"))
-            if q is None or dct is None or act is None:
-                raise ValueError("jpeg: missing quant/Huffman table")
-            for vy in range(c["v"]):
-                for vx in range(c["h"]):
-                    coef = np.zeros((8, 8), np.float64)
-                    t = dct.decode(br)
-                    c["pred"] += _extend(br.receive(t), t)
-                    coef[0, 0] = c["pred"] * q[0, 0]
-                    k = 1
-                    while k < 64:
-                        rs = act.decode(br)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:          # ZRL
-                                k += 16
-                                continue
-                            break                # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("jpeg: AC index overflow")
-                        zr, zc = _ZZ[k]
-                        coef[zr, zc] = _extend(br.receive(s), s) \
-                            * q[zr, zc]
-                        k += 1
-                    py = (my * c["v"] + vy) * 8
-                    px = (mx * c["h"] + vx) * 8
-                    planes[c["id"]][py:py + 8, px:px + 8] = \
-                        _idct2(coef) + 128.0
+            hh = c["h"] if interleaved else 1
+            vv = c["v"] if interleaved else 1
+            for vy in range(vv):
+                for vx in range(hh):
+                    if interleaved:
+                        blk = c["coef"][my * c["v"] + vy,
+                                        mx * c["h"] + vx]
+                    else:
+                        blk = c["coef"][my, mx]
+                    if mode == "full":
+                        _block_baseline(br, c, blk, huff_dc, huff_ac)
+                    elif ah == 0:            # DC first (point shift al)
+                        t = huff_dc.get(c.get("td"))
+                        if t is None:
+                            raise ValueError("jpeg: missing DC table")
+                        s = t.decode(br)
+                        c["pred"] += _extend(br.receive(s), s)
+                        blk[0, 0] = c["pred"] << al
+                    else:                    # DC refinement: one bit
+                        if br.bit():
+                            blk[0, 0] |= (1 << al)
+
+
+def _block_baseline(br, c, blk, huff_dc, huff_ac):
+    dct = huff_dc.get(c.get("td"))
+    act = huff_ac.get(c.get("ta"))
+    if dct is None or act is None:
+        raise ValueError("jpeg: missing Huffman table")
+    t = dct.decode(br)
+    c["pred"] += _extend(br.receive(t), t)
+    blk[0, 0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:                      # ZRL
+                k += 16
+                continue
+            break                            # EOB
+        k += r
+        if k > 63:
+            raise ValueError("jpeg: AC index overflow")
+        zr, zc = _ZZ[k]
+        blk[zr, zc] = _extend(br.receive(s), s)
+        k += 1
+
+
+def _scan_ac(br, c, huff_ac, ri, ss, se, ah, al):
+    act = huff_ac.get(c.get("ta"))
+    if act is None:
+        raise ValueError("jpeg: missing AC table")
+    n_units = c["nbx"] * c["nby"]
+    for mi in range(n_units):
+        if ri and mi and mi % ri == 0:
+            _restart(br, [c])
+        my, mx = divmod(mi, c["nbx"])
+        blk = c["coef"][my, mx]
+        if ah == 0:
+            _ac_first(br, c, blk, act, ss, se, al)
+        else:
+            _ac_refine(br, c, blk, act, ss, se, al)
+
+
+def _ac_first(br, c, blk, act, ss, se, al):
+    """Progressive AC first pass: magnitudes point-shifted by al,
+    EOB runs span whole blocks (T.81 G.1.2.2)."""
+    if c["eobrun"] > 0:
+        c["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:                      # ZRL
+                k += 16
+                continue
+            c["eobrun"] = (1 << r) - 1       # EOBn: this block + n-1
+            if r:
+                c["eobrun"] += br.receive(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index overflow")
+        zr, zc = _ZZ[k]
+        blk[zr, zc] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, c, blk, act, ss, se, al):
+    """Successive-approximation AC refinement — control flow
+    transcribed from T.81 G.1.2.3 (the decode_mcu_AC_refine shape):
+    nonzero-history coefficients take a correction bit whenever the
+    scan passes them; zero-history positions count against the run;
+    an EOB run corrects the remainder of the current block, then
+    whole blocks."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if c["eobrun"] == 0:
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    c["eobrun"] = (1 << r)
+                    if r:
+                        c["eobrun"] += br.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad refinement size")
+                s_val = p1 if br.bit() else m1
+            while k <= se:
+                zr, zc = _ZZ[k]
+                v = blk[zr, zc]
+                if v != 0:
+                    if br.bit() and (v & p1) == 0:
+                        blk[zr, zc] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zr, zc = _ZZ[k]
+                blk[zr, zc] = s_val
+            k += 1
+    if c["eobrun"] > 0:
+        while k <= se:
+            zr, zc = _ZZ[k]
+            v = blk[zr, zc]
+            if v != 0:
+                if br.bit() and (v & p1) == 0:
+                    blk[zr, zc] = v + (p1 if v >= 0 else m1)
+            k += 1
+        c["eobrun"] -= 1
+
+
+def _reconstruct(st, qt):
+    h, w, comps = st["sof"]
+    hmax, vmax = st["hmax"], st["vmax"]
     out = []
     for c in comps:
-        p = planes[c["id"]]
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("jpeg: missing quant table")
+        plane = np.zeros((c["by"] * 8, c["bx"] * 8), np.float64)
+        for byi in range(c["by"]):
+            for bxi in range(c["bx"]):
+                coef = c["coef"][byi, bxi].astype(np.float64) * q
+                plane[byi * 8:byi * 8 + 8, bxi * 8:bxi * 8 + 8] = \
+                    _idct2(coef) + 128.0
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(plane[:h, :w])
     if len(out) == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)

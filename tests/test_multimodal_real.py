@@ -515,8 +515,10 @@ def test_jpeg_rejections_err_not_crash():
     """Hostile/unsupported payloads stay in the ValueError family:
     progressive SOF2, bad SOI, truncated streams, giant declared
     dimensions."""
-    with pytest.raises(ValueError, match="baseline"):
-        jpeg_mod.parse_jpeg(b"\xff\xd8\xff\xc2"
+    # SOF2 (progressive) DECODES since late r7; the unsupported SOF
+    # family is arithmetic coding (SOF9+)
+    with pytest.raises(ValueError, match="SOF marker 0xC9"):
+        jpeg_mod.parse_jpeg(b"\xff\xd8\xff\xc9"
                             + struct.pack(">H", 8) + b"\x00" * 6)
     with pytest.raises(ValueError, match="SOI"):
         jpeg_mod.parse_jpeg(b"not a jpeg")
