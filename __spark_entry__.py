@@ -589,7 +589,10 @@ def _q_jpeg_real(spark, sf_dir):
     every feature has a closed form DuckDB computes from doc_id alone
     — the expectation comes from arithmetic, not from either side of
     the codec, so a mutually-cancelling encoder/decoder bug cannot
-    pass. Dimensions 8x8 / 16x8 keep aspect ratios float32-exact."""
+    pass. Dimensions 8x8 / 16x8 keep aspect ratios float32-exact.
+    Odd doc_ids take the PROGRESSIVE stream (three scans: DC at Al=1,
+    spectral AC, DC refinement — flat blocks stay lossless there
+    too), so the driver's gate certifies both entropy-decode paths."""
     import numpy as np
     import pandas as pd
 
@@ -607,8 +610,11 @@ def _q_jpeg_real(spark, sf_dir):
             for i in ids:
                 v, w = i % 256, 8 * (1 + i % 2)
                 img = np.full((8, w), v, dtype=np.uint8)
-                payloads.append(jpeg_mod.encode_jpeg(img, qtable=q8,
-                                                     gray=True))
+                enc = (jpeg_mod.encode_jpeg_progressive_gray
+                       if i % 2 else
+                       lambda im, qtable: jpeg_mod.encode_jpeg(
+                           im, qtable=qtable, gray=True))
+                payloads.append(enc(img, qtable=q8))
                 ws.append(w)
             yield pd.DataFrame({
                 "doc_id": ids, "media_type": "image/jpeg",

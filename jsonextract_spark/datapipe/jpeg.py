@@ -754,3 +754,111 @@ def encode_jpeg(img: np.ndarray, qtable: np.ndarray | None = None,
     out += state["bw"].bytes
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_progressive_gray(img: np.ndarray,
+                                 qtable: np.ndarray | None = None
+                                 ) -> bytes:
+    """Three-scan PROGRESSIVE grayscale encoder for test/oracle
+    payloads: DC first pass at Al=1, AC first pass (spectral 1-63,
+    per-block EOB — expressible with the Annex-K table), DC
+    refinement at Al=0. Flat images with an all-8 quant table still
+    decode EXACTLY (same lossless-flat-block property as the baseline
+    encoder), so q_jpeg_real can route half its payloads through the
+    progressive decode path under the same closed-form oracle."""
+    if qtable is None:
+        qtable = np.full((8, 8), 16, np.int32)
+    h, w = img.shape[:2]
+    plane = np.asarray(img[..., 0] if img.ndim == 3 else img,
+                       np.float64)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pp = np.empty((ph, pw))
+    pp[:h, :w] = plane
+    pp[h:, :w] = plane[-1:, :]
+    pp[:, w:] = pp[:, w - 1:w]
+    nby, nbx = ph // 8, pw // 8
+    coefs = np.zeros((nby, nbx, 8, 8), np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            coefs[by, bx] = np.round(_fdct_def(blk) / qtable)
+
+    out = bytearray(b"\xff\xd8")
+    zz = bytes(int(qtable[r, c]) for r, c in _ZZ)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, bits, vals):
+        body = bytes([tc << 4 | th]) + bytes(bits[1:]) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
+
+    def sos(ss, se, ah, al):
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    dc_enc = _enc_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_enc = _enc_table(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    # scan 1: DC first, point transform Al=1 (arithmetic shift)
+    out += sos(0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            dc = int(coefs[by, bx, 0, 0]) >> 1
+            diff = dc - pred
+            pred = dc
+            cat = _category(diff)
+            code, ln = dc_enc[cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1,
+                       cat)
+    bw.flush()
+    out += bw.bytes
+
+    # scan 2: AC first, spectral 1-63 at Al=0, per-block EOB0
+    out += sos(1, 63, 0, 0)
+    bw = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = coefs[by, bx]
+            seq = [int(blk[_ZZ[k][0], _ZZ[k][1]]) for k in range(1, 64)]
+            last = -1
+            for k, v in enumerate(seq):
+                if v:
+                    last = k
+            run = 0
+            for k in range(last + 1):
+                v = seq[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_enc[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 62:
+                code, ln = ac_enc[0x00]      # EOB (run 1)
+                bw.put(code, ln)
+    bw.flush()
+    out += bw.bytes
+
+    # scan 3: DC refinement, the Al=0 bit per block
+    out += sos(0, 0, 1, 0)
+    bw = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            bw.put(int(coefs[by, bx, 0, 0]) & 1, 1)
+    bw.flush()
+    out += bw.bytes
+    return bytes(out + b"\xff\xd9")
