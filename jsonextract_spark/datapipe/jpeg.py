@@ -202,6 +202,9 @@ def parse_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
         m = data[pos + 1]
+        if m == 0xFF:                        # legal fill byte padding
+            pos += 1
+            continue
         pos += 2
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             continue
@@ -271,9 +274,11 @@ def parse_jpeg(data: bytes) -> np.ndarray:
         elif m == 0xDA:                      # SOS (one of possibly many)
             if st is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if not body:
+                raise ValueError("jpeg: empty SOS")
             ns = body[0]
-            if len(body) < 1 + 2 * ns + 3:
-                raise ValueError("jpeg: truncated SOS")
+            if not 1 <= ns <= 4 or len(body) < 1 + 2 * ns + 3:
+                raise ValueError("jpeg: bad SOS component count")
             scan = []
             for i in range(ns):
                 cs, tds = body[1 + 2 * i], body[2 + 2 * i]
@@ -314,7 +319,10 @@ def _init_state(sof):
         ch_ = (h * c["v"] + vmax - 1) // vmax
         c["nbx"] = (cw + 7) // 8
         c["nby"] = (ch_ + 7) // 8
-        c["coef"] = np.zeros((c["by"], c["bx"], 8, 8), np.int32)
+        # int64: DC predictors accumulate across up to ~2^20 blocks
+        # at |diff| <= 32767 — int32 would overflow with a numpy
+        # OverflowError that escapes the err channel
+        c["coef"] = np.zeros((c["by"], c["bx"], 8, 8), np.int64)
         c["pred"] = 0
         c["eobrun"] = 0
     return {"sof": sof, "hmax": hmax, "vmax": vmax,
@@ -347,6 +355,8 @@ def _decode_one_scan(data, pos, st, scan, huff_dc, huff_ac, ri,
         if len(order) != 1:
             raise ValueError(
                 "jpeg: progressive AC scan must be single-component")
+        if not 1 <= ss <= se <= 63:
+            raise ValueError("jpeg: bad spectral selection range")
         _scan_ac(br, order[0], huff_ac, ri, ss, se, ah, al)
     # resume the marker walk at the next marker after the entropy data
     p = br.pos
@@ -402,6 +412,9 @@ def _scan_blocks(br, st, order, huff_dc, huff_ac, ri, mode, ah, al):
                         if t is None:
                             raise ValueError("jpeg: missing DC table")
                         s = t.decode(br)
+                        if s > 15:               # hostile DHT value
+                            raise ValueError(
+                                "jpeg: bad DC size category")
                         c["pred"] += _extend(br.receive(s), s)
                         blk[0, 0] = c["pred"] << al
                     else:                    # DC refinement: one bit
@@ -415,6 +428,8 @@ def _block_baseline(br, c, blk, huff_dc, huff_ac):
     if dct is None or act is None:
         raise ValueError("jpeg: missing Huffman table")
     t = dct.decode(br)
+    if t > 15:                               # hostile DHT value
+        raise ValueError("jpeg: bad DC size category")
     c["pred"] += _extend(br.receive(t), t)
     blk[0, 0] = c["pred"]
     k = 1
@@ -536,12 +551,13 @@ def _reconstruct(st, qt):
         q = qt.get(c["tq"])
         if q is None:
             raise ValueError("jpeg: missing quant table")
-        plane = np.zeros((c["by"] * 8, c["bx"] * 8), np.float64)
-        for byi in range(c["by"]):
-            for bxi in range(c["bx"]):
-                coef = c["coef"][byi, bxi].astype(np.float64) * q
-                plane[byi * 8:byi * 8 + 8, bxi * 8:bxi * 8 + 8] = \
-                    _idct2(coef) + 128.0
+        # dequant + IDCT broadcast over the whole block array (the
+        # matmul maps over leading dims), then blocks tile into the
+        # plane — no per-block Python loop on the decode hot path
+        coefq = c["coef"].astype(np.float64) * q
+        blocks = _IDCT_C.T @ coefq @ _IDCT_C + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(
+            c["by"] * 8, c["bx"] * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
@@ -625,6 +641,47 @@ def _category(v):
     return n
 
 
+def _dht_segment(tc, th, bits, vals):
+    body = bytes([tc << 4 | th]) + bytes(bits[1:]) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _pad_plane(p, ph, pw, h, w):
+    """Edge-replicate ``p`` (h, w) to the MCU-padded (ph, pw)."""
+    pp = np.empty((ph, pw))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[-1:, :]
+    pp[:, w:] = pp[:, w - 1:w]
+    return pp
+
+
+def _put_ac_runlength(bw, seq, enc):
+    """Zigzag AC sequence -> run/size symbols + ZRL + trailing EOB
+    (the emission both encoders share)."""
+    last = -1
+    for k, v in enumerate(seq):
+        if v:
+            last = k
+    run = 0
+    for k in range(last + 1):
+        v = seq[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        sz = _category(v)
+        code, ln = enc[(run << 4) | sz]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << sz) - 1, sz)
+        run = 0
+    if last < len(seq) - 1:
+        code, ln = enc[0x00]
+        bw.put(code, ln)
+
+
 def encode_jpeg(img: np.ndarray, qtable: np.ndarray | None = None,
                 gray: bool = False, sampling: tuple = (1, 1),
                 restart_interval: int = 0) -> bytes:
@@ -652,14 +709,7 @@ def encode_jpeg(img: np.ndarray, qtable: np.ndarray | None = None,
     mh, mw = 8 * sv, 8 * sh_
     ph, pw = (h + mh - 1) // mh * mh, (w + mw - 1) // mw * mw
 
-    def pad(p):
-        pp = np.empty((ph, pw))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[-1:, :]
-        pp[:, w:] = pp[:, w - 1:w]
-        return pp
-
-    comps = [pad(p) for p in comps]
+    comps = [_pad_plane(p, ph, pw, h, w) for p in comps]
     if nc == 3 and (sv > 1 or sh_ > 1):
         def down(p):
             return p.reshape(ph // sv, sv, pw // sh_, sh_).mean(
@@ -675,15 +725,11 @@ def encode_jpeg(img: np.ndarray, qtable: np.ndarray | None = None,
         sof += bytes([i + 1, 0x11, 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
 
-    def dht(tc, th, bits, vals):
-        body = bytes([tc << 4 | th]) + bytes(bits[1:]) + bytes(vals)
-        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-
-    out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
-    out += dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
+    out += _dht_segment(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += _dht_segment(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
     if nc == 3:
-        out += dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
-        out += dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
+        out += _dht_segment(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+        out += _dht_segment(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc]) + bytes([1, 0x00])
@@ -709,29 +755,9 @@ def encode_jpeg(img: np.ndarray, qtable: np.ndarray | None = None,
         bw.put(code, ln)
         if cat:
             bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-        seq = [int(coef[_ZZ[k][0], _ZZ[k][1]]) for k in range(1, 64)]
-        last = -1
-        for k, v in enumerate(seq):
-            if v:
-                last = k
-        run = 0
-        for k in range(last + 1):
-            v = seq[k]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_enc[t][0xF0]
-                bw.put(code, ln)
-                run -= 16
-            s = _category(v)
-            code, ln = ac_enc[t][(run << 4) | s]
-            bw.put(code, ln)
-            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-            run = 0
-        if last < 62:
-            code, ln = ac_enc[t][0x00]
-            bw.put(code, ln)
+        _put_ac_runlength(
+            bw, [int(coef[_ZZ[k][0], _ZZ[k][1]]) for k in range(1, 64)],
+            ac_enc[t])
 
     n_mcux, n_mcuy = pw // mw, ph // mh
     for mi in range(n_mcux * n_mcuy):
@@ -772,10 +798,7 @@ def encode_jpeg_progressive_gray(img: np.ndarray,
     plane = np.asarray(img[..., 0] if img.ndim == 3 else img,
                        np.float64)
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    pp = np.empty((ph, pw))
-    pp[:h, :w] = plane
-    pp[h:, :w] = plane[-1:, :]
-    pp[:, w:] = pp[:, w - 1:w]
+    pp = _pad_plane(plane, ph, pw, h, w)
     nby, nbx = ph // 8, pw // 8
     coefs = np.zeros((nby, nbx, 8, 8), np.int64)
     for by in range(nby):
@@ -789,12 +812,8 @@ def encode_jpeg_progressive_gray(img: np.ndarray,
     sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
 
-    def dht(tc, th, bits, vals):
-        body = bytes([tc << 4 | th]) + bytes(bits[1:]) + bytes(vals)
-        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-
-    out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
-    out += dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
+    out += _dht_segment(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += _dht_segment(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
 
     def sos(ss, se, ah, al):
         body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
@@ -827,29 +846,10 @@ def encode_jpeg_progressive_gray(img: np.ndarray,
     for by in range(nby):
         for bx in range(nbx):
             blk = coefs[by, bx]
-            seq = [int(blk[_ZZ[k][0], _ZZ[k][1]]) for k in range(1, 64)]
-            last = -1
-            for k, v in enumerate(seq):
-                if v:
-                    last = k
-            run = 0
-            for k in range(last + 1):
-                v = seq[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_enc[0xF0]
-                    bw.put(code, ln)
-                    run -= 16
-                s = _category(v)
-                code, ln = ac_enc[(run << 4) | s]
-                bw.put(code, ln)
-                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 62:
-                code, ln = ac_enc[0x00]      # EOB (run 1)
-                bw.put(code, ln)
+            _put_ac_runlength(
+                bw,
+                [int(blk[_ZZ[k][0], _ZZ[k][1]]) for k in range(1, 64)],
+                ac_enc)
     bw.flush()
     out += bw.bytes
 

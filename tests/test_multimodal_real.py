@@ -534,3 +534,64 @@ def test_jpeg_rejections_err_not_crash():
             struct.pack(">BHHB", 8, 8, 8, 1),
             struct.pack(">BHHB", 8, 60000, 60000, 1))
         jpeg_mod.parse_jpeg(big)
+
+
+def test_jpeg_hostile_payloads_err_not_crash():
+    """Code-review late-r7: hostile/degenerate streams must stay in
+    the ValueError family (never IndexError/OverflowError, which
+    escape the stages' catch list and kill the Spark task): empty or
+    zero-component SOS, out-of-range spectral selection, hostile DC
+    size categories from a crafted DHT, and legal 0xFF fill-byte
+    padding must DECODE (T.81 B.1.1.2), not error."""
+    import numpy as np
+
+    q8 = np.full((8, 8), 8, np.int32)
+    good = jpeg_mod.encode_jpeg(np.full((8, 8), 55, np.uint8),
+                                qtable=q8, gray=True)
+
+    # empty SOS body / ns=0
+    sof_end = good.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="SOS"):
+        jpeg_mod.parse_jpeg(good[:sof_end] + b"\xff\xda"
+                            + struct.pack(">H", 2) + good[sof_end + 14:])
+    with pytest.raises(ValueError, match="SOS"):
+        jpeg_mod.parse_jpeg(
+            good[:sof_end] + b"\xff\xda" + struct.pack(">H", 6)
+            + bytes([0, 0, 63, 0]) + good[sof_end + 14:])
+
+    # progressive AC scan with Se > 63
+    prog = jpeg_mod.encode_jpeg_progressive_gray(
+        np.full((8, 8), 55, np.uint8), qtable=q8)
+    bad = prog.replace(bytes([1, 1, 0x00, 1, 63, 0x00]),
+                       bytes([1, 1, 0x00, 1, 200, 0x00]))
+    assert bad != prog
+    with pytest.raises(ValueError, match="spectral"):
+        jpeg_mod.parse_jpeg(bad)
+
+    # hostile DHT: DC table whose single (1-bit, code 0) value claims
+    # size category 100 — receive(100) would build a ~2^100 int and
+    # the int64 store would OverflowError without the guard
+    zz = bytes(int(q8[r, c]) for r, c in
+               jpeg_mod._ZZ)
+    dht_bad = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([100])
+    dht_ac = (bytes([0x10]) + bytes(jpeg_mod._AC_LUM_BITS[1:])
+              + bytes(jpeg_mod._AC_LUM_VALS))
+    hostile = (b"\xff\xd8"
+               + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz
+               + b"\xff\xc0" + struct.pack(">H", 11)
+               + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+               + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_bad))
+               + dht_bad
+               + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac))
+               + dht_ac
+               + b"\xff\xda" + struct.pack(">H", 8)
+               + bytes([1, 1, 0x00, 0, 63, 0])
+               + b"\x00" * 16 + b"\xff\xd9")
+    with pytest.raises(ValueError, match="DC size"):
+        jpeg_mod.parse_jpeg(hostile)
+
+    # legal 0xFF fill bytes before a marker must decode fine
+    dqt_at = good.index(b"\xff\xdb")
+    padded = good[:dqt_at] + b"\xff\xff\xff" + good[dqt_at:]
+    assert np.array_equal(jpeg_mod.parse_jpeg(padded),
+                          jpeg_mod.parse_jpeg(good))
