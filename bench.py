@@ -429,6 +429,63 @@ def bench_ann_ivf(spark) -> float:
     return time.time() - t0
 
 
+def bench_codec_decode(spark) -> tuple[float, float, int]:
+    """REAL image-codec decode throughput (late r7: the PNG + JPEG
+    decoders are from-scratch, so their cost deserves a published
+    number, not just correctness pins): N rows of 64x64 payloads —
+    half PNG (random RGB), half baseline JPEG (smooth gradient;
+    payloads built once on the driver and replicated, decode cost is
+    what's timed) — through the distributed decode_features real path
+    (mapInPandas over Arrow binary batches). Returns (sec, MB/sec of
+    payload bytes, rows)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jsonextract_spark.datapipe import codecs
+    from jsonextract_spark.datapipe import jpeg as jpeg_mod
+    from jsonextract_spark.datapipe.multimodal import (MEDIA_SCHEMA,
+                                                       decode_features)
+
+    rng = np.random.RandomState(20260817)
+    pngs = [codecs.encode_png(
+        rng.randint(0, 256, (64, 64, 3), np.uint8)) for _ in range(8)]
+    xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+    jpgs = [jpeg_mod.encode_jpeg(
+        ((xx * a + yy * b) % 256).astype(np.uint8), gray=True)
+        for a, b in [(3, 5), (2, 7), (1, 1), (4, 9),
+                     (5, 2), (6, 3), (7, 4), (8, 1)]]
+    n = max(int(40_000 * SF), 400)
+    ids = spark.range(n)
+
+    def gen(batches):
+        for pdf in batches:
+            out_ids = pdf["id"]
+            payloads, types = [], []
+            for i in out_ids:
+                if i % 2 == 0:
+                    payloads.append(pngs[(i // 2) % len(pngs)])
+                    types.append("image/png")
+                else:
+                    payloads.append(jpgs[(i // 2) % len(jpgs)])
+                    types.append("image/jpeg")
+            yield pd.DataFrame({
+                "doc_id": out_ids, "media_type": types,
+                "payload": payloads, "width": 64, "height": 64,
+                "n_frames": 1})
+
+    media = ids.mapInPandas(gen, MEDIA_SCHEMA).cache()
+    total_bytes = media.select(
+        F.sum(F.length("payload"))).collect()[0][0]
+    t0 = time.time()
+    n_ok = decode_features(media, decode_mode="real") \
+        .filter("ok").count()
+    dt = time.time() - t0
+    media.unpersist()
+    assert n_ok == n, (n_ok, n)
+    return dt, total_bytes / dt / 1e6, n
+
+
 _BPE_MERGES: list = []
 
 
@@ -722,6 +779,13 @@ def main():
                            calib=spark)
     results["q_bpe_encode"] = round(dt, 3)
     extra["bpe_encode_mb_per_sec"] = round(mb_s, 2)
+    dt, mb_s, n_imgs = _median_run(
+        lambda: bench_codec_decode(spark), key=lambda r: r[0],
+        name="q_codec_decode", calib=spark)
+    results["q_codec_decode"] = round(dt, 3)
+    extra["codec_decode"] = {"mb_per_sec": round(mb_s, 2),
+                             "images": n_imgs,
+                             "images_per_sec": round(n_imgs / dt, 1)}
     spark.stop()
     extra["query_samples"] = dict(QUERY_SAMPLES)
     extra["query_spread"] = {k: _rel_spread(v)
@@ -950,6 +1014,14 @@ normalized {(extra.get('crawl_compaction') or {}).get('round_normalized')}
 over {(extra.get('crawl_compaction') or {}).get('round_fetched')} URLs.
 The compaction round's delta over its flat neighbors, divided by
 COMPACT_EVERY (16 in production), is the per-round amortized cost.
+
+Image-codec decode (since r07): q_codec_decode runs
+{(extra.get('codec_decode') or {}).get('images')} 64x64 payloads
+(half PNG, half baseline JPEG — both decoders from-scratch) through
+the distributed decode_features real path:
+{(extra.get('codec_decode') or {}).get('images_per_sec')} images/sec,
+{(extra.get('codec_decode') or {}).get('mb_per_sec')} MB/sec of
+payload bytes at local[{CPUS}].
 
 Host-skew pop (since r07): q_pop_skew times the per-host top-k on a
 {(extra.get('pop_skew') or {}).get('rows')}-row frontier where ONE
