@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 N_PERM = 64          # minhash permutations
@@ -180,15 +180,48 @@ def minhash_bands(df: DataFrame, text_col: str, id_col: str,
     return bands
 
 
+MAX_DOCS_PER_BUCKET = 1000   # hot-bucket cap for the LSH self-joins
+
+
 def minhash_candidate_pairs(df: DataFrame, text_col: str,
                             id_col: str,
-                            bands: DataFrame | None = None) -> DataFrame:
+                            bands: DataFrame | None = None,
+                            max_docs_per_bucket: int | None =
+                            MAX_DOCS_PER_BUCKET,
+                            log_dropped: bool = False) -> DataFrame:
     """Distinct candidate pairs (a < b) colliding in ≥1 LSH band.
 
     ``bands`` lets callers pass a precomputed (cached) band table so the
-    signature UDF cost can be measured/shared separately."""
+    signature UDF cost can be measured/shared separately.
+
+    ``max_docs_per_bucket`` drops hot ``(band, band_hash)`` buckets
+    before the self-join — the same stop-gram cap as
+    :func:`ngram_jaccard_pairs`. On boilerplate-heavy corpora (cookie
+    banners, templated pages) one bucket can hold 10^5+ docs, and the
+    self-join inside it is quadratic: a single 100k-doc bucket emits
+    5·10^9 candidate rows before verify. A bucket past the cap is by
+    construction a cluster of near-identical docs, which exact dedup
+    (:func:`exact_dedup_keep_first`) already collapses upstream for
+    free; near-dup pairs that additionally differ enough to miss exact
+    dedup still collide in their other ``n_bands - 1`` bands, so only
+    pairs hot in EVERY band — pure boilerplate — lose recall. The
+    bucket-size count is a window over the SAME key the self-join
+    shuffles on, so both join inputs reuse one exchange (no extra
+    shuffle; plan shows a single Exchange + ReusedExchange).
+    ``log_dropped=True`` runs one extra count job and prints how many
+    buckets the cap removed. ``None`` disables the cap."""
     if bands is None:
         bands = minhash_bands(df, text_col, id_col)
+    if max_docs_per_bucket is not None:
+        w = Window.partitionBy("band", "band_hash")
+        sized = bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        if log_dropped:
+            n_hot = (sized.filter(F.col("_bsz") > max_docs_per_bucket)
+                     .select("band", "band_hash").distinct().count())
+            print(f"minhash_candidate_pairs: dropped {n_hot} hot "
+                  f"buckets (> {max_docs_per_bucket} docs)")
+        bands = (sized.filter(F.col("_bsz") <= max_docs_per_bucket)
+                 .drop("_bsz"))
     left = bands.alias("l")
     right = bands.alias("r")
     return (left.join(right,
@@ -247,7 +280,10 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3,
-                       n_blocks: int = 6) -> DataFrame:
+                       n_blocks: int = 6,
+                       max_docs_per_bucket: int | None =
+                       MAX_DOCS_PER_BUCKET,
+                       log_dropped: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash with combination blocking.
 
     Pigeonhole: a pair within hamming ``k`` differs in at most ``k`` of
@@ -262,6 +298,14 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
     next notch. Candidates are verified by exact hamming, so the output
     is identical under any valid blocking — only the candidate volume
     changes.
+
+    ``max_docs_per_bucket`` applies the same hot-bucket cap as
+    :func:`minhash_candidate_pairs` to each ``(combo_no, key)`` cell:
+    a corpus of near-identical boilerplate shares one simhash, so all
+    copies land in the same key in EVERY combo and the self-join is
+    quadratic. Capped cells are exact-dup clusters that upstream exact
+    dedup collapses; the exact-hamming verify keeps the output a pure
+    subset either way.
     """
     from itertools import combinations
 
@@ -285,6 +329,16 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
                                    n_blocks - max_hamming))]
     keyed = sh.select("id", "sh", F.posexplode(F.array(*keys))
                       .alias("combo_no", "key"))
+    if max_docs_per_bucket is not None:
+        w = Window.partitionBy("combo_no", "key")
+        sized = keyed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        if log_dropped:
+            n_hot = (sized.filter(F.col("_bsz") > max_docs_per_bucket)
+                     .select("combo_no", "key").distinct().count())
+            print(f"simhash_candidates: dropped {n_hot} hot cells "
+                  f"(> {max_docs_per_bucket} docs)")
+        keyed = (sized.filter(F.col("_bsz") <= max_docs_per_bucket)
+                 .drop("_bsz"))
     l, r = keyed.alias("l"), keyed.alias("r")
     cand = (l.join(r, (F.col("l.combo_no") == F.col("r.combo_no")) &
                       (F.col("l.key") == F.col("r.key")) &

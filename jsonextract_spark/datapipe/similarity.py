@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from jsonextract_spark.crawl.scheduler import salted_top_k_per_group
@@ -220,10 +220,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .withColumnRenamed("rank_in_group", "rank"))
 
 
+MAX_DOCS_PER_BUCKET = 1000   # hot-bucket cap for the LSH self-join
+
+
 def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.999,
-                        n_tables: int = N_TABLES) -> DataFrame:
+                        n_tables: int = N_TABLES,
+                        max_docs_per_bucket: int | None =
+                        MAX_DOCS_PER_BUCKET,
+                        log_dropped: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
     path — never all-pairs).
 
@@ -234,6 +240,18 @@ def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     per-table collision probability is ``(1 - acos(c)/pi)^n_planes``
     (~0.80 at c=0.999 with 16 planes), OR-amplified to ~0.998 over 4
     tables. Returns (a, b, cos) with a < b and cos >= threshold.
+
+    ``max_docs_per_bucket`` drops hot ``(table, bucket)`` cells before
+    the self-join (same cap as ``dedup.minhash_candidate_pairs``):
+    embedding corpora cluster — 10^5 near-identical embeddings of
+    boilerplate pages share a cell in every table, and the self-join
+    inside one such cell is quadratic (5·10^9 candidates from a single
+    100k cell). Capped cells are dense duplicate clusters that exact
+    dedup upstream collapses; pairs merely NEAR the cluster still
+    collide in the other ``n_tables - 1`` tables. The size count is a
+    window over the join key itself, so the filter rides the join's own
+    exchange. ``log_dropped=True`` prints how many cells were dropped;
+    ``None`` disables.
     """
     sig = make_signature_udf(n_tables=n_tables)
     e = (df.select(F.col(id_col).alias("id"),
@@ -241,6 +259,15 @@ def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
            .withColumn("sigs", sig(F.col("v")))
            .select("id", "v",
                    F.posexplode("sigs").alias("table", "bucket")))
+    if max_docs_per_bucket is not None:
+        w = Window.partitionBy("table", "bucket")
+        sized = e.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        if log_dropped:
+            n_hot = (sized.filter(F.col("_bsz") > max_docs_per_bucket)
+                     .select("table", "bucket").distinct().count())
+            print(f"embedding_dup_pairs: dropped {n_hot} hot cells "
+                  f"(> {max_docs_per_bucket} docs)")
+        e = sized.filter(F.col("_bsz") <= max_docs_per_bucket).drop("_bsz")
     left, right = e.alias("l"), e.alias("r")
     cand = (left.join(right,
                       (F.col("l.table") == F.col("r.table")) &

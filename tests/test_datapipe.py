@@ -507,3 +507,87 @@ def test_bpe_distributed_trainer_matches_driver_golden(spark, sf_dir):
     assert capped == learn_merges_distributed(df, "text", n_merges=50,
                                               max_words=500)
     assert len(capped) > 0
+
+
+def _boiler_corpus(spark):
+    """40 identical boilerplate docs + one distinct near-dup pair.
+
+    Every boilerplate doc shares every LSH bucket, so each band bucket
+    holds 40 docs — past a cap of 10 — while the planted (200, 201)
+    pair lives in its own small buckets."""
+    boiler = ("accept all cookies to continue this site uses cookies "
+              "for analytics and advertising purposes read policy") * 3
+    # long enough that one added token stays within simhash hamming 3
+    other = ("reinforced concrete bridges require periodic inspection "
+             "for fatigue cracks along the weld seams every season ") * 3
+    rows = [(i, boiler) for i in range(40)]
+    rows += [(200, other), (201, other + " tiny tail")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_cap(spark):
+    from jsonextract_spark.datapipe.dedup import (minhash_candidate_pairs,
+                                                  minhash_dedup_pairs)
+
+    df = _boiler_corpus(spark)
+    uncapped = minhash_candidate_pairs(df, "text", "doc_id",
+                                       max_docs_per_bucket=None)
+    capped = minhash_candidate_pairs(df, "text", "doc_id",
+                                     max_docs_per_bucket=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    # 40 identical docs -> C(40,2)=780 quadratic pairs without the cap
+    assert n_un >= 780
+    # cap removes the hot cluster but keeps the small-bucket pair
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert got == {(200, 201)}
+    assert n_cap == 1
+
+    # default cap (1000) is a no-op on the regular corpus: byte-equal
+    # result sets with cap disabled
+    reg = _corpus(spark)
+    a = sorted(map(tuple, minhash_dedup_pairs(
+        reg, "text", "doc_id", threshold=0.7).collect()))
+    b = sorted(map(tuple, minhash_dedup_pairs(
+        reg, "text", "doc_id", threshold=0.7,
+        pairs=minhash_candidate_pairs(
+            reg, "text", "doc_id", max_docs_per_bucket=None)).collect()))
+    assert a == b
+
+    # scale contract: the bucket-size window rides the self-join's own
+    # exchange — exactly one Exchange materializes the band table, the
+    # other join input reuses it
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_simhash_hot_bucket_cap(spark):
+    from jsonextract_spark.datapipe.dedup import simhash_candidates
+
+    df = _boiler_corpus(spark)
+    uncapped = simhash_candidates(df, "text", "doc_id",
+                                  max_docs_per_bucket=None)
+    capped = simhash_candidates(df, "text", "doc_id",
+                                max_docs_per_bucket=10)
+    assert uncapped.count() >= 780
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert got == {(200, 201)}
+
+
+def test_embedding_dup_hot_bucket_cap(spark):
+    from jsonextract_spark.datapipe.similarity import embedding_dup_pairs
+
+    rng = np.random.default_rng(11)
+    shared = rng.standard_normal(32)
+    other = rng.standard_normal(32)
+    rows = [(i, [float(x) for x in shared]) for i in range(40)]
+    rows += [(200, [float(x) for x in other]),
+             (201, [float(x) for x in other])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = embedding_dup_pairs(df, max_docs_per_bucket=None)
+    capped = embedding_dup_pairs(df, max_docs_per_bucket=10)
+    assert uncapped.count() >= 781   # C(40,2) cluster + the pair
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert got == {(200, 201)}
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
