@@ -221,9 +221,22 @@ def _drop_uncommitted_round_state(wh: Warehouse, round_no: int):
     same-shape write. Compaction checkpoints get the same treatment at
     their own write sites (``_drop_stale_compact``), and
     ``schedule_recrawl`` runs both cleanups before committing its
-    maintenance round."""
+    maintenance round.
+
+    Guard: this deletes the round's ``fetched`` ledger rows, so it
+    refuses to run on a round the ledger already shows COMMITTED — a
+    caller holding a stale round number (e.g. ``schedule_recrawl``
+    with an out-of-date ``after_round``) would otherwise silently
+    erase a committed round's replay removals, re-opening
+    already-crawled URLs in every later round's frontier."""
     import shutil
 
+    committed = {r["round"] for r in wh.ledger()["rounds"]
+                 if r.get("status") == "committed"}
+    if round_no in committed:
+        raise ValueError(
+            f"refusing to drop state for round {round_no}: the ledger "
+            f"shows it committed (stale round number at the call site?)")
     for table in ("frontier", "frontier_delta", "host_stats_delta",
                   "fetched"):
         if wh.exists(table, round_no):
@@ -325,12 +338,18 @@ BROADCAST_MAX_EST_ROWS = 4_000_000
 
 def _parquet_rows(paths) -> int:
     """Total row count across parquet files/dirs from FOOTER metadata
-    only — no data pages are read. O(#files) driver-side footer reads,
-    the same cost class as the file listing Spark itself performs on
-    these paths; on object storage each footer is one ranged GET."""
+    only — no data pages are read. O(#files) driver-side footer reads
+    via the local filesystem (``os.walk``); the ledger-first estimates
+    are the primary path and this is their legacy-warehouse fallback.
+    A path that lists NO parquet files — missing, empty, or a
+    non-local URI this walker can't see — is treated exactly like an
+    unreadable footer (unbounded), because "found nothing" must drop
+    the broadcast hint, not prove the table small and force a
+    broadcast of a table whose true size is unknown."""
     import pyarrow.parquet as pq
 
     total = 0
+    found_any = False
     for p in paths:
         if os.path.isfile(p):
             files = [p]
@@ -339,12 +358,15 @@ def _parquet_rows(paths) -> int:
                      for root, _, fs in os.walk(p)
                      for f in fs if f.endswith(".parquet")]
         for f in files:
+            found_any = True
             try:
                 total += pq.ParquetFile(f).metadata.num_rows
             except Exception:
                 # unreadable footer → treat as unbounded: the only
                 # consequence is a dropped hint, which AQE recovers
                 return BROADCAST_MAX_EST_ROWS + 1
+    if not found_any:
+        return BROADCAST_MAX_EST_ROWS + 1
     return total
 
 

@@ -38,7 +38,17 @@ import struct
 
 import numpy as np
 
-JPEG_MAX_PIXELS = 1 << 26          # same allocation cap as PNG
+JPEG_MAX_PIXELS = 1 << 26          # cheap first gate (pixel count)
+# Byte budget on ESTIMATED PEAK allocation, checked at SOF before any
+# array is created. The pixel cap alone is not enough here: unlike
+# PNG's uint8 planes, the coefficient store costs 8 bytes per pixel
+# per component (int64) and reconstruction adds float64 copies of the
+# same size, so a ~100-byte hostile stream declaring 8192x8192x3 would
+# allocate ~1.6 GB at SOF and peak near 5 GB at EOI — a MemoryError
+# that escapes the per-row err channel and can OOM executors running
+# parallel decode tasks. Estimated peak = 3x the coefficient bytes
+# (coef int64 + float64 IDCT copy + upsampled/clipped planes).
+JPEG_MAX_ALLOC_BYTES = 1 << 28     # 256 MiB peak, same order as PNG's
 
 # zigzag order: scan index -> (row, col)
 _ZZ = [
@@ -319,6 +329,13 @@ def _init_state(sof):
         ch_ = (h * c["v"] + vmax - 1) // vmax
         c["nbx"] = (cw + 7) // 8
         c["nby"] = (ch_ + 7) // 8
+    coef_bytes = sum(c["by"] * c["bx"] * 64 * 8 for c in comps)
+    if 3 * coef_bytes > JPEG_MAX_ALLOC_BYTES:
+        raise ValueError(
+            f"jpeg: {w}x{h}x{len(comps)} estimated peak allocation "
+            f"{3 * coef_bytes} exceeds the byte budget "
+            f"({JPEG_MAX_ALLOC_BYTES})")
+    for c in comps:
         # int64: DC predictors accumulate across up to ~2^20 blocks
         # at |diff| <= 32767 — int32 would overflow with a numpy
         # OverflowError that escapes the err channel

@@ -1822,3 +1822,39 @@ def test_ledger_event_estimate_matches_footer_truth(spark, tmp_path):
     # the frontier bound is an upper bound on the actual pending rows
     pending = P.load_frontier(spark, wh, last).count()
     assert P._est_frontier_upper(wh) >= pending
+
+
+def test_parquet_rows_empty_listing_is_unbounded(tmp_path):
+    """ADVICE r8: a path listing NO parquet files (missing dir, or a
+    non-local URI os.walk can't see) must estimate UNBOUNDED — "found
+    nothing" dropping the broadcast hint is safe (AQE recovers), while
+    returning 0 would force-broadcast a table of unknown true size,
+    the exact OOM the estimate exists to prevent."""
+    from jsonextract_spark.crawl import pipeline as P
+
+    assert P._parquet_rows([str(tmp_path / "missing")]) \
+        > P.BROADCAST_MAX_EST_ROWS
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert P._parquet_rows([str(empty)]) > P.BROADCAST_MAX_EST_ROWS
+    # a dir with a real parquet file still counts exactly
+    import pyarrow as pa, pyarrow.parquet as pq
+    pq.write_table(pa.table({"x": [1, 2, 3]}),
+                   str(empty / "part-0.parquet"))
+    assert P._parquet_rows([str(empty)]) == 3
+
+
+def test_drop_uncommitted_refuses_committed_round(tmp_path):
+    """ADVICE r8: _drop_uncommitted_round_state deletes the round's
+    `fetched` ledger rows, so a stale round number pointing at a
+    COMMITTED round must raise instead of silently erasing replay
+    removals (which would re-open already-crawled URLs)."""
+    from jsonextract_spark.crawl import pipeline as P
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.commit_round(3, {"batch": 10})
+    with pytest.raises(ValueError, match="committed"):
+        P._drop_uncommitted_round_state(wh, 3)
+    # uncommitted rounds still clean fine (no-op on empty warehouse)
+    P._drop_uncommitted_round_state(wh, 4)

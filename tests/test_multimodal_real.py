@@ -595,3 +595,31 @@ def test_jpeg_hostile_payloads_err_not_crash():
     padded = good[:dqt_at] + b"\xff\xff\xff" + good[dqt_at:]
     assert np.array_equal(jpeg_mod.parse_jpeg(padded),
                           jpeg_mod.parse_jpeg(good))
+
+
+def test_jpeg_allocation_byte_budget():
+    """ADVICE r8: the pixel cap bounds pixels but not BYTES — int64
+    coefficient stores cost 8 B/px/component, so a ~100-byte stream
+    declaring 8192x8192x3 (within the 2^26 pixel cap at 64M px? no —
+    but 4096x4096x3 is) would still allocate GBs. The SOF byte-budget
+    check must reject it as ValueError BEFORE any array exists."""
+    import numpy as np
+
+    # 4096 x 4096 x 3 @ 4:2:0 = 16.7M px (< 2^26 pixel cap) but
+    # coef bytes = (1 + .25 + .25) * 16.7M * 8 * 3x overhead ≈ 600 MB
+    zz = bytes(64)
+    sof = (struct.pack(">BHHB", 8, 4096, 4096, 3)
+           + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    hostile = (b"\xff\xd8"
+               + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz
+               + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+               + b"\xff\xd9")
+    with pytest.raises(ValueError, match="byte budget"):
+        jpeg_mod.parse_jpeg(hostile)
+
+    # small real images still decode
+    q8 = np.full((8, 8), 8, np.int32)
+    img = np.full((16, 16), 99, np.uint8)
+    out = jpeg_mod.parse_jpeg(jpeg_mod.encode_jpeg(img, qtable=q8,
+                                                   gray=True))
+    assert np.array_equal(out[:, :, 0], img)
