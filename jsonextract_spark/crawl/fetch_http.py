@@ -20,6 +20,8 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 
+from jsonextract_spark.crawl.scheduler import DEFAULT_POLITENESS_FLOOR_SEC
+
 FETCH_HTTP_SCHEMA = ("url string, status int, fetched_ts double,"
                      " html binary, text string, err string")
 
@@ -488,7 +490,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                               max_bytes: int = 4 << 20,
                               respect_robots: bool = True,
                               user_agent: str | None = None,
-                              default_delay_sec: float = 1.0,
+                              default_delay_sec: float = DEFAULT_POLITENESS_FLOOR_SEC,
                               hot_hosts=None):
     """Compose the real HTTP fetcher with extraction + link discovery
     into the pipeline's fused kernel shape (synth.FETCH_EXTRACT_SCHEMA),
@@ -512,8 +514,10 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
     ``run_crawl(robots_provider=make_robots_provider())`` so the
     scheduler's host-level gate uses real robots too.
 
-    ``default_delay_sec`` (default 1s — a crawler must be polite even
-    to hosts that don't ask) is the per-host pacing FLOOR applied when
+    ``default_delay_sec`` (default
+    ``scheduler.DEFAULT_POLITENESS_FLOOR_SEC`` — the ONE shared floor
+    constant; a crawler must be polite even to hosts that don't ask)
+    is the per-host pacing FLOOR applied when
     robots.txt is silent about rate; an explicit Crawl-delay /
     Request-rate ask always wins, and hosts in ``hot_hosts`` (an
     operator-marked collection with clearance for full-rate fetching)
@@ -616,7 +620,7 @@ def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
                  max_bytes: int = 4 << 20,
                  respect_robots: bool = True,
                  user_agent: str | None = None,
-                 default_delay_sec: float = 1.0,
+                 default_delay_sec: float = DEFAULT_POLITENESS_FLOOR_SEC,
                  hot_hosts=None):
     """Build the mapInPandas kernel. ``delay_sec`` spaces requests inside
     a task (politeness within the host bucket). ``respect_robots``

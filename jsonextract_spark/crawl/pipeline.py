@@ -24,7 +24,8 @@ from pyspark.sql import (DataFrame, Observation, SparkSession,
 
 from jsonextract_spark.crawl import seen as seen_mod
 from jsonextract_spark.crawl import synth
-from jsonextract_spark.crawl.scheduler import pop_batch, priority_of
+from jsonextract_spark.crawl.scheduler import (
+    DEFAULT_POLITENESS_FLOOR_SEC, pop_batch, priority_of)
 from jsonextract_spark.crawl.tables import Warehouse
 from jsonextract_spark.functions.udfs import url_identity_udf
 
@@ -659,6 +660,26 @@ def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
                         "filter_kind": filter_kind})
 
 
+def _resolve_politeness(fetch_kernel, default_delay_sec, hot_hosts):
+    """Resolve the effective politeness floor + hot-host set for a
+    round. Explicit arguments win; otherwise the kernel's advertised
+    attributes; a custom kernel that advertises nothing gets the ONE
+    shared ``scheduler.DEFAULT_POLITENESS_FLOOR_SEC`` (polite by
+    default — a previously-split 0.0-here/1.0-in-kernels default was
+    a foot-gun for custom kernels). The synthetic no-network corpus
+    (``fetch_kernel=None``) is the only zero-floor path."""
+    if default_delay_sec is None:
+        if fetch_kernel is None:
+            default_delay_sec = 0.0
+        else:
+            adv = getattr(fetch_kernel, "default_delay_sec", None)
+            default_delay_sec = (DEFAULT_POLITENESS_FLOOR_SEC
+                                 if adv is None else adv)
+    if hot_hosts is None:
+        hot_hosts = getattr(fetch_kernel, "hot_hosts", None)
+    return default_delay_sec, hot_hosts
+
+
 def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
               host_budget: int = DEFAULT_HOST_BUDGET,
               batch_size: int = DEFAULT_BATCH_SIZE,
@@ -718,17 +739,15 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     #    salted per-host top-k + global cap). ``default_delay_sec`` is
     #    the politeness floor for hosts whose robots.txt is silent
     #    about rate; ``hot_hosts`` opt out of the floor. Left unset,
-    #    both INHERIT the fetch kernel's advertised config (the HTTP
-    #    kernels default to a 1s floor) so the scheduler's routing and
-    #    gating always agree with the kernel's pacer; the synthetic
-    #    kernel advertises nothing (floor 0 — no network to be polite
-    #    to, and a floor would empty consecutive rounds at bench
-    #    cadence).
-    if default_delay_sec is None:
-        default_delay_sec = getattr(fetch_kernel, "default_delay_sec",
-                                    0.0) or 0.0
-    if hot_hosts is None:
-        hot_hosts = getattr(fetch_kernel, "hot_hosts", None)
+    #    both INHERIT the fetch kernel's advertised config so the
+    #    scheduler's routing and gating always agree with the kernel's
+    #    pacer. A custom kernel that advertises nothing gets the
+    #    shared DEFAULT_POLITENESS_FLOOR_SEC (polite by default) —
+    #    only the synthetic no-network corpus (fetch_kernel=None) pins
+    #    floor 0, where a floor would empty consecutive rounds at
+    #    bench cadence with nothing to be polite to.
+    default_delay_sec, hot_hosts = _resolve_politeness(
+        fetch_kernel, default_delay_sec, hot_hosts)
     # Broadcast the pop's aux tables only when ledger-derived row
     # bounds PROVE them small (see BROADCAST_MAX_EST_ROWS): host_stats
     # grows with hosts-ever-crawled, the robots table with the
@@ -1065,8 +1084,10 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
     Left at None, BOTH inherit the fetch kernel's advertised config
     (``make_fetch_extract_kernel`` attaches its floor/hot-host values
     to the kernel it returns), so the scheduler and the kernel's pacer
-    can't silently disagree; the synthetic kernel advertises nothing
-    (floor 0)."""
+    can't silently disagree; a custom kernel that advertises nothing
+    gets ``scheduler.DEFAULT_POLITENESS_FLOOR_SEC``, and only the
+    synthetic no-network corpus runs with floor 0 (see
+    ``_resolve_politeness``)."""
     wh = Warehouse(warehouse)
     if not resume:
         wh.destroy()
@@ -1132,8 +1153,9 @@ def main():
     ap.add_argument("--default-delay-sec", type=float, default=None,
                     help="politeness floor for hosts whose robots.txt "
                          "is silent about rate (default: inherit the "
-                         "fetch kernel's advertised value; the "
-                         "synthetic kernel has none -> 0)")
+                         "fetch kernel's advertised value; a "
+                         "kernel advertising nothing gets the shared "
+                         "1s floor; synthetic corpus -> 0)")
     ap.add_argument("--hot-host", action="append", default=None,
                     help="host with operator clearance for full-rate "
                          "salted fetching (repeatable)")

@@ -32,6 +32,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 SALT_PARTS = 16
 
+# THE politeness floor for live crawling, shared by every layer that
+# gates or paces per-host traffic (scheduler eligibility gate, pop
+# cap, salting exemption, kernel pacer): hosts whose robots.txt is
+# silent about rate are hit at most once per this many seconds. HTTP
+# kernels advertise it on the returned callable and run_round inherits
+# it so the three layers can never disagree; a CUSTOM kernel that
+# advertises nothing also gets this value (polite by default). The
+# only zero-floor path is the synthetic no-network corpus
+# (fetch_kernel=None), where run_round pins 0.0 explicitly.
+DEFAULT_POLITENESS_FLOOR_SEC = 1.0
+
 
 def _two_phase_salted_top_k(df: DataFrame, group_cols: list[str],
                             order_cols: list, k: int,

@@ -1858,3 +1858,33 @@ def test_drop_uncommitted_refuses_committed_round(tmp_path):
         P._drop_uncommitted_round_state(wh, 3)
     # uncommitted rounds still clean fine (no-op on empty warehouse)
     P._drop_uncommitted_round_state(wh, 4)
+
+
+def test_politeness_floor_default_resolution():
+    """r8 ask 7: ONE shared floor constant. A custom kernel that
+    advertises nothing gets scheduler.DEFAULT_POLITENESS_FLOOR_SEC
+    (polite by default); HTTP kernels advertise that same constant;
+    only the synthetic no-network path (fetch_kernel=None) is 0."""
+    from jsonextract_spark.crawl import pipeline as P
+    from jsonextract_spark.crawl.scheduler import (
+        DEFAULT_POLITENESS_FLOOR_SEC)
+
+    def bare_kernel(batches):   # advertises nothing
+        yield from batches
+
+    d, h = P._resolve_politeness(bare_kernel, None, None)
+    assert d == DEFAULT_POLITENESS_FLOOR_SEC == 1.0
+    assert h is None
+    # synthetic corpus: zero floor
+    assert P._resolve_politeness(None, None, None)[0] == 0.0
+    # explicit argument always wins
+    assert P._resolve_politeness(bare_kernel, 2.5, None)[0] == 2.5
+    # an advertised 0.0 is respected (not clobbered by the floor)
+    bare_kernel.default_delay_sec = 0.0
+    bare_kernel.hot_hosts = {"h1.example"}
+    d, h = P._resolve_politeness(bare_kernel, None, None)
+    assert d == 0.0 and h == {"h1.example"}
+    # HTTP kernels advertise the shared constant
+    from jsonextract_spark.crawl import fetch_http as FH
+    k = FH.make_fetch_extract_kernel()
+    assert k.default_delay_sec == DEFAULT_POLITENESS_FLOOR_SEC
