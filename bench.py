@@ -359,6 +359,47 @@ def _dedup_corpus(spark, n_pages: int):
     return base.unionByName(dup).unionByName(near)
 
 
+def bench_dedup_skew(spark, n_pages: int) -> dict:
+    """Boilerplate-skew minhash (r8): one template owns 25% of the
+    corpus (think cookie-banner pages), so every one of its LSH band
+    buckets holds that whole cluster and the band self-join inside it
+    is quadratic. Times the CAPPED pipeline (the default,
+    max_docs_per_bucket=1000 < cluster size here) against the
+    uncapped counterfactual, publishing both candidate counts — the
+    cap should hold candidates near the honest-corpus level while the
+    uncapped join pays ~C(cluster,2) x n_bands rows."""
+    from pyspark.sql import functions as F
+
+    from jsonextract_spark.datapipe.dedup import minhash_candidate_pairs
+
+    n = min(n_pages, 8000)
+    # cluster must exceed the (inclusive) default cap even when a
+    # small-sf bench shrinks n
+    boiler_n = max(n // 4, 1500)
+    boiler = ("accept all cookies to continue this site uses cookies "
+              "for analytics and advertising purposes read policy "
+              "terms privacy contact about careers help center " * 3)
+    base = _dedup_corpus(spark, n - boiler_n)
+    hot = (spark.range(boiler_n)
+           .select(F.concat(F.lit("boiler://"), "id").alias("url"),
+                   F.lit(boiler).alias("text")))
+    pages = base.unionByName(hot).cache()
+    pages.count()
+    t0 = time.time()
+    n_capped = minhash_candidate_pairs(pages, "text", "url").count()
+    t_cap = time.time() - t0
+    t0 = time.time()
+    n_uncapped = minhash_candidate_pairs(
+        pages, "text", "url", max_docs_per_bucket=None).count()
+    t_uncap = time.time() - t0
+    pages.unpersist()
+    return {"capped_sec": round(t_cap, 3),
+            "uncapped_sec": round(t_uncap, 3),
+            "capped_candidates": n_capped,
+            "uncapped_candidates": n_uncapped,
+            "boiler_docs": boiler_n, "rows": n}
+
+
 def bench_dedup(spark, n_pages: int) -> tuple[float, dict]:
     """MinHash near-dup with a per-stage split (signature UDF vs band
     self-join vs exact-Jaccard verify), so optimization targets the real
@@ -767,6 +808,9 @@ def main():
     results["q_dedup_simhash"] = round(_median_run(
         lambda: bench_simhash(spark, N_PAGES),
         name="q_dedup_simhash", calib=spark), 3)
+    skew_dedup = bench_dedup_skew(spark, N_PAGES)
+    results["q_dedup_skew"] = skew_dedup["capped_sec"]
+    extra["dedup_skew"] = skew_dedup
     results["q_ann"] = round(_median_run(lambda: bench_ann(spark),
                                          name="q_ann", calib=spark), 3)
     results["q_ann_ivf"] = round(_median_run(
@@ -1059,6 +1103,18 @@ the distributed decode_features real path:
 {(extra.get('codec_decode') or {}).get('images_per_sec')} images/sec,
 {(extra.get('codec_decode') or {}).get('mb_per_sec')} MB/sec of
 payload bytes at local[{CPUS}].
+
+Boilerplate-skew dedup (since r08): q_dedup_skew gives ONE template
+25% of a {(extra.get('dedup_skew') or {}).get('rows')}-row corpus
+({(extra.get('dedup_skew') or {}).get('boiler_docs')} identical docs)
+— the default hot-bucket cap holds the band self-join at
+{(extra.get('dedup_skew') or {}).get('capped_candidates')} candidates
+in {(extra.get('dedup_skew') or {}).get('capped_sec')}s, vs the
+uncapped counterfactual's
+{(extra.get('dedup_skew') or {}).get('uncapped_candidates')}
+candidates in {(extra.get('dedup_skew') or {}).get('uncapped_sec')}s
+(quadratic in the cluster: ~C(cluster,2) pairs survive .distinct()
+no matter how many bands emit them).
 
 Host-skew pop (since r07): q_pop_skew times the per-host top-k on a
 {(extra.get('pop_skew') or {}).get('rows')}-row frontier where ONE
