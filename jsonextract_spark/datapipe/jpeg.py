@@ -26,10 +26,17 @@ roundtrip tests; flat blocks with a divisor-friendly quant table
 quantize losslessly, which is what makes exact closed-form oracles
 possible (q_jpeg_real).
 
-Performance note: the entropy decode is a per-bit Python loop —
-fine for the pipeline's thumbnails/test payloads; megapixel photos
-decode in seconds, not milliseconds. The vectorizable stages
-(dequant, IDCT, upsample, color convert) are numpy.
+Performance note (r8): entropy decode is a per-SYMBOL Python loop —
+a 2^16 Huffman LUT over 16-bit peeks of a destuffed segment, with the
+baseline hot path fully inlined (``_scan_blocks_baseline_fast``).
+That is ~3x the previous per-bit tree walk on entropy-dense streams
+and leaves realistic (sparse-AC) megapixel photos bound by the numpy
+reconstruction (~0.35s/MP), with worst-case noise streams at
+~1.5-2.5s/MP — the remaining floor is ~15 Python bytecodes per
+coefficient, which only a C extension would remove. The distributed
+decode path amortizes this across executor cores (one image per row;
+see bench q_codec_decode / q_codec_decode_mp), which is the real
+throughput lever for a crawl corpus of many small-to-mid images.
 """
 
 from __future__ import annotations
@@ -118,70 +125,114 @@ def _idct2(coef: np.ndarray) -> np.ndarray:
 
 
 class _Huff:
-    """Canonical Huffman decode table from DHT (bits, vals)."""
+    """Canonical Huffman decode table from DHT (bits, vals), compiled
+    to a 2^16-entry flat LUT: every table entry whose index starts
+    with a code's bit pattern maps to ``(symbol << 5) | code_length``
+    (0 = invalid prefix). One 16-bit peek + one indexed load decodes a
+    whole symbol — the per-BIT tree walk this replaced (r8) was the
+    decoder's bottleneck (one Python dict probe per bit, ~8 per
+    symbol; megapixel images cost seconds in that loop alone)."""
 
     def __init__(self, bits, vals):
-        self.lut = {}
+        self.lut16 = np.zeros(1 << 16, np.int32)
         code = k = 0
         for ln in range(1, 17):
             for _ in range(bits[ln]):
-                self.lut[(ln, code)] = vals[k]
+                base = code << (16 - ln)
+                # hostile DHTs can overflow the canonical code space;
+                # numpy slicing clamps, leaving the range invalid (0)
+                self.lut16[base: base + (1 << (16 - ln))] = \
+                    (vals[k] << 5) | ln
                 code += 1
                 k += 1
             code <<= 1
+        # list mirror: Python-int indexing for the inlined fast path
+        # (a numpy scalar load + int() costs ~10x a list index)
+        self.lut16_l = self.lut16.tolist()
 
     def decode(self, br):
-        code = ln = 0
-        while ln < 16:
-            code = (code << 1) | br.bit()
-            ln += 1
-            v = self.lut.get((ln, code))
-            if v is not None:
-                return v
-        raise ValueError("jpeg: invalid Huffman code")
+        v = int(self.lut16[br.peek16()])
+        if v == 0:
+            raise ValueError("jpeg: invalid Huffman code")
+        br.skip(v & 31)
+        return v >> 5
 
 
 class _BitReader:
-    """Entropy-coded segment reader: 0xFF00 unstuffing; a bare marker
-    mid-stream is an error (strict: many decoders zero-pad instead)."""
+    """Entropy-coded segment reader. The segment up to the next real
+    marker (0xFF followed by non-0x00) is destuffed ONCE with a
+    C-speed bytes.replace, then a per-byte uint32 window array serves
+    16-bit peeks and n-bit receives in O(1) Python ops each — versus
+    the per-bit byte-feed loop this replaced (r8). A marker
+    interrupting entropy data simply terminates the segment, so a
+    read past its bits reports a truncated stream (same ValueError
+    family the err channel catches). ``pos`` always holds the
+    original-stream offset of the marker that ends the current
+    segment — the scan loop resumes its marker walk there."""
 
     def __init__(self, data, pos):
         self.d = data
-        self.pos = pos
-        self.cur = 0
-        self.nbits = 0
+        self._load_segment(pos)
+
+    def _load_segment(self, pos):
+        d = self.d
+        i = pos
+        while True:
+            j = d.find(b"\xff", i)
+            if j < 0:
+                end = len(d)
+                break
+            if j + 1 >= len(d) or d[j + 1] != 0x00:
+                end = j          # real marker (or lone trailing 0xFF)
+                break
+            i = j + 2            # stuffed 0xFF00: data byte, keep going
+        seg = d[pos:end].replace(b"\xff\x00", b"\xff")
+        buf = np.frombuffer(seg + b"\x00\x00\x00", np.uint8)
+        u = buf.astype(np.uint32)
+        # w32[i] = big-endian 32-bit window starting at byte i (zero
+        # padded past the end so peeks near the tail stay in bounds;
+        # CONSUMING padded bits still raises via the total_bits check)
+        self.w32 = (u[:-3] << 24) | (u[1:-2] << 16) | (u[2:-1] << 8) \
+            | u[3:]
+        self.total_bits = 8 * len(seg)
+        self.p = 0
+        self.pos = end
+
+    def peek16(self):
+        p = self.p
+        return (int(self.w32[p >> 3]) >> (16 - (p & 7))) & 0xFFFF
+
+    def skip(self, n):
+        p = self.p + n
+        if p > self.total_bits:
+            raise ValueError("jpeg: truncated entropy stream")
+        self.p = p
 
     def bit(self):
-        if self.nbits == 0:
-            if self.pos >= len(self.d):
-                raise ValueError("jpeg: truncated entropy stream")
-            b = self.d[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = (self.d[self.pos] if self.pos < len(self.d)
-                       else None)
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    raise ValueError("jpeg: marker inside entropy data")
-            self.cur = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
+        p = self.p
+        if p >= self.total_bits:
+            raise ValueError("jpeg: truncated entropy stream")
+        self.p = p + 1
+        return (int(self.w32[p >> 3]) >> (31 - (p & 7))) & 1
 
     def receive(self, n):
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        p = self.p
+        if p + n > self.total_bits:
+            raise ValueError("jpeg: truncated entropy stream")
+        self.p = p + n
+        return (int(self.w32[p >> 3]) >> (32 - (p & 7) - n)) \
+            & ((1 << n) - 1)
 
-    def align_to_marker(self):
-        self.nbits = 0
-        while self.pos + 1 < len(self.d):
-            if self.d[self.pos] == 0xFF and self.d[self.pos + 1] != 0:
-                return
-            self.pos += 1
-        raise ValueError("jpeg: truncated at restart")
+    def next_marker_and_resume(self):
+        """Return the 2-byte marker terminating the current segment
+        and start reading the entropy segment that follows it."""
+        if self.pos + 1 >= len(self.d):
+            raise ValueError("jpeg: truncated at restart")
+        mk = self.d[self.pos:self.pos + 2]
+        self._load_segment(self.pos + 2)
+        return mk
 
 
 def _extend(v, n):
@@ -386,14 +437,120 @@ def _decode_one_scan(data, pos, st, scan, huff_dc, huff_ac, ri,
 
 
 def _restart(br, comps):
-    br.align_to_marker()
-    mk = br.d[br.pos:br.pos + 2]
+    mk = br.next_marker_and_resume()
     if len(mk) < 2 or mk[0] != 0xFF or not (0xD0 <= mk[1] <= 0xD7):
         raise ValueError("jpeg: expected restart marker")
-    br.pos += 2
     for c in comps:
         c["pred"] = 0
         c["eobrun"] = 0
+
+
+_ZZ_R = tuple(z[0] for z in _ZZ)
+_ZZ_C = tuple(z[1] for z in _ZZ)
+
+# dispatch flag so tests can pin the inlined baseline fast path
+# against the general method-based scan loop
+_FAST_BASELINE = True
+
+
+def _scan_blocks_baseline_fast(br, st, order, huff_dc, huff_ac, ri):
+    """Baseline sequential scan with the bit-reader state hoisted into
+    locals and the Huffman/receive/extend steps inlined (r8): the
+    method-call version spent ~60% of megapixel decode time on Python
+    call overhead for the ~64 symbol decodes per block. Semantics are
+    IDENTICAL to the general path — the progressive scans keep the
+    readable method-based form, and the pixel-pinned test corpus
+    covers both."""
+    interleaved = len(order) > 1
+    if interleaved:
+        n_units_x = st["mcux"]
+        n_units = st["mcux"] * st["mcuy"]
+    else:
+        n_units_x = order[0]["nbx"]
+        n_units = order[0]["nbx"] * order[0]["nby"]
+    plan = []
+    for c in order:
+        dct = huff_dc.get(c.get("td"))
+        act = huff_ac.get(c.get("ta"))
+        if dct is None or act is None:
+            raise ValueError("jpeg: missing Huffman table")
+        plan.append((c, dct.lut16_l, act.lut16_l))
+    zzr, zzc = _ZZ_R, _ZZ_C
+    w32 = br.w32.tolist()
+    p = br.p
+    total = br.total_bits
+    for mi in range(n_units):
+        if ri and mi and mi % ri == 0:
+            br.p = p
+            _restart(br, order)
+            w32 = br.w32.tolist()
+            p = br.p
+            total = br.total_bits
+        my, mx = divmod(mi, n_units_x)
+        for c, dlut, alut in plan:
+            hh = c["h"] if interleaved else 1
+            vv = c["v"] if interleaved else 1
+            coef = c["coef"]
+            for vy in range(vv):
+                for vx in range(hh):
+                    if interleaved:
+                        blk = coef[my * c["v"] + vy, mx * c["h"] + vx]
+                    else:
+                        blk = coef[my, mx]
+                    v = dlut[(w32[p >> 3]
+                              >> (16 - (p & 7))) & 0xFFFF]
+                    if v == 0:
+                        raise ValueError("jpeg: invalid Huffman code")
+                    p += v & 31
+                    if p > total:
+                        raise ValueError(
+                            "jpeg: truncated entropy stream")
+                    t = v >> 5
+                    if t:
+                        if t > 15:           # hostile DHT value
+                            raise ValueError(
+                                "jpeg: bad DC size category")
+                        if p + t > total:
+                            raise ValueError(
+                                "jpeg: truncated entropy stream")
+                        mag = (w32[p >> 3]
+                               >> (32 - (p & 7) - t)) & ((1 << t) - 1)
+                        p += t
+                        c["pred"] += (mag if mag >= (1 << (t - 1))
+                                      else mag - (1 << t) + 1)
+                    blk[0, 0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        v = alut[(w32[p >> 3]
+                                  >> (16 - (p & 7))) & 0xFFFF]
+                        if v == 0:
+                            raise ValueError(
+                                "jpeg: invalid Huffman code")
+                        p += v & 31
+                        if p > total:
+                            raise ValueError(
+                                "jpeg: truncated entropy stream")
+                        rs = v >> 5
+                        s = rs & 0xF
+                        if s == 0:
+                            if rs >> 4 == 15:        # ZRL
+                                k += 16
+                                continue
+                            break                    # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        if p + s > total:
+                            raise ValueError(
+                                "jpeg: truncated entropy stream")
+                        mag = (w32[p >> 3]
+                               >> (32 - (p & 7) - s)) & ((1 << s) - 1)
+                        p += s
+                        blk[zzr[k], zzc[k]] = (
+                            mag if mag >= (1 << (s - 1))
+                            else mag - (1 << s) + 1)
+                        k += 1
+    br.p = p
 
 
 def _scan_blocks(br, st, order, huff_dc, huff_ac, ri, mode, ah, al):
@@ -401,6 +558,10 @@ def _scan_blocks(br, st, order, huff_dc, huff_ac, ri, mode, ah, al):
     (mode='dc'; first when ah==0, refinement otherwise). Multi-
     component scans walk the MCU grid; single-component scans are
     non-interleaved and walk the component's true block grid."""
+    if mode == "full" and _FAST_BASELINE:
+        # tests flip _FAST_BASELINE to pin fast == general bit-for-bit
+        return _scan_blocks_baseline_fast(br, st, order, huff_dc,
+                                          huff_ac, ri)
     interleaved = len(order) > 1
     if interleaved:
         n_units_x = st["mcux"]
@@ -592,22 +753,29 @@ def _reconstruct(st, qt):
 
 # --------------------------- encoder (test/oracle harness) ------------------
 
+# the T.81 FDCT definition tensor, evaluated term-by-term exactly as
+# the O(N^4) definition sum (einsum only batches the same products —
+# deliberately NOT the decoder's matrix-factorized IDCT path, so the
+# encoder stays an independent oracle). Python-loop evaluation made
+# megapixel test payloads take minutes to build (r8).
+_FDCT_T = np.zeros((8, 8, 8, 8))
+for _u in range(8):
+    for _v in range(8):
+        _cu = (1 / np.sqrt(2)) if _u == 0 else 1.0
+        _cv = (1 / np.sqrt(2)) if _v == 0 else 1.0
+        for _x in range(8):
+            for _y in range(8):
+                _FDCT_T[_u, _v, _x, _y] = (
+                    0.25 * _cu * _cv
+                    * np.cos((2 * _x + 1) * _u * np.pi / 16)
+                    * np.cos((2 * _y + 1) * _v * np.pi / 16))
+del _u, _v, _cu, _cv, _x, _y
+
+
 def _fdct_def(block: np.ndarray) -> np.ndarray:
-    """FDCT as the T.81 definition sum (O(N^4)) — deliberately
-    independent of the decoder's matrix IDCT."""
-    out = np.zeros((8, 8))
-    for u in range(8):
-        for v in range(8):
-            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
-            cv = (1 / np.sqrt(2)) if v == 0 else 1.0
-            s = 0.0
-            for x in range(8):
-                for y in range(8):
-                    s += block[x, y] * \
-                        np.cos((2 * x + 1) * u * np.pi / 16) * \
-                        np.cos((2 * y + 1) * v * np.pi / 16)
-            out[u, v] = 0.25 * cu * cv * s
-    return out
+    """FDCT as the T.81 definition sum — independent of the decoder's
+    matrix IDCT (see ``_FDCT_T``)."""
+    return np.einsum("uvxy,xy->uv", _FDCT_T, block)
 
 
 class _BitWriter:

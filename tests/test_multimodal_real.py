@@ -623,3 +623,28 @@ def test_jpeg_allocation_byte_budget():
     out = jpeg_mod.parse_jpeg(jpeg_mod.encode_jpeg(img, qtable=q8,
                                                    gray=True))
     assert np.array_equal(out[:, :, 0], img)
+
+
+def test_jpeg_fast_baseline_parity():
+    """r8: the inlined baseline entropy fast path must decode
+    bit-identically to the general method-based scan loop on streams
+    exercising restarts, subsampling, and both Annex-K table pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(20260817)
+    imgs = [
+        (rng.randint(0, 256, (24, 40, 3)).astype(np.uint8), {}),
+        (rng.randint(0, 256, (16, 16)).astype(np.uint8),
+         {"gray": True}),
+        (rng.randint(0, 256, (32, 32, 3)).astype(np.uint8),
+         {"restart_interval": 2}),
+    ]
+    for img, kw in imgs:
+        data = jpeg_mod.encode_jpeg(img, **kw)
+        fast = jpeg_mod.parse_jpeg(data)
+        jpeg_mod._FAST_BASELINE = False
+        try:
+            general = jpeg_mod.parse_jpeg(data)
+        finally:
+            jpeg_mod._FAST_BASELINE = True
+        assert np.array_equal(fast, general)
