@@ -637,6 +637,138 @@ def _q_jpeg_real(spark, sf_dir):
         (F.element_at("feat", bin_v) == F.lit(1.0)).alias("hist_solid"))
 
 
+def _gif_lzw_flat(v: int, npix: int) -> bytes:
+    """Spec-assembled LZW for a solid frame of index ``v``: a CLEAR
+    code before every literal keeps the decoder's dictionary empty and
+    the code width pinned at 3 bits (mcs=2) — the classic
+    uncompressed-GIF trick, trivially bit-packable here WITHOUT using
+    the gif module's own encoder (oracle independence, same discipline
+    as q_png_real's spec-assembled payloads)."""
+    codes = [4]                       # CLEAR (mcs=2 -> clear=4, eoi=5)
+    for px in range(npix):
+        codes.append(v)
+        if px != npix - 1:
+            codes.append(4)
+    codes.append(5)                   # EOI
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:                   # LSB-first packing per the spec
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_payload(i: int) -> tuple[bytes, int, int, int]:
+    """Animated GIF payload assembled straight from the GIF89a spec
+    (struct + the flat-LZW helper): frame 1 is solid color index 0;
+    frames 2..n are FULLY TRANSPARENT overlays (GCE transparent
+    index drawn everywhere), so every rendered canvas equals frame 1
+    and the features/frame bytes have closed forms from doc_id alone.
+    h=8 docs set the interlace flag on frame 1 (row-permutation of a
+    solid frame is content-invariant; random-frame interlace
+    correctness is pinned in pytest). Colors stay in 1..127 so the
+    frame-hash oracle can rebuild the P6 bytes with ASCII-safe
+    chr() in DuckDB. Returns (payload, w, h, n_frames)."""
+    import struct as _st
+
+    w, h = 3 + i % 4, (1, 2, 8)[i % 3]
+    r, g, b = 1 + i % 127, 1 + (7 * i) % 127, 1 + (13 * i) % 127
+    n = 1 + i % 3
+    out = bytearray(b"GIF89a")
+    out += _st.pack("<HH", w, h)
+    out += bytes([0x80 | 1, 0, 0])    # 4-entry GCT, bg index 0
+    out += bytes([r, g, b, 0, 0, 0, 10, 20, 30, 40, 50, 60])
+    lzw0 = _gif_lzw_flat(0, w * h)
+    lzw1 = _gif_lzw_flat(1, w * h)
+    for f in range(n):
+        if f > 0:                     # GCE: transparent index 1
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 1, 0])
+        out += b"\x2C" + _st.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if (h == 8 and f == 0) else 0])
+        body = lzw1 if f > 0 else lzw0
+        out += bytes([2, len(body)]) + body + b"\x00"
+    out += b"\x3B"
+    return bytes(out), w, h, n
+
+
+def _gif_media(spark, sf_dir, limit: int | None = None):
+    import pandas as pd
+
+    from jsonextract_spark.datapipe.multimodal import MEDIA_SCHEMA
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    if limit is not None:
+        docs = docs.filter(F.col("doc_id") < limit)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads, ws, hs, ns = [], [], [], []
+            for i in ids:
+                payload, w, h, n = _gif_payload(int(i))
+                payloads.append(payload)
+                ws.append(w)
+                hs.append(h)
+                ns.append(n)
+            yield pd.DataFrame({
+                "doc_id": ids, "media_type": "image/gif",
+                "payload": payloads, "width": ws, "height": hs,
+                "n_frames": ns})
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _q_gif_real(spark, sf_dir):
+    """The REAL GIF codec path (datapipe/gif.py — LZW, palettes,
+    transparency, disposal, interlace, animation, r8): spec-assembled
+    animated payloads (see _gif_payload) route global color table +
+    transparency GCEs + interlacing through the decoder; features come
+    from the first rendered frame, whose solid color gives exact
+    closed forms (mean*255 = palette channel, std 0, aspect w / 2^k
+    float32-exact, full histogram mass in one bin)."""
+    from jsonextract_spark.datapipe.multimodal import decode_features
+
+    media = _gif_media(spark, sf_dir)
+    feats = decode_features(media, decode_mode="real")
+    bin_r = ((1 + F.pmod(F.col("doc_id"), F.lit(127))) / 32) \
+        .cast("int") + 1
+
+    def chan(idx, name):
+        return F.round(F.element_at("feat", idx).cast("double") * 255,
+                       0).alias(name)
+
+    return feats.select(
+        "doc_id", "ok",
+        chan(25, "chan_r"), chan(26, "chan_g"), chan(27, "chan_b"),
+        F.element_at("feat", 28).cast("double").alias("std_r"),
+        F.element_at("feat", 32).cast("double").alias("aspect"),
+        (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
+
+
+def _q_gif_frames(spark, sf_dir):
+    """Real animated-GIF frame sampling (r8): sample_frames
+    decode_mode='real' decodes the spec-assembled animations through
+    datapipe/gif.py, takes n from the PARSED frame list, and emits
+    each sampled canvas as canonical P6 bytes — every canvas equals
+    the solid first frame, so DuckDB rebuilds the exact P6 byte
+    string from doc_id (ASCII-safe colors) and hashes it."""
+    from jsonextract_spark.datapipe.multimodal import sample_frames
+
+    media = _gif_media(spark, sf_dir, limit=100)
+    sf = sample_frames(media, k=4, decode_mode="real")
+    return sf.select(
+        "doc_id",
+        F.col("sample_no").cast("long").alias("sample_no"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.substring(F.sha2(F.col("frame"), 256), 1, 16).alias("pfx"))
+
+
 def _q_audio_real(spark, sf_dir):
     """The REAL audio codec path (RIFF/WAVE 16-bit PCM parse + sample
     features): two-sample payloads [a, -a] with a = doc_id % 32768 at
@@ -1078,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_stable": _q_simhash_stable,
         "q_multimodal_real": _q_multimodal_real,
         "q_png_real": _q_png_real,
+        "q_gif_real": _q_gif_real,
+        "q_gif_frames": _q_gif_frames,
         "q_jpeg_real": _q_jpeg_real,
         "q_audio_real": _q_audio_real,
         "q_langid": _q_langid,
@@ -1387,6 +1521,50 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 1 THEN 2 ELSE 8 END)    AS aspect,
                    true AS hist_solid
             FROM documents
+        """,
+        # Closed forms for the spec-assembled solid animated GIFs
+        # (real LZW + palette + transparency + interlace decode on the
+        # Spark side; first rendered frame is solid, so every feature
+        # is exact arithmetic on doc_id).
+        "q_gif_real": """
+            SELECT doc_id, true AS ok,
+                   CAST(1 + doc_id % 127 AS DOUBLE)        AS chan_r,
+                   CAST(1 + (doc_id * 7) % 127 AS DOUBLE)  AS chan_g,
+                   CAST(1 + (doc_id * 13) % 127 AS DOUBLE) AS chan_b,
+                   CAST(0.0 AS DOUBLE) AS std_r,
+                   CAST(3 + doc_id % 4 AS DOUBLE)
+                       / (CASE doc_id % 3 WHEN 0 THEN 1
+                          WHEN 1 THEN 2 ELSE 8 END)        AS aspect,
+                   true AS hist_solid
+            FROM documents
+        """,
+        # Real animated-GIF frame sampling: every rendered canvas
+        # equals the solid first frame (later frames are fully
+        # transparent overlays), so the P6 bytes rebuild exactly from
+        # doc_id — colors stay in 1..127, keeping chr() single-byte
+        # (ASCII) so the hash sees the same bytes Spark's sha2 does.
+        "q_gif_frames": """
+            SELECT doc_id,
+                   CAST(j AS BIGINT) AS sample_no,
+                   CAST((j * (1 + doc_id % 3)) // 4 AS BIGINT)
+                       AS frame_idx,
+                   substr(sha256(
+                       'P6' || chr(10)
+                       || CAST(3 + doc_id % 4 AS VARCHAR) || ' '
+                       || CAST(CASE doc_id % 3 WHEN 0 THEN 1
+                               WHEN 1 THEN 2 ELSE 8 END AS VARCHAR)
+                       || chr(10) || '255' || chr(10)
+                       || repeat(chr(CAST(1 + doc_id % 127 AS INTEGER))
+                                 || chr(CAST(1 + (doc_id * 7) % 127
+                                             AS INTEGER))
+                                 || chr(CAST(1 + (doc_id * 13) % 127
+                                             AS INTEGER)),
+                                 (3 + doc_id % 4)
+                                 * (CASE doc_id % 3 WHEN 0 THEN 1
+                                    WHEN 1 THEN 2 ELSE 8 END))),
+                       1, 16) AS pfx
+            FROM documents, unnest([0, 1, 2, 3]) AS t(j)
+            WHERE doc_id < 100
         """,
         # Closed forms for the flat grayscale baseline-JPEG payloads
         # (real from-spec Huffman+IDCT decode on the Spark side; the

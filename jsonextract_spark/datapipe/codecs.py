@@ -50,6 +50,7 @@ PPM_TYPES = frozenset({"image/ppm", "image/x-portable-pixmap"})
 WAV_TYPES = frozenset({"audio/wav", "audio/x-wav", "audio/wave"})
 PNG_TYPES = frozenset({"image/png"})
 JPEG_TYPES = frozenset({"image/jpeg", "image/jpg"})
+GIF_TYPES = frozenset({"image/gif"})
 
 _WS = b" \t\r\n\x0b\x0c"
 
@@ -427,6 +428,11 @@ def real_decode_features(payload: bytes, media_type: str) -> np.ndarray:
     if media_type in JPEG_TYPES:
         from jsonextract_spark.datapipe.jpeg import parse_jpeg
         return image_features(parse_jpeg(payload))
+    if media_type in GIF_TYPES:
+        from jsonextract_spark.datapipe.gif import parse_gif
+        # features come from the FIRST rendered frame (what a viewer
+        # shows for a still; the poster frame for an animation)
+        return image_features(parse_gif(payload)[0])
     if media_type in WAV_TYPES:
         return audio_features(*parse_wav(payload))
     raise NotImplementedError(

@@ -109,6 +109,14 @@ def resize_media(media: DataFrame, width: int, height: int,
                         img, _ = codecs.parse_ppm(bytes(payload or b""))
                         outs.append(codecs.encode_ppm(
                             codecs.resize_nearest(img, width, height)))
+                    elif mtype in codecs.GIF_TYPES:
+                        # first rendered frame, re-encoded canonical P6
+                        # (resize output is a raw image, not a GIF)
+                        from jsonextract_spark.datapipe.gif import \
+                            parse_gif
+                        img = parse_gif(bytes(payload or b""))[0]
+                        outs.append(codecs.encode_ppm(
+                            codecs.resize_nearest(img, width, height)))
                     else:
                         raise NotImplementedError(
                             f"no dependency-free resize for {mtype} "
@@ -139,8 +147,10 @@ def sample_frames(media: DataFrame, k: int = 4,
     frames emit nothing. Fake frames are the sha256 hex of
     ``payload + b":f<idx>"`` (SQL-reproducible, ``n`` from the metadata
     column). 'real' parses the payload as a netpbm multi-image stream
-    (P6 frames back to back), takes ``n`` from the PARSED frame count —
-    metadata can lie, pixels can't — and emits each selected frame as
+    (P6 frames back to back) or an animated GIF (r8 — composited
+    canvas frames from the real codec), takes ``n`` from the PARSED
+    frame count — metadata can lie, pixels can't — and emits each
+    selected frame as
     canonical P6 bytes; unsupported containers / malformed streams emit
     one ok=false row with frame_idx=-1."""
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -165,11 +175,19 @@ def sample_frames(media: DataFrame, k: int = 4,
                         idxs.append(idx)
                     continue
                 try:
-                    if mtype not in codecs.PPM_TYPES:
+                    if mtype in codecs.PPM_TYPES:
+                        imgs = codecs.iter_ppm_frames(
+                            bytes(payload or b""))
+                    elif mtype in codecs.GIF_TYPES:
+                        # real animated-GIF path (r8): frames are the
+                        # composited canvases the gif codec renders
+                        from jsonextract_spark.datapipe.gif import \
+                            parse_gif
+                        imgs = parse_gif(bytes(payload or b""))
+                    else:
                         raise NotImplementedError(
                             f"no dependency-free frame decode for "
                             f"{mtype} (pyav/ffmpeg not bundled here)")
-                    imgs = codecs.iter_ppm_frames(bytes(payload or b""))
                     n = len(imgs)
                     for j in range(k):
                         idx = (j * n) // k
