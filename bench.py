@@ -1141,6 +1141,12 @@ normalized {(extra.get('crawl_compaction') or {}).get('round_normalized')}
 over {(extra.get('crawl_compaction') or {}).get('round_fetched')} URLs.
 The compaction round's delta over its flat neighbors, divided by
 COMPACT_EVERY (16 in production), is the per-round amortized cost.
+Long-horizon evidence (since r08): test_long_horizon_replay_and_resume
+runs 33 rounds at the production COMPACT_EVERY=16 — two full
+compaction generations — pinning that the frontier replay window
+stays BOUNDED (sources reset at each generation boundary instead of
+growing with crawl age) and that resume-at-31 through the round-32
+compaction reproduces the uninterrupted crawl ledger byte-for-byte.
 
 Image-codec decode (since r07): q_codec_decode runs
 {(extra.get('codec_decode') or {}).get('images')} 64x64 payloads
