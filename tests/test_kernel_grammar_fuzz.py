@@ -1,12 +1,13 @@
 """Grammar-directed fuzzing of the extraction kernel.
 
-TWELVE generator families, each with an exact oracle that needs no Go
-binary — the first three below, plus comments/templates, regex
+THIRTEEN generator families, each with an exact oracle that needs no
+Go binary — the first three below, plus comments/templates, regex
 literals, limit-prefix, bracket soup (all r4), number-literal
 decimalization and identifier-value mapping (both r5), string escape
 sequences across both quote styles, object-key dispatch (both r6),
-and multi-byte UTF-8 boundaries against a transcribed rune-loop
-oracle (r7; see the section comments):
+multi-byte UTF-8 boundaries against a transcribed rune-loop
+oracle (r7), and the Objects-layer dispatch against an independent
+recursive-walk oracle (r8; see the section comments):
 
 * STRICT-JSON EMBED — hypothesis generates arbitrary JSON values,
   embeds their ``json.dumps`` renderings between brace-free garbage,
@@ -577,3 +578,125 @@ def test_arbitrary_unicode_matches_rune_loop(text, k):
     assert full == _rune_loop_extract(text)
     assert extract_objects(data, limit=k) == \
         _rune_loop_extract(text, limit=k) == full[:k]
+
+
+# -- Objects-layer dispatch family (r8, family 13) ----------------------------
+# Random nested forests (dicts allow DUPLICATE keys via pair lists —
+# json.dumps can't emit them) + random option sets, checked against an
+# independent recursive-walk oracle transcribed from the reference
+# semantics (objects.go:80-151): arrays recurse without matching,
+# objects dispatch to the FIRST unsatisfied option whose keys are all
+# present, children walk in sorted-key order (last-wins for duplicate
+# keys, like Go's json.Unmarshal into a map), satisfying the LAST
+# option aborts the whole scan mid-walk, and an unsatisfied required
+# option raises (objects.go:155-166).
+
+_OPT_KEYPOOL = ["k0", "k1", "k2", "k3", "k4"]
+
+_FOREST_SCALAR = (st.none() | st.booleans() | st.integers(-99, 99)
+                  | st.text(string.ascii_lowercase, max_size=4))
+_FOREST_VALUE = st.recursive(
+    _FOREST_SCALAR,
+    lambda kids: (
+        st.lists(kids, max_size=3)
+        | st.lists(st.tuples(st.sampled_from(_OPT_KEYPOOL), kids),
+                   max_size=4).map(lambda pairs: ("OBJ", pairs))),
+    max_leaves=14)
+_FOREST_TOP = st.lists(
+    st.lists(st.tuples(st.sampled_from(_OPT_KEYPOOL), _FOREST_VALUE),
+             max_size=4).map(lambda pairs: ("OBJ", pairs))
+    | st.lists(_FOREST_VALUE, min_size=1, max_size=3),
+    min_size=1, max_size=3)
+_OPTIONS = st.lists(
+    st.tuples(st.lists(st.sampled_from(_OPT_KEYPOOL), max_size=3,
+                       unique=True),
+              st.integers(1, 3) | st.none(),     # limit (None = collect)
+              st.booleans()),                    # required
+    min_size=1, max_size=3)
+
+
+def _forest_dumps(v) -> str:
+    """Serialize the pair-list forest to JSON text, PRESERVING
+    duplicate keys (the dispatch layer must see last-wins)."""
+    if isinstance(v, tuple) and v and v[0] == "OBJ":
+        inner = ", ".join(f"{json.dumps(k)}: {_forest_dumps(x)}"
+                          for k, x in v[1])
+        return "{" + inner + "}"
+    if isinstance(v, list):
+        return "[" + ", ".join(_forest_dumps(x) for x in v) + "]"
+    return json.dumps(v)
+
+
+def _oracle_walk(v, options, satisfied, matches):
+    """Independent transcription of objects.go keyFunc. Returns False
+    to abort the whole scan (all options satisfied)."""
+    if isinstance(v, list):
+        for child in v:
+            if not _oracle_walk(child, options, satisfied, matches):
+                return False
+        return True
+    if not (isinstance(v, tuple) and v and v[0] == "OBJ"):
+        return True
+    m = {}
+    for k, x in v[1]:          # duplicate keys: LAST wins
+        m[k] = x
+    for i, (keys, limit, _req) in enumerate(options):
+        if i in satisfied:
+            continue
+        if all(k in m for k in keys):
+            matches[i].append(("OBJ", list(m.items())))
+            if limit is not None and len(matches[i]) >= limit:
+                satisfied.add(i)
+                if len(satisfied) == len(options):
+                    return False
+            break              # first matching option only
+    for k in sorted(m):
+        if not _oracle_walk(m[k], options, satisfied, matches):
+            return False
+    return True
+
+
+def _canon(v):
+    """Canonical python value for comparison: pair-list objects ->
+    last-wins dicts, recursively."""
+    if isinstance(v, tuple) and v and v[0] == "OBJ":
+        return {k: _canon(x) for k, x in v[1]}
+    if isinstance(v, list):
+        return [_canon(x) for x in v]
+    return v
+
+
+@settings(max_examples=250, deadline=None)
+@given(forest=_FOREST_TOP, opts=_OPTIONS)
+def test_objects_dispatch_matches_reference_walk(forest, opts):
+    from jsonextract_spark.kernel.objects import (CallbackNeverCalled,
+                                                  ObjectOption,
+                                                  match_objects)
+
+    values = [_forest_dumps(v) for v in forest]
+    options = [ObjectOption(keys=tuple(keys), limit=limit,
+                            required=req)
+               for keys, limit, req in opts]
+
+    satisfied: set = set()
+    matches = {i: [] for i in range(len(opts))}
+    for v in forest:
+        if not _oracle_walk(v, opts, satisfied, matches):
+            break
+    want_raise = len(satisfied) != len(opts) and any(
+        req and i not in satisfied
+        for i, (_, _, req) in enumerate(opts))
+
+    if want_raise:
+        try:
+            match_objects(values, options)
+        except CallbackNeverCalled:
+            pass
+        else:
+            raise AssertionError("expected CallbackNeverCalled")
+    else:
+        match_objects(values, options)
+    for i, opt in enumerate(options):
+        got = [json.loads(raw) for raw in opt.matches]
+        want = [_canon(v) for v in matches[i]]
+        assert got == want, (i, got, want)
