@@ -301,7 +301,11 @@ def _q_embed_dup(spark, sf_dir):
            .select("vec_id", "embedding"))
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    # cap=None: the oracle is an EXACT all-pairs DuckDB restatement,
+    # so the scale-path hot-bucket cap (lossy by design on >cap
+    # clusters) must be off for the comparison to hold at any sf
     return (embedding_dup_pairs(corpus, "vec_id", "embedding",
+                                max_docs_per_bucket=None,
                                 threshold=0.999)
             .select("a", "b"))
 
@@ -328,7 +332,8 @@ def _q_minhash_pairs(spark, sf_dir):
     LSH band recall was 100% at this threshold AND the verify math is
     right (UTF-8 byte 5-shingle sets incl. short-text space padding,
     |A∩B|/|A∪B|)."""
-    from jsonextract_spark.datapipe.dedup import minhash_dedup_pairs
+    from jsonextract_spark.datapipe.dedup import (minhash_candidate_pairs,
+                                                  minhash_dedup_pairs)
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     # plant exact + near duplicates: identical copy and a one-word edit
@@ -338,7 +343,11 @@ def _q_minhash_pairs(spark, sf_dir):
     dup = docs.filter("doc_id % 25 = 0").select(
         (F.col("doc_id") + 300000).alias("doc_id"), "text")
     corpus = docs.unionByName(near).unionByName(dup)
-    return (minhash_dedup_pairs(corpus, "text", "doc_id", threshold=0.8)
+    # cap=None: exact-oracle comparison (see _q_embed_dup note)
+    return (minhash_dedup_pairs(corpus, "text", "doc_id", threshold=0.8,
+                                pairs=minhash_candidate_pairs(
+                                    corpus, "text", "doc_id",
+                                    max_docs_per_bucket=None))
             .select("a", "b", F.round("jaccard", 4).alias("jaccard")))
 
 
@@ -360,7 +369,9 @@ def _q_simhash_pairs(spark, sf_dir):
     dup = docs.filter("doc_id % 25 = 0").select(
         (F.col("doc_id") + 300000).alias("doc_id"), "text")
     corpus = docs.unionByName(dup)
-    return (simhash_candidates(corpus, "text", "doc_id", max_hamming=3)
+    # cap=None: exact-oracle comparison (see _q_embed_dup note)
+    return (simhash_candidates(corpus, "text", "doc_id", max_hamming=3,
+                               max_docs_per_bucket=None)
             .select("a", "b", F.col("hamming").cast("bigint")
                     .alias("hamming")))
 

@@ -342,13 +342,20 @@ def _parquet_rows(paths) -> int:
     only — no data pages are read. O(#files) driver-side footer reads
     via the local filesystem (``os.walk``); the ledger-first estimates
     are the primary path and this is their legacy-warehouse fallback.
-    A path that lists NO parquet files — missing, empty, or a
+    A PRESENT path that lists NO parquet files — missing, empty, or a
     non-local URI this walker can't see — is treated exactly like an
     unreadable footer (unbounded), because "found nothing" must drop
     the broadcast hint, not prove the table small and force a
-    broadcast of a table whose true size is unknown."""
+    broadcast of a table whose true size is unknown. An EMPTY ``paths``
+    list is different: the caller itself determined there are no
+    sources (e.g. every delta in a replay window was the schema-only
+    empty fallback), which is a KNOWN zero — returning the unbounded
+    sentinel there would unconditionally kill hints whose other
+    addends prove the table tiny (review r8)."""
     import pyarrow.parquet as pq
 
+    if not paths:
+        return 0
     total = 0
     found_any = False
     for p in paths:

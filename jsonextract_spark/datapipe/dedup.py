@@ -199,12 +199,16 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str,
     :func:`ngram_jaccard_pairs`. On boilerplate-heavy corpora (cookie
     banners, templated pages) one bucket can hold 10^5+ docs, and the
     self-join inside it is quadratic: a single 100k-doc bucket emits
-    5·10^9 candidate rows before verify. A bucket past the cap is by
-    construction a cluster of near-identical docs, which exact dedup
-    (:func:`exact_dedup_keep_first`) already collapses upstream for
-    free; near-dup pairs that additionally differ enough to miss exact
-    dedup still collide in their other ``n_bands - 1`` bands, so only
-    pairs hot in EVERY band — pure boilerplate — lose recall. The
+    5·10^9 candidate rows before verify. The cap is LOSSY by design:
+    a >cap cluster of near-identical docs loses its intra-cluster
+    pairs (exact byte-copies are collapsed upstream by exact dedup,
+    but near-variants inside the cluster are not), and a doc that is a
+    near-dup OF such a cluster shares the cluster's hot buckets in
+    every band, so those pairs drop too — the trade is bounded join
+    volume for recall on template-variant families, the standard
+    industrial choice; raise the cap or pass ``None`` when exact
+    semantics matter more than scale (the driver oracle queries run
+    uncapped for exactly this reason). The
     bucket-size count is a window over the SAME key the self-join
     shuffles on, so both join inputs reuse one exchange (no extra
     shuffle; plan shows a single Exchange + ReusedExchange).
@@ -303,9 +307,12 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
     :func:`minhash_candidate_pairs` to each ``(combo_no, key)`` cell:
     a corpus of near-identical boilerplate shares one simhash, so all
     copies land in the same key in EVERY combo and the self-join is
-    quadratic. Capped cells are exact-dup clusters that upstream exact
-    dedup collapses; the exact-hamming verify keeps the output a pure
-    subset either way.
+    quadratic. NOTE the cap suspends the pigeonhole exact-recall
+    guarantee for pairs whose shared cells all exceed the cap (a >cap
+    cluster's intra- and adjacent near-dup pairs) — the output is
+    still a verified-hamming pure subset, just not exhaustive there.
+    Pass ``None`` (as the driver oracle query does) when the
+    exact-recall contract is required.
     """
     from itertools import combinations
 

@@ -197,7 +197,12 @@ def parse_gif(data: bytes) -> list[np.ndarray]:
         pos += 9
         if fw <= 0 or fh <= 0 or fx + fw > w or fy + fh > h:
             raise ValueError("gif: frame rect outside canvas")
-        total_px += fw * fh
+        # count FULL-CANVAS pixels per frame, not the frame rect:
+        # every decoded frame appends a w*h*3 canvas copy, so a
+        # 626-byte stream declaring a huge canvas plus many 1-pixel
+        # frames would otherwise allocate GBs under a rect-based cap
+        # (review r8 — reproduced)
+        total_px += w * h
         if total_px > GIF_MAX_TOTAL_PIXELS:
             raise ValueError(
                 f"gif: cumulative frame pixels exceed the cap "

@@ -146,9 +146,11 @@ class _Huff:
                 code += 1
                 k += 1
             code <<= 1
-        # list mirror: Python-int indexing for the inlined fast path
-        # (a numpy scalar load + int() costs ~10x a list index)
-        self.lut16_l = self.lut16.tolist()
+        # array('i') mirror: C-int indexing for the inlined fast
+        # path (a numpy scalar load + int() costs ~10x) at 4 bytes
+        # per entry instead of a Python list's ~28
+        import array as _array
+        self.lut16_l = _array.array("i", self.lut16.tobytes())
 
     def decode(self, br):
         v = int(self.lut16[br.peek16()])
@@ -187,13 +189,23 @@ class _BitReader:
                 break
             i = j + 2            # stuffed 0xFF00: data byte, keep going
         seg = d[pos:end].replace(b"\xff\x00", b"\xff")
-        buf = np.frombuffer(seg + b"\x00\x00\x00", np.uint8)
+        # FOUR padding bytes: w32 then has len(seg)+1 entries, so the
+        # window at byte index len(seg) — reached when p lands exactly
+        # on total_bits at a byte boundary — stays in bounds (review
+        # r8: with 3 bytes it was an IndexError escaping the err
+        # channel on 36/153 truncation points of a valid stream).
+        # CONSUMING padded bits still raises via the total_bits checks.
+        buf = np.frombuffer(seg + b"\x00\x00\x00\x00", np.uint8)
         u = buf.astype(np.uint32)
-        # w32[i] = big-endian 32-bit window starting at byte i (zero
-        # padded past the end so peeks near the tail stay in bounds;
-        # CONSUMING padded bits still raises via the total_bits check)
-        self.w32 = (u[:-3] << 24) | (u[1:-2] << 16) | (u[2:-1] << 8) \
-            | u[3:]
+        w32 = (u[:-3] << 24) | (u[1:-2] << 16) | (u[2:-1] << 8) | u[3:]
+        self.w32 = w32
+        # array('I') mirror for the inlined fast path: C-int indexing
+        # like a list at 4 bytes/entry — a list of Python ints costs
+        # ~28 bytes/entry, a ~40x amplification of the entropy segment
+        # that 32 parallel megapixel decodes would multiply into GBs
+        # of uncounted allocation (review r8)
+        import array as _array
+        self.w32_arr = _array.array("I", w32.tobytes())
         self.total_bits = 8 * len(seg)
         self.p = 0
         self.pos = end
@@ -476,14 +488,14 @@ def _scan_blocks_baseline_fast(br, st, order, huff_dc, huff_ac, ri):
             raise ValueError("jpeg: missing Huffman table")
         plan.append((c, dct.lut16_l, act.lut16_l))
     zzr, zzc = _ZZ_R, _ZZ_C
-    w32 = br.w32.tolist()
+    w32 = br.w32_arr
     p = br.p
     total = br.total_bits
     for mi in range(n_units):
         if ri and mi and mi % ri == 0:
             br.p = p
             _restart(br, order)
-            w32 = br.w32.tolist()
+            w32 = br.w32_arr
             p = br.p
             total = br.total_bits
         my, mx = divmod(mi, n_units_x)
@@ -497,6 +509,9 @@ def _scan_blocks_baseline_fast(br, st, order, huff_dc, huff_ac, ri):
                         blk = coef[my * c["v"] + vy, mx * c["h"] + vx]
                     else:
                         blk = coef[my, mx]
+                    if p >= total:
+                        raise ValueError(
+                            "jpeg: truncated entropy stream")
                     v = dlut[(w32[p >> 3]
                               >> (16 - (p & 7))) & 0xFFFF]
                     if v == 0:
@@ -521,6 +536,9 @@ def _scan_blocks_baseline_fast(br, st, order, huff_dc, huff_ac, ri):
                     blk[0, 0] = c["pred"]
                     k = 1
                     while k < 64:
+                        if p >= total:
+                            raise ValueError(
+                                "jpeg: truncated entropy stream")
                         v = alut[(w32[p >> 3]
                                   >> (16 - (p & 7))) & 0xFFFF]
                         if v == 0:

@@ -246,9 +246,12 @@ def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     embedding corpora cluster — 10^5 near-identical embeddings of
     boilerplate pages share a cell in every table, and the self-join
     inside one such cell is quadratic (5·10^9 candidates from a single
-    100k cell). Capped cells are dense duplicate clusters that exact
-    dedup upstream collapses; pairs merely NEAR the cluster still
-    collide in the other ``n_tables - 1`` tables. The size count is a
+    100k cell). The cap is LOSSY by design on >cap clusters: their
+    intra-cluster pairs AND pairs with vectors near enough to share
+    the cluster's cells in every table are dropped — bounded join
+    volume traded for recall on dense duplicate families; pass
+    ``None`` (as the driver oracle query does) for exact semantics.
+    The size count is a
     window over the join key itself, so the filter rides the join's own
     exchange. ``log_dropped=True`` prints how many cells were dropped;
     ``None`` disables.

@@ -1943,3 +1943,14 @@ def test_long_horizon_replay_and_resume(spark, tmp_path):
     sb = sorted(r["url_hash"]
                 for r in P.load_seen(spark, whb, 33).collect())
     assert sa == sb and len(sa) > len(fa) == len(set(fa))
+
+
+def test_parquet_rows_empty_list_is_known_zero(tmp_path):
+    """Review r8: an empty PATHS LIST is the caller's own 'no sources'
+    determination (known 0) — only a present path that lists no files
+    is unknown (unbounded)."""
+    from jsonextract_spark.crawl import pipeline as P
+
+    assert P._parquet_rows([]) == 0
+    assert P._parquet_rows([str(tmp_path / "gone")]) \
+        > P.BROADCAST_MAX_EST_ROWS

@@ -149,3 +149,20 @@ def test_spark_decode_and_frame_sampling(spark):
         np.broadcast_to(pal[0], (4, 8, 3)).astype(np.uint8))
     assert all(bytes(r["frame"]) == expect for r in ok_rows)
     assert {r["frame_idx"] for r in ok_rows} == {0, 1}   # (j*3)//2
+
+
+def test_gif_bomb_full_canvas_accounting():
+    """Review r8 (reproduced): a 626-byte stream declaring a
+    4096x4096 canvas (inside the per-canvas cap) with 40 one-pixel
+    frames allocated ~2 GB of canvas copies under rect-based
+    accounting. The cumulative cap counts FULL-CANVAS pixels per
+    frame, so this must reject as ValueError."""
+    lzw = gif_mod._lzw_encode(b"\x00", 2)
+    out = (bytearray(b"GIF89a") + struct.pack("<HH", 4096, 4096)
+           + bytes([0x80, 0, 0]) + bytes([1, 2, 3, 4, 5, 6]))
+    for _ in range(40):
+        out += (b"\x2C" + struct.pack("<HHHH", 0, 0, 1, 1)
+                + bytes([0, 2, len(lzw)]) + lzw + b"\x00")
+    out += b"\x3B"
+    with pytest.raises(ValueError, match="cumulative"):
+        parse_gif(bytes(out))

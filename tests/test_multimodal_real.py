@@ -648,3 +648,28 @@ def test_jpeg_fast_baseline_parity():
         finally:
             jpeg_mod._FAST_BASELINE = True
         assert np.array_equal(fast, general)
+
+
+def test_jpeg_truncation_sweep_stays_valueerror():
+    """Review r8 (reproduced): 36/153 truncation points of a valid
+    stream raised IndexError from the rewritten bit reader when the
+    entropy data ended exactly on a byte boundary (w32 had len(seg)
+    entries, the window at index len(seg) was out of bounds). Every
+    cut, with and without an appended EOI, must stay ValueError."""
+    import numpy as np
+
+    q8 = np.full((8, 8), 8, np.int32)
+    rng = np.random.RandomState(0)
+    good = jpeg_mod.encode_jpeg(
+        rng.randint(0, 256, (16, 16)).astype(np.uint8),
+        qtable=q8, gray=True)
+    for cut in range(len(good)):
+        for tail in (b"", b"\xff\xd9"):
+            try:
+                jpeg_mod.parse_jpeg(good[:cut] + tail)
+            except ValueError:
+                pass
+    # empty entropy segment: SOS header followed directly by EOI
+    sos = good.index(b"\xff\xda")
+    with pytest.raises(ValueError):
+        jpeg_mod.parse_jpeg(good[:sos + 14] + b"\xff\xd9")
