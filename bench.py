@@ -1202,6 +1202,16 @@ should read the normalized column (the host drifts up to ~1.7x within
 a single 3-rep window, which raw samples+spread cannot separate from
 a real code regression):
 
+SERIES NOTE (r08): q_dedup_minhash now runs the DEFAULT hot-bucket
+cap (max_docs_per_bucket=1000), adding a bucket-size window that
+rides the band join's own exchange — at bench scale that is ~2 extra
+fixed-cost stages (~+1.6s on this 140k-band-row corpus; measured
+window 2.7s vs agg-join 3.3s vs broadcast-anti 3.4s — the window
+form is the cheapest AND keeps ReusedExchange), so the normalized
+series steps up vs r07 for overhead reasons that shrink at real
+scale. The q_dedup_skew row carries the capped-vs-uncapped
+counterfactual.
+
 | query | samples (sec) | rel. spread | calib (sec) | normalized |
 |---|---|---|---|---|
 """ + "".join(
