@@ -780,6 +780,75 @@ def _q_gif_frames(spark, sf_dir):
         F.substring(F.sha2(F.col("frame"), 256), 1, 16).alias("pfx"))
 
 
+def _q_bmp_real(spark, sf_dir):
+    """The REAL BMP/ICO codec path (datapipe/codecs.py, r8 — the
+    favicon formats): solid-color payloads rotate through four
+    container forms by doc_id (24-bit bottom-up, 24-bit top-down,
+    8-bit palette, classic doubled-height ICO DIB), so row order,
+    padding, palette indexing and the ICO container all route through
+    the decoder before the closed-form features DuckDB recomputes from
+    doc_id can match. Exactness discipline as q_png_real: solid color
+    => mean*255 = channel exactly, std 0, aspect w / 2^k
+    float32-exact, full histogram mass in one bin."""
+    import numpy as np
+    import pandas as pd
+
+    from jsonextract_spark.datapipe import codecs
+    from jsonextract_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, decode_features)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads, ws, hs, types = [], [], [], []
+            for i in ids:
+                i = int(i)
+                w, h = 3 + i % 4, (1, 2, 8)[i % 3]
+                rgb = np.array([i % 256, (7 * i) % 256, (13 * i) % 256],
+                               np.uint8)
+                img = np.broadcast_to(rgb, (h, w, 3)).astype(np.uint8)
+                form = i % 4
+                if form == 0:
+                    payloads.append(codecs.encode_bmp(img))
+                    types.append("image/bmp")
+                elif form == 1:
+                    payloads.append(codecs.encode_bmp(img,
+                                                      topdown=True))
+                    types.append("image/bmp")
+                elif form == 2:
+                    pal = np.zeros((4, 3), np.uint8)
+                    pal[2] = rgb
+                    idx = np.full((h, w), 2, np.uint8)
+                    payloads.append(codecs.encode_bmp_pal8(idx, pal))
+                    types.append("image/bmp")
+                else:
+                    payloads.append(codecs.encode_ico_bmp(img))
+                    types.append("image/x-icon")
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "doc_id": ids, "media_type": types,
+                "payload": payloads, "width": ws, "height": hs,
+                "n_frames": 1})
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+    feats = decode_features(media, decode_mode="real")
+    bin_r = (F.pmod(F.col("doc_id"), F.lit(256)) / 32).cast("int") + 1
+
+    def chan(idx, name):
+        return F.round(F.element_at("feat", idx).cast("double") * 255,
+                       0).alias(name)
+
+    return feats.select(
+        "doc_id", "ok",
+        chan(25, "chan_r"), chan(26, "chan_g"), chan(27, "chan_b"),
+        F.element_at("feat", 28).cast("double").alias("std_r"),
+        F.element_at("feat", 32).cast("double").alias("aspect"),
+        (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
+
+
 def _q_audio_real(spark, sf_dir):
     """The REAL audio codec path (RIFF/WAVE 16-bit PCM parse + sample
     features): two-sample payloads [a, -a] with a = doc_id % 32768 at
@@ -1223,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_real": _q_png_real,
         "q_gif_real": _q_gif_real,
         "q_gif_frames": _q_gif_frames,
+        "q_bmp_real": _q_bmp_real,
         "q_jpeg_real": _q_jpeg_real,
         "q_audio_real": _q_audio_real,
         "q_langid": _q_langid,
@@ -1576,6 +1646,21 @@ def oracle_sql() -> dict[str, str]:
                        1, 16) AS pfx
             FROM documents, unnest([0, 1, 2, 3]) AS t(j)
             WHERE doc_id < 100
+        """,
+        # Closed forms for the solid BMP/ICO payloads (real DIB +
+        # ICO-container decode on the Spark side; same arithmetic as
+        # q_png_real, identical for all four container forms).
+        "q_bmp_real": """
+            SELECT doc_id, true AS ok,
+                   CAST(doc_id % 256 AS DOUBLE)        AS chan_r,
+                   CAST((doc_id * 7) % 256 AS DOUBLE)  AS chan_g,
+                   CAST((doc_id * 13) % 256 AS DOUBLE) AS chan_b,
+                   CAST(0.0 AS DOUBLE) AS std_r,
+                   CAST(3 + doc_id % 4 AS DOUBLE)
+                       / (CASE doc_id % 3 WHEN 0 THEN 1
+                          WHEN 1 THEN 2 ELSE 8 END)    AS aspect,
+                   true AS hist_solid
+            FROM documents
         """,
         # Closed forms for the flat grayscale baseline-JPEG payloads
         # (real from-spec Huffman+IDCT decode on the Spark side; the

@@ -31,6 +31,15 @@ for them:
   YCbCr. Arithmetic-coded/hierarchical/12-bit streams reject to the
   err channel.
 
+* **GIF** (r8, `datapipe/gif.py`) — LZW, palettes, transparency,
+  disposal compositing, interlace, animated multi-frame.
+
+* **BMP / ICO** (r8) — the favicon formats: uncompressed DIBs at
+  1/4/8-bit palette and 24/32-bit truecolor, bottom-up/top-down rows,
+  and the ICO container (largest entry wins; PNG-compressed entries
+  route through the PNG decoder, classic entries are doubled-height
+  DIBs).
+
 Remaining compressed formats (video/MP4, WebP/AVIF) still require
 external codecs and surface as NotImplementedError (or a parse
 ValueError) through the stages' err channel.
@@ -51,6 +60,8 @@ WAV_TYPES = frozenset({"audio/wav", "audio/x-wav", "audio/wave"})
 PNG_TYPES = frozenset({"image/png"})
 JPEG_TYPES = frozenset({"image/jpeg", "image/jpg"})
 GIF_TYPES = frozenset({"image/gif"})
+BMP_TYPES = frozenset({"image/bmp", "image/x-ms-bmp"})
+ICO_TYPES = frozenset({"image/x-icon", "image/vnd.microsoft.icon"})
 
 _WS = b" \t\r\n\x0b\x0c"
 
@@ -361,6 +372,169 @@ def encode_png(img: np.ndarray) -> bytes:
 FEAT_DIM = 32
 
 
+
+
+# --------------------------- BMP / ICO (favicons) ---------------------------
+
+BMP_MAX_PIXELS = 1 << 26
+
+
+def _parse_dib(data: bytes, off: int, is_ico: bool = False) -> np.ndarray:
+    """Decode a DIB (BITMAPINFOHEADER or newer) at ``off`` to
+    (h, w, 3) uint8 RGB. Covers the uncompressed baseline a crawler
+    meets in practice: 1/4/8-bit palette, 24/32-bit truecolor,
+    bottom-up and top-down rows, 4-byte row padding, BI_RGB plus
+    BI_BITFIELDS accepted with the standard channel order (nonstandard
+    masks decode with standard order rather than erroring — wrong hues
+    beat a dead task for feature extraction). For ICO entries the
+    stored height is doubled (XOR image + AND mask; the mask is
+    ignored — features need RGB). Pixel offsets are computed from the
+    header sizes, never trusted from the file header. ValueError-only
+    error contract, pixel cap before allocation (PNG discipline)."""
+    if off + 40 > len(data):
+        raise ValueError("bmp: truncated DIB header")
+    (hsz, w, h, _planes, bpp, comp, _imgsz, _xppm, _yppm,
+     nclr, _nimp) = struct.unpack("<IiihhIIiiII", data[off:off + 40])
+    if hsz < 40:
+        raise ValueError("bmp: unsupported DIB header size")
+    if is_ico:
+        if h % 2:
+            raise ValueError("ico: odd doubled height")
+        h //= 2
+    topdown = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("bmp: non-positive dimensions")
+    if w * h > BMP_MAX_PIXELS:
+        raise ValueError(f"bmp: {w}x{h} exceeds the decoder pixel cap "
+                         f"({BMP_MAX_PIXELS})")
+    if comp not in (0, 3):              # BI_RGB / BI_BITFIELDS
+        raise ValueError(f"bmp: unsupported compression {comp}")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ValueError(f"bmp: unsupported bit depth {bpp}")
+    pal_off = off + hsz
+    pal = None
+    if bpp <= 8:
+        n = nclr or (1 << bpp)
+        if n > 1 << bpp:
+            raise ValueError("bmp: palette larger than depth allows")
+        if pal_off + 4 * n > len(data):
+            raise ValueError("bmp: truncated palette")
+        raw = np.frombuffer(data[pal_off:pal_off + 4 * n],
+                            np.uint8).reshape(n, 4)
+        pal = raw[:, [2, 1, 0]].copy()          # BGRX -> RGB
+        pal_off += 4 * n
+    elif comp == 3 and hsz == 40:
+        pal_off += 12                   # legacy out-of-header masks
+    px_off = pal_off
+    stride = ((w * bpp + 31) // 32) * 4
+    need = stride * h
+    if px_off + need > len(data):
+        raise ValueError("bmp: truncated pixel data")
+    rows = np.frombuffer(data[px_off:px_off + need],
+                         np.uint8).reshape(h, stride)
+    if not topdown:
+        rows = rows[::-1]
+    if bpp == 24:
+        return np.ascontiguousarray(
+            rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1])
+    if bpp == 32:
+        return np.ascontiguousarray(
+            rows[:, :w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]])
+    bits = np.unpackbits(rows, axis=1)
+    if bpp == 1:
+        idx = bits[:, :w]
+    elif bpp == 4:
+        idx = (bits.reshape(h, -1, 4)
+               * np.array([8, 4, 2, 1], np.uint8)).sum(axis=2)[:, :w]
+    else:
+        idx = rows[:, :w]
+    idx = idx.astype(np.int64)
+    if int(idx.max()) >= len(pal):
+        raise ValueError("bmp: pixel index outside palette")
+    return pal[idx]
+
+
+def parse_bmp(data: bytes) -> np.ndarray:
+    if len(data) < 14 or data[:2] != b"BM":
+        raise ValueError("bmp: bad signature")
+    return _parse_dib(data, 14)
+
+
+def parse_ico(data: bytes) -> np.ndarray:
+    """Decode the LARGEST image of an ICO container (the favicon
+    format a crawler actually meets): PNG-compressed entries route
+    through :func:`parse_png`; classic entries are doubled-height
+    DIBs (see ``_parse_dib``)."""
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("ico: bad signature")
+    n = struct.unpack("<H", data[4:6])[0]
+    if n == 0:
+        raise ValueError("ico: no images")
+    if 6 + 16 * n > len(data):
+        raise ValueError("ico: truncated directory")
+    best = None
+    for i in range(n):
+        e = data[6 + 16 * i: 6 + 16 * (i + 1)]
+        bw, bh = e[0] or 256, e[1] or 256
+        size, eoff = struct.unpack("<II", e[8:16])
+        if best is None or bw * bh > best[0]:
+            best = (bw * bh, eoff, size)
+    _, eoff, size = best
+    if eoff + size > len(data) or size < 8:
+        raise ValueError("ico: entry outside file")
+    body = data[eoff:eoff + size]
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        return parse_png(body)
+    return _parse_dib(data, eoff, is_ico=True)
+
+
+def encode_bmp(img: np.ndarray, topdown: bool = False) -> bytes:
+    """24-bit BMP test encoder (independent spec assembly)."""
+    h, w = img.shape[:2]
+    stride = ((w * 24 + 31) // 32) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = img[:, :, ::-1].reshape(h, w * 3)
+    body = rows if topdown else rows[::-1]
+    dib = struct.pack("<IiihhIIiiII", 40, w, -h if topdown else h, 1,
+                      24, 0, stride * h, 2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + stride * h, 0, 0, off)
+    return hdr + dib + bytes(body.tobytes())
+
+
+def encode_bmp_pal8(idx: np.ndarray, pal: np.ndarray) -> bytes:
+    """8-bit palette BMP test encoder."""
+    h, w = idx.shape
+    stride = ((w * 8 + 31) // 32) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w] = idx
+    palbytes = np.zeros((len(pal), 4), np.uint8)
+    palbytes[:, :3] = np.asarray(pal, np.uint8)[:, ::-1]
+    dib = struct.pack("<IiihhIIiiII", 40, w, h, 1, 8, 0, stride * h,
+                      2835, 2835, len(pal), 0)
+    off = 14 + 40 + 4 * len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + stride * h, 0, 0, off)
+    return hdr + dib + palbytes.tobytes() + bytes(rows[::-1].tobytes())
+
+
+def encode_ico_bmp(img: np.ndarray) -> bytes:
+    """Classic single-entry ICO test encoder: 32-bit DIB with doubled
+    height and an empty AND mask."""
+    h, w = img.shape[:2]
+    rows = np.zeros((h, w, 4), np.uint8)
+    rows[:, :, :3] = img[:, :, ::-1]
+    rows[:, :, 3] = 255
+    xor = rows[::-1].tobytes()
+    mask = bytes((((w + 31) // 32) * 4) * h)
+    dib = struct.pack("<IiihhIIiiII", 40, w, 2 * h, 1, 32, 0,
+                      len(xor) + len(mask), 0, 0, 0, 0)
+    body = dib + xor + mask
+    entry = bytes([w % 256, h % 256, 0, 0]) + struct.pack(
+        "<HHII", 1, 32, len(body), 22)
+    return b"\x00\x00\x01\x00\x01\x00" + entry + body
+
+
 def image_features(img: np.ndarray) -> np.ndarray:
     """32 deterministic features from real pixels: 8-bin normalized
     histogram per channel (24) + per-channel mean/std (6) + log-area +
@@ -433,6 +607,10 @@ def real_decode_features(payload: bytes, media_type: str) -> np.ndarray:
         # features come from the FIRST rendered frame (what a viewer
         # shows for a still; the poster frame for an animation)
         return image_features(parse_gif(payload)[0])
+    if media_type in BMP_TYPES:
+        return image_features(parse_bmp(payload))
+    if media_type in ICO_TYPES:
+        return image_features(parse_ico(payload))
     if media_type in WAV_TYPES:
         return audio_features(*parse_wav(payload))
     raise NotImplementedError(
