@@ -412,7 +412,7 @@ def _est_replay_events(wh: Warehouse, base_round, upto_round: int,
         ri = info.get(r)
         if ri is None or ri.get("empty"):
             continue
-        if ri.get("phase") in ("init", "recrawl"):
+        if ri.get("phase") in ("init", "recrawl", "sitemap"):
             # these write a BASE, never deltas/removals (and a base at
             # r would have been picked as base_round anyway)
             continue
@@ -470,7 +470,7 @@ def _est_host_stats_rows(wh: Warehouse, upto_round: int,
     for r in range(start, upto_round + 1):
         ri = info.get(r)
         if ri is None or ri.get("empty") or \
-                ri.get("phase") in ("init", "recrawl"):
+                ri.get("phase") in ("init", "recrawl", "sitemap"):
             continue
         if "batch" not in ri:
             return base_est + _parquet_rows(delta_paths)
