@@ -1169,6 +1169,11 @@ def main():
     ap.add_argument("--recrawl-max-age", type=float, default=None,
                     help="after the crawl, re-open fetched URLs older "
                          "than this many seconds as a maintenance round")
+    ap.add_argument("--seed-sitemaps", action="store_true",
+                    help="after the crawl, discover sitemap URLs for "
+                         "the frontier's hosts (robots Sitemap lines, "
+                         "sitemapindex one level) and seed the unseen "
+                         "ones as a maintenance round")
     ap.add_argument("--broadcast-max-est-rows", type=int, default=None,
                     help="row-estimate bound above which the replay/"
                          "aux joins drop their broadcast hints and "
@@ -1195,6 +1200,11 @@ def main():
         n = schedule_recrawl(spark, wh, wh.last_committed_round(),
                              args.recrawl_max_age)
         print({"phase": "recrawl", "reopened": n})
+    if args.seed_sitemaps:
+        from jsonextract_spark.crawl.sitemaps import seed_from_sitemaps
+        wh = Warehouse(args.warehouse)
+        n = seed_from_sitemaps(spark, wh, wh.last_committed_round())
+        print({"phase": "sitemap", "seeded": n})
 
 
 if __name__ == "__main__":
