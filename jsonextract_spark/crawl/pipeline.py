@@ -1169,11 +1169,19 @@ def main():
     ap.add_argument("--recrawl-max-age", type=float, default=None,
                     help="after the crawl, re-open fetched URLs older "
                          "than this many seconds as a maintenance round")
+    ap.add_argument("--live", action="store_true",
+                    help="crawl live HTTP (fetch_http kernel + real "
+                         "robots provider) instead of the synthetic "
+                         "corpus; --seeds-url is then required")
+    ap.add_argument("--seeds-url", action="append", default=None,
+                    help="explicit seed URL for --live (repeatable)")
     ap.add_argument("--seed-sitemaps", action="store_true",
                     help="after the crawl, discover sitemap URLs for "
                          "the frontier's hosts (robots Sitemap lines, "
                          "sitemapindex one level) and seed the unseen "
-                         "ones as a maintenance round")
+                         "ones as a maintenance round; requires "
+                         "--live (the synthetic corpus has no real "
+                         "hosts to fetch sitemaps from)")
     ap.add_argument("--broadcast-max-est-rows", type=int, default=None,
                     help="row-estimate bound above which the replay/"
                          "aux joins drop their broadcast hints and "
@@ -1185,11 +1193,29 @@ def main():
     if args.broadcast_max_est_rows is not None:
         BROADCAST_MAX_EST_ROWS = args.broadcast_max_est_rows
 
+    if args.seed_sitemaps and not args.live:
+        ap.error("--seed-sitemaps requires --live (synthetic hosts "
+                 "have no sitemaps to fetch)")
+    if args.live and not args.seeds_url:
+        ap.error("--live requires at least one --seeds-url")
+
     from jsonextract_spark.session import build_session
     spark = build_session("jsx-crawl", master=args.master)
+    fetch_kernel = robots_provider = None
+    seed_list = None
+    if args.live:
+        from jsonextract_spark.crawl.fetch_http import (
+            make_fetch_extract_kernel, make_robots_provider)
+        fetch_kernel = make_fetch_extract_kernel(
+            hot_hosts=args.hot_host)
+        robots_provider = make_robots_provider(
+            cache_path=os.path.join(args.warehouse, "robots_cache"))
+        seed_list = args.seeds_url
     stats = run_crawl(spark, args.warehouse, args.rounds, args.seeds,
                       args.host_budget, args.batch_size,
                       resume=args.resume, filter_kind=args.filter_kind,
+                      seeds=seed_list, fetch_kernel=fetch_kernel,
+                      robots_provider=robots_provider,
                       default_delay_sec=args.default_delay_sec,
                       hot_hosts=args.hot_host)
     for s in stats:

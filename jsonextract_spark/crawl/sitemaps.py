@@ -35,8 +35,11 @@ import pandas as pd
 SITEMAP_MAX_BYTES = 8 << 20      # decompressed cap per sitemap doc
 SITEMAP_MAX_URLS = 50_000        # protocol max per sitemap
 
-_LOC_RE = re.compile(rb"<loc>\s*(.*?)\s*</loc>", re.DOTALL)
-_SMBLOCK_RE = re.compile(rb"<sitemap[\s>].*?</sitemap>", re.DOTALL)
+# [^<]-bounded: a <loc> value cannot contain '<', so the pattern
+# never backtracks across tags — the earlier non-greedy '.*?' form
+# rescanned to EOF per match on unclosed-tag garbage, a measured
+# QUADRATIC executor-side CPU DoS (~hours at the 8MB cap; review r8)
+_LOC_RE = re.compile(rb"<loc>\s{0,64}([^<]{1,4096}?)\s{0,64}</loc>")
 _ENT = {b"&amp;": b"&", b"&lt;": b"<", b"&gt;": b">",
         b"&quot;": b'"', b"&apos;": b"'"}
 
@@ -70,18 +73,37 @@ def extract_sitemap_locs(data: bytes,
     URL (``<urlset>``). Tolerant of junk around/between elements by
     construction — the scan only ever matches the two patterns."""
     data = _maybe_gunzip(data[:SITEMAP_MAX_BYTES + (2 << 20)])
-    children: list[str] = []
+    # LINEAR block scan via C-speed find (no regex over block bodies):
+    # an UNCLOSED <sitemap> block extends to EOF for classification —
+    # a size-capped index truncated mid-block must not reclassify its
+    # dangling <loc> (a sitemap URL) as a PAGE url and seed the XML
+    # file itself into the crawl frontier (review r8)
     spans = []
-    for m in _SMBLOCK_RE.finditer(data):
-        spans.append(m.span())
-        for lm in _LOC_RE.finditer(m.group(0)):
-            if len(children) < limit:
-                children.append(_unescape(lm.group(1)))
-    pages: list[str] = []
-    for m in _LOC_RE.finditer(data):
-        if any(a <= m.start() < b for a, b in spans):
+    pos = 0
+    while True:
+        a = data.find(b"<sitemap", pos)
+        if a < 0:
+            break
+        nxt = a + 8
+        if nxt < len(data) and data[nxt:nxt + 1] not in (
+                b">", b" ", b"\t", b"\r", b"\n"):
+            pos = nxt        # <sitemapindex ...> etc: not a block
             continue
-        if len(pages) < limit:
+        b = data.find(b"</sitemap>", a)
+        end = len(data) if b < 0 else b + 10
+        spans.append((a, end))
+        pos = end
+    children: list[str] = []
+    pages: list[str] = []
+    si = 0
+    for m in _LOC_RE.finditer(data):
+        while si < len(spans) and spans[si][1] <= m.start():
+            si += 1
+        inside = si < len(spans) and spans[si][0] <= m.start()
+        if inside:
+            if len(children) < limit:
+                children.append(_unescape(m.group(1)))
+        elif len(pages) < limit:
             pages.append(_unescape(m.group(1)))
     return pages, children
 
@@ -125,13 +147,14 @@ def make_sitemap_source(timeout_sec: float = 10.0,
                     origin + "/robots.txt", timeout_sec, max_bytes)
                 roots = sitemap_urls_from_robots(
                     body if status == 200 else b"", origin)
-                queue = roots[:max_sitemaps_per_host]
+                queue = [(u, True)
+                         for u in roots[:max_sitemaps_per_host]]
                 budget = max_urls_per_host
                 fetched = 0
                 while queue and budget > 0 and \
                         fetched < max_sitemaps_per_host + \
                         max_children_per_index:
-                    sm_url = queue.pop(0)
+                    sm_url, is_root = queue.pop(0)
                     fetched += 1
                     status, body, _err = _fetch_one(
                         sm_url, timeout_sec, max_bytes)
@@ -145,8 +168,12 @@ def make_sitemap_source(timeout_sec: float = 10.0,
                         hosts_out.append(host)
                         urls_out.append(u)
                     budget -= min(len(pages), budget)
-                    # one index level, per the protocol
-                    queue.extend(children[:max_children_per_index])
+                    if is_root:
+                        # ONE index level, per the protocol: children
+                        # of children are never enqueued
+                        queue.extend(
+                            (c, False)
+                            for c in children[:max_children_per_index])
             if not hosts_out:
                 continue                # empty Arrow batch: skip
             yield pd.DataFrame({"host": hosts_out, "url": urls_out})
@@ -156,13 +183,14 @@ def make_sitemap_source(timeout_sec: float = 10.0,
 
 def seed_from_sitemaps(spark, wh, after_round: int,
                        source_kernel=None,
-                       hosts: "pd.DataFrame | None" = None) -> int:
+                       hosts=None) -> int:
     """Maintenance round: discover sitemap URLs for the frontier's
     hosts (or an explicit (host, url) origin table), seen-gate them,
     and append the survivors to the frontier as a new full base at
     ``after_round + 1`` with ``is_new=1`` (seen delta) plus a filter
-    merge. Returns the number of NEW urls added (0 = no round
-    consumed)."""
+    merge. ``hosts`` is an optional SPARK DataFrame of (host, url)
+    origin rows replacing the frontier-derived host set. Returns the
+    number of NEW urls added (0 = no round consumed)."""
     from pyspark.sql import functions as F
 
     from jsonextract_spark.crawl import seen as seen_mod
@@ -176,8 +204,21 @@ def seed_from_sitemaps(spark, wh, after_round: int,
         source_kernel = make_sitemap_source()
     frontier = load_frontier(spark, wh, after_round)
     if hosts is None:
-        hosts = (frontier.groupBy("host")
-                 .agg(F.min("url").alias("url")))
+        # discovery candidates = PENDING hosts ∪ CRAWLED hosts (a
+        # fully-drained host has an empty frontier but its sitemaps
+        # are exactly what would refill it); the fetched ledger
+        # supplies a sample URL per crawled host
+        cand = frontier.select("host", "url")
+        fetched_dirs = [wh._path("fetched", r["round"])
+                        for r in wh.ledger()["rounds"]
+                        if r.get("status") == "committed"
+                        and not r.get("empty")
+                        and wh.exists("fetched", r["round"])]
+        if fetched_dirs:
+            led = (spark.read.parquet(*fetched_dirs)
+                   .select("host", "url"))
+            cand = cand.unionByName(led)
+        hosts = cand.groupBy("host").agg(F.min("url").alias("url"))
     raw = hosts.mapInPandas(source_kernel, "host string, url string")
     ident = (raw.withColumn("_uid", url_identity_udf(F.col("url")))
              .filter(F.col("_uid.url").isNotNull())

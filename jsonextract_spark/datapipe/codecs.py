@@ -424,8 +424,15 @@ def _parse_dib(data: bytes, off: int, is_ico: bool = False) -> np.ndarray:
                             np.uint8).reshape(n, 4)
         pal = raw[:, [2, 1, 0]].copy()          # BGRX -> RGB
         pal_off += 4 * n
-    elif comp == 3 and hsz == 40:
-        pal_off += 12                   # legacy out-of-header masks
+    else:
+        if comp == 3 and hsz == 40:
+            pal_off += 12               # legacy out-of-header masks
+        # truecolor BMPs may still carry an OPTIONAL color table as a
+        # palette-optimization hint (biClrUsed > 0) — pixel data
+        # starts after it; ignoring it read rows from the wrong
+        # offset and silently decoded garbage with ok=true
+        # (review r8, reproduced)
+        pal_off += 4 * nclr
     px_off = pal_off
     stride = ((w * bpp + 31) // 32) * 4
     need = stride * h

@@ -203,12 +203,19 @@ class _BitReader:
         # like a list at 4 bytes/entry — a list of Python ints costs
         # ~28 bytes/entry, a ~40x amplification of the entropy segment
         # that 32 parallel megapixel decodes would multiply into GBs
-        # of uncounted allocation (review r8)
-        import array as _array
-        self.w32_arr = _array.array("I", w32.tobytes())
+        # of uncounted allocation (review r8). Built LAZILY: the
+        # progressive/general paths read only the numpy window, so
+        # they skip the conversion and the second copy entirely.
+        self._w32_arr = None
         self.total_bits = 8 * len(seg)
         self.p = 0
         self.pos = end
+
+    def w32_mirror(self):
+        if self._w32_arr is None:
+            import array as _array
+            self._w32_arr = _array.array("I", self.w32.tobytes())
+        return self._w32_arr
 
     def peek16(self):
         p = self.p
@@ -488,14 +495,14 @@ def _scan_blocks_baseline_fast(br, st, order, huff_dc, huff_ac, ri):
             raise ValueError("jpeg: missing Huffman table")
         plan.append((c, dct.lut16_l, act.lut16_l))
     zzr, zzc = _ZZ_R, _ZZ_C
-    w32 = br.w32_arr
+    w32 = br.w32_mirror()
     p = br.p
     total = br.total_bits
     for mi in range(n_units):
         if ri and mi and mi % ri == 0:
             br.p = p
             _restart(br, order)
-            w32 = br.w32_arr
+            w32 = br.w32_mirror()
             p = br.p
             total = br.total_bits
         my, mx = divmod(mi, n_units_x)

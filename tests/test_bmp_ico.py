@@ -83,3 +83,21 @@ def test_feature_dispatch():
         f = C.real_decode_features(payload, mtype)
         assert abs(float(f[24]) * 255 - 100.0) < 1e-4
         assert float(f[27]) == 0.0
+
+
+def test_bmp_truecolor_optional_color_table():
+    """Review r8 (reproduced): a spec-legal 24-bit BMP with
+    biClrUsed=16 carries a 64-byte optional color table before the
+    pixel data; ignoring it decoded shifted garbage with ok=True."""
+    img = np.random.RandomState(3).randint(
+        0, 256, (5, 6, 3)).astype(np.uint8)
+    h, w = img.shape[:2]
+    stride = ((w * 24 + 31) // 32) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = img[:, :, ::-1].reshape(h, w * 3)
+    dib = struct.pack("<IiihhIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                      0, 0, 16, 0)
+    off = 14 + 40 + 64
+    hdr = b"BM" + struct.pack("<IHHI", off + stride * h, 0, 0, off)
+    data = hdr + dib + bytes(64) + bytes(rows[::-1].tobytes())
+    assert np.array_equal(C.parse_bmp(data), img)

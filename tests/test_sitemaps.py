@@ -173,3 +173,25 @@ def test_seed_from_sitemaps_round(spark, tmp_path):
               P.crawl_order(spark, wdir)
               .filter("batch_id = 4").collect()}
     assert popped & (set(fresh_urls) | set(known) | got)
+
+
+def test_extract_locs_hostile_linear_and_truncation_classes():
+    """Review r8 (reproduced): the non-greedy block regex was
+    QUADRATIC on unclosed-tag garbage (~hours at the 8MB cap). The
+    linear scanner must stay fast, and a <sitemap> block left
+    unclosed by truncation must classify its locs as CHILDREN (index
+    entries), never page urls — otherwise the sitemap XML file itself
+    gets seeded into the crawl frontier."""
+    import time
+
+    hostile = b"<sitemap>" * 20000 + b"<loc>x</loc>"
+    t0 = time.time()
+    pages, children = SM.extract_sitemap_locs(hostile)
+    assert time.time() - t0 < 2.0        # catastrophe-only margin
+    assert pages == [] and children == ["x"]
+
+    truncated = (b"<urlset><url><loc>https://ex.com/p</loc></url>"
+                 b"</urlset><sitemap><loc>https://ex.com/sm.xml</loc>")
+    pages, children = SM.extract_sitemap_locs(truncated)
+    assert pages == ["https://ex.com/p"]
+    assert children == ["https://ex.com/sm.xml"]
