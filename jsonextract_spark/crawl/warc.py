@@ -1,0 +1,186 @@
+"""WARC/1.0 source + sink (ISO 28500, the Common-Crawl interchange
+format) — dependency-free.
+
+Sink: ``write_warc`` streams a pages DataFrame into per-partition
+``part-NNNNN.warc.gz`` shards via ``mapInPandas`` — each record is an
+independent gzip member (the WARC convention that makes records
+seekable and shards concatenable, and exactly how Common Crawl ships
+its corpus). One shard per Spark partition: shard count and size
+follow the upstream partitioning, so a repartition before the write
+is the shard-size knob; no driver-side I/O anywhere.
+
+Source: ``read_warc`` lists the shards with Spark's ``binaryFile``
+source (shards are record-streams, not splittable mid-member, so
+whole-file reads are the correct granularity — size shards via the
+write-side partitioning) and parses members executor-side back into
+``(url, warc_ts, payload)`` rows. The parser walks gzip members with
+``zlib.decompressobj`` (``unused_data`` marks each member boundary),
+caps per-record inflation (the bomb discipline every untrusted-bytes
+parser here follows), and accepts both our canonical records and
+plain concatenated-gzip WARCs from other writers; malformed members
+raise ValueError per file (a corrupt shard fails loudly — silently
+dropping records from a corpus is worse).
+
+Records are ``WARC-Type: response`` with the payload stored verbatim
+as the block (``Content-Type: application/octet-stream``; we archive
+the fetched body bytes, not a reconstructed HTTP envelope).
+``WARC-Target-URI`` and ``WARC-Date`` (ISO-8601, microseconds) carry
+the columns; ``Content-Length`` is the exact block byte count per the
+spec.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import uuid
+import zlib
+from datetime import datetime, timezone
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+WARC_MAX_RECORD_BYTES = 64 << 20     # per-record inflation cap
+
+_CRLF = b"\r\n"
+
+
+def warc_record(url: str, ts: datetime, payload: bytes) -> bytes:
+    """One uncompressed WARC/1.0 response record (headers + block +
+    the spec's two trailing CRLFs)."""
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    date = ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Record-ID: <urn:uuid:"
+        + str(uuid.uuid5(uuid.NAMESPACE_URL, url + date)).encode()
+        + b">" + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Date: " + date.encode() + _CRLF
+        + b"Content-Type: application/octet-stream" + _CRLF
+        + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+        + _CRLF)
+    return headers + payload + _CRLF + _CRLF
+
+
+def write_warc(pages, path: str,
+               url_col: str = "url", ts_col: str = "warc_ts",
+               payload_col: str = "html"):
+    """Write ``pages`` as gzip-member WARC shards under ``path``;
+    returns a (shard, records, bytes) DataFrame (the write manifest —
+    collecting it is what triggers the job)."""
+    os.makedirs(path, exist_ok=True)
+
+    def kernel(batches: Iterable[pd.DataFrame]
+               ) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        shard = os.path.join(path, f"part-{pid:05d}.warc.gz")
+        tmp = shard + f".tmp-{uuid.uuid4().hex[:8]}"
+        n = 0
+        with open(tmp, "wb") as f:
+            for pdf in batches:
+                for url, ts, payload in zip(pdf[url_col], pdf[ts_col],
+                                            pdf[payload_col]):
+                    rec = warc_record(str(url), ts.to_pydatetime(),
+                                      bytes(payload or b""))
+                    # one gzip member per record (seekable/cat-able)
+                    f.write(gzip.compress(rec))
+                    n += 1
+        if n == 0:
+            os.remove(tmp)
+            return
+        os.replace(tmp, shard)          # atomic per shard
+        yield pd.DataFrame({"shard": [shard], "records": [n],
+                            "bytes": [os.path.getsize(shard)]})
+
+    return pages.mapInPandas(kernel,
+                             "shard string, records long, bytes long")
+
+
+def _iter_members(data: bytes) -> Iterator[bytes]:
+    """Decompress concatenated gzip members with a per-member
+    inflation cap."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(data[pos:], WARC_MAX_RECORD_BYTES + 1)
+        except zlib.error as e:
+            raise ValueError(f"warc: bad gzip member ({e})") from None
+        if len(out) > WARC_MAX_RECORD_BYTES:
+            raise ValueError("warc: record exceeds the inflation cap")
+        while not d.eof:
+            if not d.unconsumed_tail:
+                raise ValueError("warc: truncated gzip member")
+            extra = d.decompress(d.unconsumed_tail,
+                                 WARC_MAX_RECORD_BYTES + 1 - len(out))
+            out += extra
+            if len(out) > WARC_MAX_RECORD_BYTES:
+                raise ValueError("warc: record exceeds the inflation "
+                                 "cap")
+        yield out
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("warc: gzip member consumed no bytes")
+        pos += consumed
+
+
+def parse_warc_member(rec: bytes):
+    """One uncompressed record -> (url, warc_date_str, payload) or
+    None for non-response records (warcinfo etc.)."""
+    sep = rec.find(_CRLF + _CRLF)
+    if sep < 0 or not rec.startswith(b"WARC/"):
+        raise ValueError("warc: malformed record header")
+    headers = {}
+    for line in rec[:sep].split(_CRLF)[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower()] = v.strip()
+    try:
+        length = int(headers[b"content-length"])
+    except (KeyError, ValueError):
+        raise ValueError("warc: missing/bad Content-Length") from None
+    body = rec[sep + 4: sep + 4 + length]
+    if len(body) != length:
+        raise ValueError("warc: truncated record block")
+    if headers.get(b"warc-type") != b"response":
+        return None
+    url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+    date = headers.get(b"warc-date", b"").decode("ascii", "replace")
+    return url, date, body
+
+
+def read_warc(spark, path_glob: str):
+    """WARC shards -> DataFrame(url, warc_ts timestamp, payload
+    binary). Uses the binaryFile source for listing/distribution and
+    parses members executor-side."""
+    files = spark.read.format("binaryFile").load(path_glob) \
+        .select("path", "content")
+
+    def kernel(batches: Iterable[pd.DataFrame]
+               ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, dates, payloads = [], [], []
+            for content in pdf["content"]:
+                for rec in _iter_members(bytes(content)):
+                    parsed = parse_warc_member(rec)
+                    if parsed is None:
+                        continue
+                    url, date, body = parsed
+                    urls.append(url)
+                    dates.append(date)
+                    payloads.append(body)
+            if not urls:
+                continue
+            ts = pd.to_datetime(pd.Series(dates),
+                                format="%Y-%m-%dT%H:%M:%S.%fZ",
+                                utc=True).dt.tz_localize(None)
+            yield pd.DataFrame({"url": urls, "warc_ts": ts,
+                                "payload": payloads})
+
+    return files.mapInPandas(
+        kernel, "url string, warc_ts timestamp, payload binary")
