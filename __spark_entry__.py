@@ -1039,6 +1039,109 @@ def _q_frontier_state(spark, sf_dir):
                     F.col("priority").cast("double").alias("priority")))
 
 
+_WARC_N = 400
+_WARC_BASE_US = 1_755_000_000_000_000    # 2025-08-12T11:20:00Z in µs
+
+
+def _warc_dir(sf_dir: str) -> str:
+    return ("/tmp/jsx_entry_warc_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _q_warc(spark, sf_dir):
+    """Full WARC sink→source roundtrip (crawl/warc.py:69,157) against
+    a closed-form oracle: pages are a pure function of the row id
+    (url, µs-precision timestamp, repeated-text payload), written as
+    gzip-member WARC shards and read back via the binaryFile member
+    walk. The query returns sha256 + byte length of every payload and
+    the exact epoch-µs timestamp; the oracle recomputes all of it from
+    the generating function in DuckDB — any byte or microsecond the
+    shard format drops or mangles breaks the hash."""
+    import shutil
+
+    from jsonextract_spark.crawl import warc as W
+
+    out = _warc_dir(sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    pages = spark.range(_WARC_N).select(
+        F.concat(F.lit("https://w"), F.col("id") % 7,
+                 F.lit(".example/p/"), "id").alias("url"),
+        F.timestamp_micros(
+            F.lit(_WARC_BASE_US) + F.col("id") * 1000003
+        ).alias("warc_ts"),
+        F.encode(F.repeat(
+            F.concat(F.lit("page "), "id", F.lit(" of w"),
+                     F.col("id") % 7, F.lit(";")),
+            (F.col("id") % 5 + 1).cast("int")), "utf-8").alias("html"))
+    W.write_warc(pages.repartition(4), out).collect()
+    back = W.read_warc(spark, out + "/*.warc.gz")
+    return back.select(
+        "url",
+        F.unix_micros("warc_ts").alias("ts_us"),
+        F.sha2("payload", 256).alias("payload_sha"),
+        F.length("payload").cast("bigint").alias("payload_len"))
+
+
+def _sitemap_wh(sf_dir: str) -> str:
+    return ("/tmp/jsx_entry_sitemap_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+
+
+# deterministic page ids the fake sitemap advertises as NEW: far
+# outside the crawled neighborhood; the already-seen half comes from
+# synth.seed_urls (round-0 seeds are in the seen set by construction,
+# so the seen gate must drop them)
+_SITEMAP_NEW_IDS = tuple(range(80000, 80060))
+
+
+def _q_sitemap_seed(spark, sf_dir):
+    """Sitemap-seeded crawl (crawl/sitemaps.py:184) vs the frontier
+    event-replay oracle. A 2-round synthetic crawl runs; a
+    deterministic sitemap source then advertises 10 already-seen page
+    urls (gated away) and 60 new ones, which seed_from_sitemaps writes
+    as a fresh full frontier base at round 3 (is_new=1 doubling as the
+    seen delta); the crawl then RESUMES through rounds 4-5 so the
+    seeded urls get popped, removed, and re-linked like any others.
+    The query returns the final reconstructed frontier; the oracle
+    replays base-at-3 + later deltas + fetched-ledger removals in
+    DuckDB — if the sitemap base, the seen gate, or the post-seed
+    resume ever diverge from the delta algebra, the pending sets
+    differ."""
+    from jsonextract_spark.crawl import synth
+    from jsonextract_spark.crawl.pipeline import load_frontier, run_crawl
+    from jsonextract_spark.crawl.sitemaps import seed_from_sitemaps
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    wh_dir = _sitemap_wh(sf_dir)
+    run_crawl(spark, wh_dir, rounds=2, n_seeds=40, host_budget=4,
+              batch_size=120)
+    wh = Warehouse(wh_dir)
+
+    urls = (synth.seed_urls(40)[:10]
+            + [synth.url_of(i) for i in _SITEMAP_NEW_IDS])
+
+    def source_kernel(batches):
+        import pandas as pd
+        emitted = False
+        for pdf in batches:
+            if emitted or not len(pdf):
+                continue
+            emitted = True      # one copy per partition; deduped later
+            yield pd.DataFrame({
+                "host": [u.split("/")[2] for u in urls], "url": urls})
+
+    n = seed_from_sitemaps(spark, wh, 2, source_kernel=source_kernel)
+    # the synthetic link graph may have organically reached a few of
+    # the "new" ids already — the invariant is the gate itself: every
+    # round-0 seed is dropped (n < 70) and most new ids survive
+    assert 0 < n <= len(_SITEMAP_NEW_IDS), n
+    run_crawl(spark, wh_dir, rounds=5, host_budget=4, batch_size=120,
+              resume=True)
+    return (load_frontier(spark, wh, wh.last_committed_round())
+            .select("url_hash", F.col("depth").cast("int").alias("depth"),
+                    F.col("priority").cast("double").alias("priority")))
+
+
 # -- wrapping-64-bit hash oracles in pure DuckDB SQL -------------------------
 #
 # DuckDB integer ops raise on overflow instead of wrapping, which is
@@ -1303,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_sample": _q_frame_sample,
         "q_host_stats": _q_host_stats,
         "q_frontier_state": _q_frontier_state,
+        "q_warc": _q_warc,
+        "q_sitemap_seed": _q_sitemap_seed,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -1819,6 +1924,59 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT url_hash, CAST(round AS BIGINT) * 2, NULL, NULL
                 FROM read_parquet('{_frontier_wh(os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+                ))}/fetched/*/*.parquet', hive_partitioning = true)
+            )
+            SELECT url_hash,
+                   CAST(arg_max(depth, ev) AS INT) AS depth,
+                   arg_max(priority, ev) AS priority
+            FROM ev GROUP BY url_hash HAVING max(ev) % 2 = 1
+        """,
+        # Closed-form restatement of the WARC roundtrip's source table:
+        # the pages are a pure function of the row id, so the oracle
+        # regenerates url, epoch-µs timestamp, payload sha256 and byte
+        # length without touching the shards — the Spark side earns
+        # equality only if write_warc→read_warc preserves every byte
+        # and microsecond.
+        "q_warc": f"""
+            WITH g AS (SELECT range AS i FROM range(0, {_WARC_N}))
+            SELECT 'https://w' || (i % 7) || '.example/p/' || i AS url,
+                   CAST({_WARC_BASE_US} + i * 1000003 AS BIGINT)
+                       AS ts_us,
+                   sha256(repeat(
+                       'page ' || i || ' of w' || (i % 7) || ';',
+                       CAST(i % 5 + 1 AS INTEGER))) AS payload_sha,
+                   CAST((i % 5 + 1) * length(
+                       'page ' || i || ' of w' || (i % 7) || ';')
+                       AS BIGINT) AS payload_len
+            FROM g
+        """,
+        # q_frontier_state's event replay extended with a sitemap
+        # maintenance round: the full frontier base written at round 3
+        # (old pending rows + the seen-gated sitemap urls) enters the
+        # replay as an addition at ev 2*3+1, superseding every earlier
+        # event; rounds 4-5 contribute deltas (adds) and fetched-ledger
+        # rows (removals) as usual. Pre-base delta/fetched events stay
+        # in the union — they only ever lose to the base for in-base
+        # urls and resolve non-pending urls identically.
+        "q_sitemap_seed": f"""
+            WITH ev AS (
+                SELECT url_hash, CAST(7 AS BIGINT) AS ev, depth,
+                       priority
+                FROM read_parquet('{_sitemap_wh(os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+                ))}/frontier/round=3/*/*.parquet',
+                    hive_partitioning = true)
+                UNION ALL
+                SELECT url_hash, CAST(round AS BIGINT) * 2 + 1, depth,
+                       priority
+                FROM read_parquet('{_sitemap_wh(os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+                ))}/frontier_delta/*/*/*.parquet',
+                    hive_partitioning = true)
+                UNION ALL
+                SELECT url_hash, CAST(round AS BIGINT) * 2, NULL, NULL
+                FROM read_parquet('{_sitemap_wh(os.environ.get(
                     "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
                 ))}/fetched/*/*.parquet', hive_partitioning = true)
             )

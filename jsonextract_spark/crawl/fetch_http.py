@@ -541,79 +541,100 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
             ask = default_delay_sec
         return ask
 
-    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from jsonextract_spark.functions.udfs import (
-            _budget, _links_from_objs)
-        from jsonextract_spark.kernel.scanner import extract_objects_str
+    def _build(archive_dir: str | None = None):
+        def kernel(batches: Iterable[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+            from datetime import datetime, timedelta
 
-        pace = _make_pacer()
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            texts, stamps, sizes = [], [], []
-            blocked, retry = [], []
-            for url, host in zip(pdf["url"], pdf["host"]):
-                allowed, definitive = (robots_verdict(url, ua,
-                                                      timeout_sec)
-                                       if respect_robots
-                                       else (True, True))
-                if not allowed:
-                    body = b""
-                    blocked.append(True)
-                    # non-definitive disallow (robots.txt 5xx /
-                    # unreachable) is TEMPORARY: mark the row for
-                    # retry so the pipeline returns the URL to the
-                    # frontier instead of consuming it — a momentary
-                    # outage must not blackhole a host's batch
-                    retry.append(not definitive)
-                else:
-                    # honor the host's Crawl-delay/Request-rate ask —
-                    # or the politeness floor when robots is silent —
-                    # between consecutive requests to it
-                    pace(host, _ask_for(url, host))
-                    _status, body, _err = _fetch_one(url, timeout_sec,
-                                                     max_bytes)
-                    blocked.append(False)
-                    # transient fetch failures (5xx / no response) are
-                    # retried like temporary robots blocks — the
-                    # pipeline re-frontiers them with a bounded
-                    # attempts count; 4xx is a definitive answer
-                    retry.append(_status == 0 or _status >= 500)
-                    if delay_sec:
-                        time.sleep(delay_sec)
-                sizes.append(len(body))  # bytes fetched, not chars
-                texts.append(body.decode("utf-8", "replace"))
-                stamps.append(time.time())
-            objs = [extract_objects_str(t, work_budget=_budget(len(t)))
-                    for t in texts]
-            yield pd.DataFrame({
-                "url": pdf["url"],
-                # ledger carries the frontier key: the popped rows
-                # double as the frontier-delta removal list
-                "url_hash": pdf["url_hash"],
-                "host": pdf["host"],
-                # whole microseconds: float-seconds ns remainders fail
-                # Arrow's safe cast to timestamp[us]
-                "warc_ts": pd.to_datetime(
-                    [int(s * 1e6) for s in stamps], unit="us"),
-                "text": texts,
-                "lang": "und",
-                "depth": pdf["depth"],
-                "batch_id": pdf["batch_id"],
-                "rank": pdf["rank"],
-                "n_objects": [len(o) for o in objs],
-                "links": [_links_from_objs(o) for o in objs],
-                "bytes": sizes,
-                "blocked": blocked,
-                "retry": retry,
-            })
+            from jsonextract_spark.functions.udfs import (
+                _budget, _links_from_objs)
+            from jsonextract_spark.kernel.scanner import extract_objects_str
 
-    # advertised politeness config — run_crawl inherits these when its
-    # own default_delay_sec/hot_hosts are left unset, keeping the
-    # scheduler's routing/gating in lockstep with the pacer
-    kernel.default_delay_sec = default_delay_sec
-    kernel.hot_hosts = hot
-    return kernel
+            writer = None
+            if archive_dir is not None:
+                from jsonextract_spark.crawl.warc import ShardWriter
+                writer = ShardWriter(archive_dir)
+            pace = _make_pacer()
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                texts, stamps, sizes = [], [], []
+                blocked, retry = [], []
+                for url, host in zip(pdf["url"], pdf["host"]):
+                    allowed, definitive = (robots_verdict(url, ua,
+                                                          timeout_sec)
+                                           if respect_robots
+                                           else (True, True))
+                    if not allowed:
+                        body = b""
+                        blocked.append(True)
+                        # non-definitive disallow (robots.txt 5xx /
+                        # unreachable) is TEMPORARY: mark the row for
+                        # retry so the pipeline returns the URL to the
+                        # frontier instead of consuming it — a momentary
+                        # outage must not blackhole a host's batch
+                        retry.append(not definitive)
+                    else:
+                        # honor the host's Crawl-delay/Request-rate ask —
+                        # or the politeness floor when robots is silent —
+                        # between consecutive requests to it
+                        pace(host, _ask_for(url, host))
+                        _status, body, _err = _fetch_one(url, timeout_sec,
+                                                         max_bytes)
+                        blocked.append(False)
+                        # transient fetch failures (5xx / no response) are
+                        # retried like temporary robots blocks — the
+                        # pipeline re-frontiers them with a bounded
+                        # attempts count; 4xx is a definitive answer
+                        retry.append(_status == 0 or _status >= 500)
+                        if delay_sec:
+                            time.sleep(delay_sec)
+                    sizes.append(len(body))  # bytes fetched, not chars
+                    texts.append(body.decode("utf-8", "replace"))
+                    stamps.append(time.time())
+                    if writer is not None and body:
+                        # archive the bytes AS FETCHED, stamped with the
+                        # exact whole-µs instant the ledger row carries
+                        # (integer µs, matching the warc_ts cast below)
+                        writer.add(url, datetime(1970, 1, 1) + timedelta(
+                            microseconds=int(stamps[-1] * 1e6)), body)
+                objs = [extract_objects_str(t, work_budget=_budget(len(t)))
+                        for t in texts]
+                yield pd.DataFrame({
+                    "url": pdf["url"],
+                    # ledger carries the frontier key: the popped rows
+                    # double as the frontier-delta removal list
+                    "url_hash": pdf["url_hash"],
+                    "host": pdf["host"],
+                    # whole microseconds: float-seconds ns remainders fail
+                    # Arrow's safe cast to timestamp[us]
+                    "warc_ts": pd.to_datetime(
+                        [int(s * 1e6) for s in stamps], unit="us"),
+                    "text": texts,
+                    "lang": "und",
+                    "depth": pdf["depth"],
+                    "batch_id": pdf["batch_id"],
+                    "rank": pdf["rank"],
+                    "n_objects": [len(o) for o in objs],
+                    "links": [_links_from_objs(o) for o in objs],
+                    "bytes": sizes,
+                    "blocked": blocked,
+                    "retry": retry,
+                })
+            if writer is not None:
+                writer.close()
+
+        # advertised politeness config — run_crawl inherits these when
+        # its own default_delay_sec/hot_hosts are left unset, keeping
+        # the scheduler's routing/gating in lockstep with the pacer
+        kernel.default_delay_sec = default_delay_sec
+        kernel.hot_hosts = hot
+        # fetch-time WARC archival: the pipeline rebinds per round via
+        # this attribute (same config, round-specific shard dir)
+        kernel.bind_archive = _build
+        return kernel
+
+    return _build()
 
 
 def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,

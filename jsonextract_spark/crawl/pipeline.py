@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import time
 
 from pyspark.sql import (DataFrame, Observation, SparkSession,
@@ -695,8 +696,17 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
               fetch_kernel=None,
               robots_provider=None,
               default_delay_sec: float | None = None,
-              hot_hosts=None) -> dict:
+              hot_hosts=None,
+              archive_warc: str | None = None) -> dict:
     """Execute round ``round_no`` (requires round_no-1 committed).
+
+    ``archive_warc`` (a directory) enables FETCH-TIME archival: the
+    fetch kernel tees every fetched body into
+    ``<archive_warc>/round=N/part-*.warc.gz`` shards inside the fused
+    fetch pass itself — no second fetch, no extra Spark action (the
+    write rides the ledger action like the robots delta publish), and
+    the round's ledger entry records the shard manifest. Requires a
+    kernel exposing ``bind_archive`` (both built-in kernels do).
 
     Fixed Spark-ACTION budget per non-empty round (recorded as the
     ``spark_actions`` metric, counted at the call sites): FOUR — the
@@ -798,10 +808,26 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # Python worker per core (see PLANS.md on oversubscription). The
     # kernel is pluggable: synth (deterministic corpus, the default) or
     # fetch_http.make_fetch_extract_kernel (live HTTP).
+    kernel = fetch_kernel or synth.fetch_extract_partition
+    warc_round_dir = None
+    if archive_warc:
+        binder = getattr(kernel, "bind_archive", None)
+        if binder is None:
+            raise ValueError(
+                "archive_warc requires a fetch kernel exposing "
+                "bind_archive (both built-in kernels do; a custom "
+                "kernel must provide bind_archive(shard_dir) -> "
+                "kernel, writing fetched bodies via warc.ShardWriter)")
+        warc_round_dir = os.path.join(archive_warc,
+                                      f"round={round_no}")
+        # a failed earlier attempt of THIS round may have published
+        # shards; a re-run could repartition differently and leave
+        # stale higher-numbered shards next to fresh ones
+        shutil.rmtree(warc_round_dir, ignore_errors=True)
+        kernel = binder(warc_round_dir)
     enriched = (fetch_input
-                .mapInPandas(_validated_kernel(
-                    fetch_kernel or synth.fetch_extract_partition),
-                    synth.FETCH_EXTRACT_SCHEMA)
+                .mapInPandas(_validated_kernel(kernel),
+                             synth.FETCH_EXTRACT_SCHEMA)
                 .withColumn("partition_id", F.spark_partition_id())
                 .cache())
 
@@ -1055,11 +1081,25 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # blocked/retry) — the replay removal count, recorded so later
     # rounds' broadcast-size estimates read the ledger instead of
     # touching parquet footers (see _est_replay_events)
-    wh.commit_round(round_no, {"fetched": n_fetched, "new": n_new,
-                               "blocked": n_blocked,
-                               "deferred": n_deferred,
-                               "batch": n_batch,
-                               "sec": round(sec, 3)})
+    commit_info = {"fetched": n_fetched, "new": n_new,
+                   "blocked": n_blocked,
+                   "deferred": n_deferred,
+                   "batch": n_batch,
+                   "sec": round(sec, 3)}
+    if warc_round_dir is not None:
+        # shard manifest: the archive write rode the ledger action
+        # (executor-side, atomic per shard); the ledger records what
+        # was published so operators can audit/replicate round output
+        shards = sorted(
+            f for f in (os.listdir(warc_round_dir)
+                        if os.path.isdir(warc_round_dir) else [])
+            if f.endswith(".warc.gz"))
+        commit_info["warc_dir"] = warc_round_dir
+        commit_info["warc_shards"] = len(shards)
+        commit_info["warc_bytes"] = int(sum(
+            os.path.getsize(os.path.join(warc_round_dir, f))
+            for f in shards))
+    wh.commit_round(round_no, commit_info)
     return {"fetched": n_fetched, "new": n_new, "objects": n_objects,
             "blocked": n_blocked, "deferred": n_deferred,
             "retry_marked": n_retry_marked,
@@ -1075,7 +1115,8 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
               seeds: list[str] | None = None,
               robots_provider=None,
               default_delay_sec: float | None = None,
-              hot_hosts=None) -> list[dict]:
+              hot_hosts=None,
+              archive_warc: str | None = None) -> list[dict]:
     """Run (or resume) a crawl to ``rounds`` committed rounds.
 
     ``fetch_kernel`` swaps the fused fetch+extract stage (default: the
@@ -1094,7 +1135,10 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
     can't silently disagree; a custom kernel that advertises nothing
     gets ``scheduler.DEFAULT_POLITENESS_FLOOR_SEC``, and only the
     synthetic no-network corpus runs with floor 0 (see
-    ``_resolve_politeness``)."""
+    ``_resolve_politeness``). ``archive_warc`` tees every fetched body
+    into per-round WARC shards inside the fetch pass (see
+    ``run_round``); each round's ledger entry records the shard
+    manifest."""
     wh = Warehouse(warehouse)
     if not resume:
         wh.destroy()
@@ -1114,7 +1158,7 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
                       filter_kind=filter_kind, fetch_kernel=fetch_kernel,
                       robots_provider=robots_provider,
                       default_delay_sec=default_delay_sec,
-                      hot_hosts=hot_hosts)
+                      hot_hosts=hot_hosts, archive_warc=archive_warc)
         stats.append({"round": r, **s})
     return stats
 
@@ -1188,6 +1232,12 @@ def main():
                          "plan as shuffles (default "
                          f"{BROADCAST_MAX_EST_ROWS}; size to the "
                          "cluster's driver/executor broadcast budget)")
+    ap.add_argument("--archive-warc", default=None,
+                    help="directory for fetch-time WARC archival: "
+                         "every fetched body is teed into "
+                         "<dir>/round=N/part-*.warc.gz shards inside "
+                         "the fetch pass (no second fetch); the "
+                         "ledger records each round's shard manifest")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
     if args.broadcast_max_est_rows is not None:
@@ -1206,8 +1256,15 @@ def main():
     if args.live:
         from jsonextract_spark.crawl.fetch_http import (
             make_fetch_extract_kernel, make_robots_provider)
-        fetch_kernel = make_fetch_extract_kernel(
-            hot_hosts=args.hot_host)
+        # Thread the CLI politeness knobs into the kernel itself, not
+        # just the scheduler: the kernel's per-host pacer and the
+        # scheduler's gate/pop-cap must key on the SAME delay or the
+        # advertised attributes and the flag diverge (the exact
+        # divergence _resolve_politeness exists to prevent).
+        kernel_kwargs = {"hot_hosts": args.hot_host}
+        if args.default_delay_sec is not None:
+            kernel_kwargs["default_delay_sec"] = args.default_delay_sec
+        fetch_kernel = make_fetch_extract_kernel(**kernel_kwargs)
         robots_provider = make_robots_provider(
             cache_path=os.path.join(args.warehouse, "robots_cache"))
         seed_list = args.seeds_url
@@ -1217,7 +1274,8 @@ def main():
                       seeds=seed_list, fetch_kernel=fetch_kernel,
                       robots_provider=robots_provider,
                       default_delay_sec=args.default_delay_sec,
-                      hot_hosts=args.hot_host)
+                      hot_hosts=args.hot_host,
+                      archive_warc=args.archive_warc)
     for s in stats:
         print(s)
     if args.recrawl_max_age is not None:

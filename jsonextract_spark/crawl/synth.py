@@ -104,42 +104,71 @@ FETCH_OUTPUT_SCHEMA = (
 )
 
 
-def fetch_extract_partition(rows: Iterable[pd.DataFrame]):
-    """Fused fetch + extract + link discovery in ONE Arrow stage.
+def make_fetch_extract(archive_dir: str | None = None):
+    """Build the fused fetch + extract + link-discovery kernel (ONE
+    Arrow stage).
 
     Chaining fetch -> extract -> links as three Python stages runs three
     workers per core (oversubscription measured at ~0.55 scaling
     efficiency); fusing restores one worker per core (~0.85+,
     BENCH/BASELINE.md). The unfused stages remain for the operator API.
-    """
-    from jsonextract_spark.kernel.scanner import extract_objects_str
-    from jsonextract_spark.functions.udfs import _links_from_objs, _budget
 
-    for pdf in rows:
-        ids = pdf["url"].map(page_id_from_url)
-        texts = ids.map(page_text)
-        objs = texts.map(
-            lambda t: extract_objects_str(t, work_budget=_budget(len(t))))
-        links = objs.map(_links_from_objs)
-        yield pd.DataFrame({
-            "url": pdf["url"],
-            # url_hash passes through to the fetched ledger: the round's
-            # popped set IS the frontier-delta removal list, so the
-            # ledger must carry the frontier's key (pipeline r6)
-            "url_hash": pdf["url_hash"],
-            "host": pdf["host"],
-            "warc_ts": pd.to_datetime(EPOCH + ids, unit="s"),
-            "text": texts,
-            "lang": "en",
-            "depth": pdf["depth"],
-            "batch_id": pdf["batch_id"],
-            "rank": pdf["rank"],
-            "n_objects": objs.map(len),
-            "links": links,
-            "bytes": texts.map(len),
-            "blocked": False,
-            "retry": False,
-        })
+    ``archive_dir`` tees every page's fetched bytes into per-task WARC
+    shards inside the same pass (fetch-time archival — no second fetch,
+    no extra Spark action; see ``warc.ShardWriter``). The per-round
+    binding happens in the pipeline via the ``bind_archive`` attribute
+    every archival-capable kernel exposes.
+    """
+    def kernel(rows: Iterable[pd.DataFrame]):
+        from jsonextract_spark.kernel.scanner import extract_objects_str
+        from jsonextract_spark.functions.udfs import (_budget,
+                                                      _links_from_objs)
+
+        writer = None
+        if archive_dir is not None:
+            from jsonextract_spark.crawl.warc import ShardWriter
+            writer = ShardWriter(archive_dir)
+        for pdf in rows:
+            ids = pdf["url"].map(page_id_from_url)
+            texts = ids.map(page_text)
+            objs = texts.map(
+                lambda t: extract_objects_str(
+                    t, work_budget=_budget(len(t))))
+            links = objs.map(_links_from_objs)
+            warc_ts = pd.to_datetime(EPOCH + ids, unit="s")
+            if writer is not None:
+                for u, t, txt in zip(pdf["url"], warc_ts, texts):
+                    writer.add(u, t, txt.encode("utf-8"))
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                # url_hash passes through to the fetched ledger: the
+                # round's popped set IS the frontier-delta removal
+                # list, so the ledger must carry the frontier's key
+                # (pipeline r6)
+                "url_hash": pdf["url_hash"],
+                "host": pdf["host"],
+                "warc_ts": warc_ts,
+                "text": texts,
+                "lang": "en",
+                "depth": pdf["depth"],
+                "batch_id": pdf["batch_id"],
+                "rank": pdf["rank"],
+                "n_objects": objs.map(len),
+                "links": links,
+                "bytes": texts.map(len),
+                "blocked": False,
+                "retry": False,
+            })
+        if writer is not None:
+            writer.close()
+
+    kernel.bind_archive = make_fetch_extract
+    return kernel
+
+
+# the default (archive-less) instance — the name every pipeline call
+# site and test has always used
+fetch_extract_partition = make_fetch_extract()
 
 
 # NOTE: every fetch kernel must copy the input batch's ``url_hash``

@@ -102,6 +102,60 @@ def write_warc(pages, path: str,
                              "shard string, records long, bytes long")
 
 
+class ShardWriter:
+    """Incremental per-task WARC shard writer for FETCH-TIME archival
+    (the reference CLI's whole point is emitting what it fetched —
+    cmd/jsonx/main.go:105-119; at crawl scale that means teeing bodies
+    into shards inside the fetch ``mapInPandas`` pass itself, no second
+    fetch and no extra Spark action).
+
+    Lazy-open (an archive-less or all-blocked task writes nothing),
+    one gzip member per record (the same seekable/cat-able layout as
+    ``write_warc``), deterministic ``part-<pid>.warc.gz`` names with a
+    temp-file + atomic-replace publish: a crashed task leaves only
+    ``.tmp-*`` debris the ``*.warc.gz`` read glob never matches, and a
+    recomputed partition (cache eviction, task retry) republishes the
+    same shard name instead of duplicating records."""
+
+    def __init__(self, dir_path: str):
+        self._dir = dir_path
+        self._f = None
+        self._tmp = self._final = None
+        self.records = 0
+
+    def add(self, url: str, ts, payload: bytes):
+        """Append one response record; empty payloads (robots-blocked
+        rows, failed fetches) are skipped — the archive holds bytes
+        actually received."""
+        if not payload:
+            return
+        if self._f is None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            os.makedirs(self._dir, exist_ok=True)
+            self._final = os.path.join(self._dir,
+                                       f"part-{pid:05d}.warc.gz")
+            self._tmp = self._final + f".tmp-{uuid.uuid4().hex[:8]}"
+            self._f = open(self._tmp, "wb")
+        if hasattr(ts, "to_pydatetime"):
+            ts = ts.to_pydatetime()
+        self._f.write(gzip.compress(
+            warc_record(str(url), ts, bytes(payload))))
+        self.records += 1
+
+    def close(self) -> str | None:
+        """Publish the shard (atomic rename); returns its path, or
+        None when no record was written."""
+        if self._f is None:
+            return None
+        self._f.close()
+        os.replace(self._tmp, self._final)
+        self._f = None
+        return self._final
+
+
 def _iter_members(data: bytes) -> Iterator[bytes]:
     """Decompress concatenated gzip members with a per-member
     inflation cap."""
@@ -176,9 +230,19 @@ def read_warc(spark, path_glob: str):
                     payloads.append(body)
             if not urls:
                 continue
-            ts = pd.to_datetime(pd.Series(dates),
-                                format="%Y-%m-%dT%H:%M:%S.%fZ",
-                                utc=True).dt.tz_localize(None)
+            # WARC/1.0 convention (and every Common-Crawl shard) is
+            # second-precision dates ('2017-04-12T12:00:00Z'); our own
+            # writer emits microseconds.  ISO8601 accepts both; a
+            # missing or unparseable date fails the file loudly like
+            # every other malformed member.
+            try:
+                ts = pd.to_datetime(pd.Series(dates), format="ISO8601",
+                                    utc=True).dt.tz_localize(None)
+            except (ValueError, TypeError) as e:
+                raise ValueError(
+                    f"warc: bad WARC-Date ({e})") from None
+            if ts.isna().any():        # absent header -> "" -> NaT
+                raise ValueError("warc: missing WARC-Date")
             yield pd.DataFrame({"url": urls, "warc_ts": ts,
                                 "payload": payloads})
 

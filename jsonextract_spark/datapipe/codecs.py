@@ -448,15 +448,20 @@ def _parse_dib(data: bytes, off: int, is_ico: bool = False) -> np.ndarray:
     if bpp == 32:
         return np.ascontiguousarray(
             rows[:, :w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]])
-    bits = np.unpackbits(rows, axis=1)
-    if bpp == 1:
-        idx = bits[:, :w]
-    elif bpp == 4:
-        idx = (bits.reshape(h, -1, 4)
-               * np.array([8, 4, 2, 1], np.uint8)).sum(axis=2)[:, :w]
-    else:
+    # unpackbits is an 8x-the-pixel-area allocation — only spend it
+    # when the depth actually packs multiple pixels per byte, and keep
+    # the index in its natural uint8 (palette is <=256 entries; int64
+    # indices were an 8 B/px dead weight next to the cap).
+    if bpp == 8:
         idx = rows[:, :w]
-    idx = idx.astype(np.int64)
+    else:
+        bits = np.unpackbits(rows, axis=1)
+        if bpp == 1:
+            idx = bits[:, :w]
+        else:                                   # bpp == 4
+            idx = (bits.reshape(h, -1, 4)
+                   * np.array([8, 4, 2, 1], np.uint8)
+                   ).sum(axis=2, dtype=np.uint8)[:, :w]
     if int(idx.max()) >= len(pal):
         raise ValueError("bmp: pixel index outside palette")
     return pal[idx]
