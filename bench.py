@@ -359,27 +359,40 @@ def _dedup_corpus(spark, n_pages: int):
     return base.unionByName(dup).unionByName(near)
 
 
+UNCAPPED_SKEW_TIMEOUT_SEC = 180.0
+
+
 def bench_dedup_skew(spark, n_pages: int) -> dict:
-    """Boilerplate-skew minhash (r8): one template owns 25% of the
-    corpus (think cookie-banner pages), so every one of its LSH band
-    buckets holds that whole cluster and the band self-join inside it
-    is quadratic. Times the CAPPED pipeline (the default,
-    max_docs_per_bucket=1000 < cluster size here) against the
-    uncapped counterfactual, publishing both candidate counts — the
-    cap should hold candidates near the honest-corpus level while the
-    uncapped join pays ~C(cluster,2) x n_bands rows."""
+    """Boilerplate-skew minhash (r8; cluster scaled up r9): one
+    template owns a large slice of the corpus (think cookie-banner
+    pages), so every one of its LSH band buckets holds that whole
+    cluster and the band self-join inside it is quadratic. Times the
+    CAPPED pipeline (the default, max_docs_per_bucket=1000 < cluster
+    size here) against the uncapped counterfactual, publishing both
+    candidate counts AND both wall-clocks.
+
+    r8 used a 2k-doc cluster — big enough to show the candidate-volume
+    win (190k vs 2.19M) but too small for the TIME win (the capped
+    window's fixed cost hid it). The r9 cluster is 8k docs at full
+    bench scale, where uncapped measures ~3.8x capped (probe: 2k
+    1.0x, 4k 1.84x, 8k 3.77x, 16k 57x — the quadratic wall; 16k was
+    rejected as a 214s/run bench tax). The uncapped rep runs ONCE
+    under a cancel-after-timeout guard so a slow host phase can't
+    wedge the bench on the counterfactual leg."""
+    from pyspark import InheritableThread
     from pyspark.sql import functions as F
 
     from jsonextract_spark.datapipe.dedup import minhash_candidate_pairs
 
-    n = min(n_pages, 8000)
+    base_n = min(n_pages, 6000)
     # cluster must exceed the (inclusive) default cap even when a
-    # small-sf bench shrinks n
-    boiler_n = max(n // 4, 1500)
+    # small-sf bench shrinks the corpus; at full scale it must be deep
+    # into the quadratic regime
+    boiler_n = 8000 if n_pages >= 8000 else max(base_n // 3, 1500)
     boiler = ("accept all cookies to continue this site uses cookies "
               "for analytics and advertising purposes read policy "
               "terms privacy contact about careers help center " * 3)
-    base = _dedup_corpus(spark, n - boiler_n)
+    base = _dedup_corpus(spark, base_n)
     hot = (spark.range(boiler_n)
            .select(F.concat(F.lit("boiler://"), "id").alias("url"),
                    F.lit(boiler).alias("text")))
@@ -388,16 +401,42 @@ def bench_dedup_skew(spark, n_pages: int) -> dict:
     t0 = time.time()
     n_capped = minhash_candidate_pairs(pages, "text", "url").count()
     t_cap = time.time() - t0
-    t0 = time.time()
-    n_uncapped = minhash_candidate_pairs(
-        pages, "text", "url", max_docs_per_bucket=None).count()
-    t_uncap = time.time() - t0
+
+    group = "bench-dedup-skew-uncapped"
+    result: dict = {}
+
+    def _uncapped():
+        spark.sparkContext.setJobGroup(group, "uncapped skew leg",
+                                       interruptOnCancel=True)
+        t0 = time.time()
+        try:
+            result["n"] = minhash_candidate_pairs(
+                pages, "text", "url",
+                max_docs_per_bucket=None).count()
+            result["sec"] = time.time() - t0
+        except Exception as e:          # cancelled -> timeout verdict
+            result["err"] = str(e)[:120]
+
+    th = InheritableThread(target=_uncapped)
+    th.start()
+    th.join(UNCAPPED_SKEW_TIMEOUT_SEC)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        th.join(30.0)
     pages.unpersist()
-    return {"capped_sec": round(t_cap, 3),
-            "uncapped_sec": round(t_uncap, 3),
-            "capped_candidates": n_capped,
-            "uncapped_candidates": n_uncapped,
-            "boiler_docs": boiler_n, "rows": n}
+    out = {"capped_sec": round(t_cap, 3),
+           "capped_candidates": n_capped,
+           "boiler_docs": boiler_n, "rows": base_n + boiler_n}
+    if "sec" in result:
+        out["uncapped_sec"] = round(result["sec"], 3)
+        out["uncapped_candidates"] = result["n"]
+        out["uncapped_over_capped"] = round(result["sec"] / t_cap, 2)
+    else:
+        out["uncapped_sec"] = None
+        out["uncapped_timeout_sec"] = UNCAPPED_SKEW_TIMEOUT_SEC
+        if "err" in result:
+            out["uncapped_err"] = result["err"]
+    return out
 
 
 def bench_dedup(spark, n_pages: int) -> tuple[float, dict]:
@@ -471,19 +510,21 @@ def bench_ann_ivf(spark) -> float:
 
 
 def bench_codec_decode(spark) -> tuple[float, float, int]:
-    """REAL image-codec decode throughput (late r7: the PNG + JPEG
-    decoders are from-scratch, so their cost deserves a published
-    number, not just correctness pins): N rows of 64x64 payloads —
-    half PNG (random RGB), half baseline JPEG (smooth gradient;
-    payloads built once on the driver and replicated, decode cost is
-    what's timed) — through the distributed decode_features real path
-    (mapInPandas over Arrow binary batches). Returns (sec, MB/sec of
-    payload bytes, rows)."""
+    """REAL image-codec decode throughput across ALL FOUR from-scratch
+    decoders (r7 shipped PNG+JPEG here; r9 adds GIF and BMP so every
+    real decoder has a published rate): N rows of 64x64 payloads — a
+    quarter each PNG (random RGB), baseline JPEG (smooth gradient),
+    GIF (run-heavy 128-color, the realistic favicon/thumbnail shape),
+    and 24-bit BMP (random RGB); payloads built once on the driver and
+    replicated, decode cost is what's timed — through the distributed
+    decode_features real path (mapInPandas over Arrow binary batches).
+    Returns (sec, MB/sec of payload bytes, rows)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
 
     from jsonextract_spark.datapipe import codecs
+    from jsonextract_spark.datapipe import gif as gif_mod
     from jsonextract_spark.datapipe import jpeg as jpeg_mod
     from jsonextract_spark.datapipe.multimodal import (MEDIA_SCHEMA,
                                                        decode_features)
@@ -496,6 +537,15 @@ def bench_codec_decode(spark) -> tuple[float, float, int]:
         ((xx * a + yy * b) % 256).astype(np.uint8), gray=True)
         for a, b in [(3, 5), (2, 7), (1, 1), (4, 9),
                      (5, 2), (6, 3), (7, 4), (8, 1)]]
+    pal = rng.randint(0, 256, (128, 3)).astype(np.uint8)
+    gifs = [gif_mod.encode_gif(
+        [np.tile(np.repeat(np.arange(16, dtype=np.uint8) * a % 128,
+                           4), (64, 1))], pal)
+        for a in range(1, 9)]
+    bmps = [codecs.encode_bmp(
+        rng.randint(0, 256, (64, 64, 3), np.uint8)) for _ in range(8)]
+    fams = [(pngs, "image/png"), (jpgs, "image/jpeg"),
+            (gifs, "image/gif"), (bmps, "image/bmp")]
     n = max(int(40_000 * SF), 400)
     ids = spark.range(n)
 
@@ -504,12 +554,9 @@ def bench_codec_decode(spark) -> tuple[float, float, int]:
             out_ids = pdf["id"]
             payloads, types = [], []
             for i in out_ids:
-                if i % 2 == 0:
-                    payloads.append(pngs[(i // 2) % len(pngs)])
-                    types.append("image/png")
-                else:
-                    payloads.append(jpgs[(i // 2) % len(jpgs)])
-                    types.append("image/jpeg")
+                fam, mt = fams[i % 4]
+                payloads.append(fam[(i // 4) % len(fam)])
+                types.append(mt)
             yield pd.DataFrame({
                 "doc_id": out_ids, "media_type": types,
                 "payload": payloads, "width": 64, "height": 64,
@@ -872,7 +919,10 @@ def main():
     results["q_codec_decode"] = round(dt, 3)
     extra["codec_decode"] = {"mb_per_sec": round(mb_s, 2),
                              "images": n_imgs,
-                             "images_per_sec": round(n_imgs / dt, 1)}
+                             "images_per_sec": round(n_imgs / dt, 1),
+                             # r9: series covers all four real
+                             # decoders (was png+jpeg through r8)
+                             "formats": "png+jpeg+gif+bmp"}
     mp = bench_codec_decode_mp(spark)
     results["q_codec_decode_mp"] = mp["sec"]
     extra["codec_decode_mp"] = mp
