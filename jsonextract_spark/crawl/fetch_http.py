@@ -533,13 +533,27 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
 
     ua = user_agent or _HEADERS["User-Agent"]
     hot = frozenset(hot_hosts or ())
+    _NO_SCHED = object()
 
-    def _ask_for(url: str, host: str) -> float | None:
+    def _ask_for(url: str, host: str,
+                 sched_delay=_NO_SCHED) -> float | None:
+        """Per-URL pacing ask. Precedence: the host's explicit robots
+        Crawl-delay/Request-rate (per-path, freshest) > the operator
+        hot list > the SCHEDULER-RESOLVED ``eff_delay`` riding the
+        batch row (r9: carries automatic hot-host detection — null
+        means the scheduler cleared the host for full rate, a value is
+        the agreed floor; trusting it keeps pacer and salted routing
+        in lockstep by construction) > this kernel's own configured
+        floor (rows without the column: direct/unfused callers)."""
         ask = (robots_crawl_delay(url, ua, timeout_sec)
                if respect_robots else None)
-        if ask is None and host not in hot and default_delay_sec > 0:
-            ask = default_delay_sec
-        return ask
+        if ask is not None:
+            return ask
+        if host in hot:
+            return None
+        if sched_delay is not _NO_SCHED:
+            return sched_delay
+        return default_delay_sec if default_delay_sec > 0 else None
 
     def _build(archive_dir: str | None = None):
         def kernel(batches: Iterable[pd.DataFrame]
@@ -560,7 +574,13 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                     continue
                 texts, stamps, sizes = [], [], []
                 blocked, retry = [], []
-                for url, host in zip(pdf["url"], pdf["host"]):
+                if "eff_delay" in pdf.columns:
+                    scheds = [None if pd.isna(v) else float(v)
+                              for v in pdf["eff_delay"]]
+                else:
+                    scheds = [_NO_SCHED] * len(pdf)
+                for url, host, sched in zip(pdf["url"], pdf["host"],
+                                            scheds):
                     allowed, definitive = (robots_verdict(url, ua,
                                                           timeout_sec)
                                            if respect_robots
@@ -578,7 +598,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                         # honor the host's Crawl-delay/Request-rate ask —
                         # or the politeness floor when robots is silent —
                         # between consecutive requests to it
-                        pace(host, _ask_for(url, host))
+                        pace(host, _ask_for(url, host, sched))
                         _status, body, _err = _fetch_one(url, timeout_sec,
                                                          max_bytes)
                         blocked.append(False)

@@ -26,7 +26,8 @@ from pyspark.sql import (DataFrame, Observation, SparkSession,
 from jsonextract_spark.crawl import seen as seen_mod
 from jsonextract_spark.crawl import synth
 from jsonextract_spark.crawl.scheduler import (
-    DEFAULT_POLITENESS_FLOOR_SEC, pop_batch, priority_of)
+    AUTO_HOT_MIN_PENDING, DEFAULT_POLITENESS_FLOOR_SEC, pop_batch,
+    priority_of)
 from jsonextract_spark.crawl.tables import Warehouse
 from jsonextract_spark.functions.udfs import url_identity_udf
 
@@ -697,6 +698,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
               robots_provider=None,
               default_delay_sec: float | None = None,
               hot_hosts=None,
+              auto_hot_min_pending: int | None = None,
               archive_warc: str | None = None) -> dict:
     """Execute round ``round_no`` (requires round_no-1 committed).
 
@@ -783,6 +785,10 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                       host_stats=host_stats, now_ts=time.time(),
                       default_delay_sec=default_delay_sec,
                       hot_hosts=hot_hosts,
+                      auto_hot_min_pending=(
+                          auto_hot_min_pending
+                          if auto_hot_min_pending is not None
+                          else AUTO_HOT_MIN_PENDING),
                       broadcast_robots=(
                           est_frontier <= BROADCAST_MAX_EST_ROWS),
                       broadcast_host_stats=(
@@ -1116,6 +1122,7 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
               robots_provider=None,
               default_delay_sec: float | None = None,
               hot_hosts=None,
+              auto_hot_min_pending: int | None = None,
               archive_warc: str | None = None) -> list[dict]:
     """Run (or resume) a crawl to ``rounds`` committed rounds.
 
@@ -1158,7 +1165,9 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
                       filter_kind=filter_kind, fetch_kernel=fetch_kernel,
                       robots_provider=robots_provider,
                       default_delay_sec=default_delay_sec,
-                      hot_hosts=hot_hosts, archive_warc=archive_warc)
+                      hot_hosts=hot_hosts,
+                      auto_hot_min_pending=auto_hot_min_pending,
+                      archive_warc=archive_warc)
         stats.append({"round": r, **s})
     return stats
 
@@ -1232,6 +1241,11 @@ def main():
                          "plan as shuffles (default "
                          f"{BROADCAST_MAX_EST_ROWS}; size to the "
                          "cluster's driver/executor broadcast budget)")
+    ap.add_argument("--auto-hot-min-pending", type=int, default=None,
+                    help="pending-frontier row count at which a host "
+                         "is auto-treated as hot for the round (salted"
+                         " delay-free routing; robots asks still win; "
+                         f"default {AUTO_HOT_MIN_PENDING})")
     ap.add_argument("--archive-warc", default=None,
                     help="directory for fetch-time WARC archival: "
                          "every fetched body is teed into "
@@ -1275,6 +1289,7 @@ def main():
                       robots_provider=robots_provider,
                       default_delay_sec=args.default_delay_sec,
                       hot_hosts=args.hot_host,
+                      auto_hot_min_pending=args.auto_hot_min_pending,
                       archive_warc=args.archive_warc)
     for s in stats:
         print(s)

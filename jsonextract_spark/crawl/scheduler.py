@@ -43,6 +43,17 @@ SALT_PARTS = 16
 # (fetch_kernel=None), where run_round pins 0.0 explicitly.
 DEFAULT_POLITENESS_FLOOR_SEC = 1.0
 
+# Automatic hot-host detection (r9): a host whose PENDING frontier
+# rows reach this count is treated as hot for the round — salted
+# delay-free routing — without an operator having to list it (at
+# 10^10 URLs nobody hand-lists the mirror that owns half the
+# frontier). Only the DEFAULT floor is waived: an explicit robots
+# Crawl-delay/Request-rate ask always wins, listed ``hot_hosts``
+# remain the manual override, and the detection column rides the
+# top-k's own host partitioning (no extra shuffle). Pass ``None`` to
+# disable.
+AUTO_HOT_MIN_PENDING = 100_000
+
 
 def _two_phase_salted_top_k(df: DataFrame, group_cols: list[str],
                             order_cols: list, k: int,
@@ -105,6 +116,7 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
               politeness_budget_sec: float = 15.0,
               default_delay_sec: float = 0.0,
               hot_hosts=None,
+              auto_hot_min_pending: int | None = AUTO_HOT_MIN_PENDING,
               broadcast_robots: bool = True,
               broadcast_host_stats: bool = True) -> DataFrame:
     """Select this round's fetch set.
@@ -134,6 +146,12 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
                 drives the cross-round gate and the per-round pop cap
                 here, and single-task routing + within-round pacing in
                 the pipeline/kernel.
+    auto_hot_min_pending: hosts whose pending frontier rows reach this
+                count are ALSO floor-exempt for the round (automatic
+                hot-host detection — see ``AUTO_HOT_MIN_PENDING``); an
+                explicit robots ask still wins, and the count window
+                shares the top-k's host partitioning, so detection
+                costs no extra exchange. ``None`` disables.
     broadcast_robots / broadcast_host_stats: emit the broadcast hint
                 for the aux join (default). The pipeline clears a flag
                 when its footer-based row estimate can NOT prove the
@@ -157,6 +175,15 @@ def pop_batch(frontier: DataFrame, robots: DataFrame, host_budget: int,
              else F.lit(None).cast("double"))
     if hot_hosts:
         floor = (F.when(F.col("host").isin(list(hot_hosts)),
+                        F.lit(None).cast("double"))
+                 .otherwise(floor))
+    if auto_hot_min_pending is not None and default_delay_sec > 0:
+        # automatic hot-host detection: pending-count window over the
+        # same host key the top-k partitions by (one exchange serves
+        # both); only the default floor is waived — the coalesce below
+        # still lets any explicit robots ask win
+        pending = F.count(F.lit(1)).over(Window.partitionBy("host"))
+        floor = (F.when(pending >= F.lit(int(auto_hot_min_pending)),
                         F.lit(None).cast("double"))
                  .otherwise(floor))
     allowed = allowed.withColumn("eff_delay", F.coalesce(ask, floor))

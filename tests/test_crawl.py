@@ -1440,6 +1440,55 @@ def test_fetch_kernel_advertises_politeness_config():
     assert make_fetcher(default_delay_sec=3.0) is not None
 
 
+def test_auto_hot_host_detection_matches_manual_list(spark, tmp_path):
+    """Automatic hot-host detection (r9): a host owning ~50% of the
+    frontier that nobody listed in ``hot_hosts`` gets floor-exempt
+    salted routing purely from its pending-row count — and the fetched
+    ledger (including partition ids, i.e. the actual task routing) is
+    byte-identical to the run where an operator hand-listed the host.
+    The cold hosts keep their single-task polite routing in both."""
+    from jsonextract_spark.crawl import synth
+    from jsonextract_spark.crawl.pipeline import run_crawl
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    hot_ids = [i for i in range(20_000)
+               if synth.host_of(i) == 0][:40]
+    cold_ids = [i for i in range(400) if synth.host_of(i) != 0][:40]
+    assert len(hot_ids) == 40 and len(cold_ids) == 40
+    seeds = [synth.url_of(i) for i in hot_ids + cold_ids]
+
+    def ledger(wdir):
+        wh = Warehouse(wdir)
+        return sorted(
+            tuple(r) for r in
+            spark.read.parquet(wh._path("fetched", 1)).collect())
+
+    common = dict(rounds=1, seeds=seeds, host_budget=24,
+                  batch_size=120, default_delay_sec=5.0)
+    a = str(tmp_path / "manual")
+    run_crawl(spark, a, hot_hosts=["host0.example"], **common)
+    b = str(tmp_path / "auto")
+    # threshold below host0's 40 pending rows but above every cold
+    # host's few; the manual run keeps the 100k default, so detection
+    # is inert there and the hand list is the only hot source
+    run_crawl(spark, b, auto_hot_min_pending=35, **common)
+    la, lb = ledger(a), ledger(b)
+    assert la == lb and len(la) > 0
+
+    rows = spark.read.parquet(
+        Warehouse(b)._path("fetched", 1)).collect()
+    hot_parts = {r["partition_id"] for r in rows
+                 if r["host"] == "host0.example"}
+    assert len({r["rank"] for r in rows
+                if r["host"] == "host0.example"}) == 24
+    assert len(hot_parts) >= 2          # really salted across tasks
+    by_cold = {}
+    for r in rows:
+        if r["host"] != "host0.example":
+            by_cold.setdefault(r["host"], set()).add(r["partition_id"])
+    assert by_cold and all(len(p) == 1 for p in by_cold.values())
+
+
 def test_live_crawl_inherits_kernel_floor_end_to_end(spark, tmp_path):
     """FULL-PIPELINE politeness floor: a live run_crawl with an HTTP
     kernel whose robots.txt is silent about rate, and NO explicit
