@@ -32,6 +32,13 @@ on local[$SPARK_GRAFT_CPUS]):
                  ~593) merge table; the one-time training is outside
                  the timed section (since r05)
 
+SERIES NOTE (r09): the synthetic universe grew 100k -> 1M pages
+(synth.UNIVERSE), so every crawl-series key (q_crawl, q_crawl_bigbatch,
+steady, compaction) sees a slightly different link graph from r09 on —
+same code path, wider id space; the steady keys additionally doubled
+their per-round batch to 50k now that the universe has headroom
+(through r8, 3x50k drained the 100k universe by round 3).
+
 COMPARABILITY: every query is the MEDIAN of 3 back-to-back reps — this
 shared VM's deliverable throughput swings 2-6x across minutes, so
 single-shot 1-20s numbers measured the host's moment, not the code
@@ -277,11 +284,13 @@ def bench_crawl_bigbatch_steady(spark) -> tuple[float, dict]:
     production regime (frontier full of discovered links, seen filters
     warm, host_stats populated). Per-round seconds and URL counts are
     published so the fixed-actions amortization claim is read off
-    CONSECUTIVE rounds, not a cold start. Batch size is HALF of
-    q_crawl_bigbatch's: three 50k rounds exhaust the 100k synthetic
-    universe by round 3 (a near-empty final batch reads as a phantom
-    throughput cliff); three 25k rounds keep every round at full
-    batch.
+    CONSECUTIVE rounds, not a cold start. Since r9 the synthetic
+    universe is 1M pages, so three 50k rounds (same size as
+    q_crawl_bigbatch) run with an order of magnitude of headroom —
+    through r8 the 100k universe forced 25k rounds because 3x50k
+    drained it by round 3 and the near-empty final batch read as a
+    phantom throughput cliff (SERIES RESTART at r09 for the steady
+    keys: both the universe and the per-round batch doubled).
 
     Since round 7 each round is driven individually (resume semantics,
     already pinned by the suite) with a calibration sample interleaved
@@ -295,7 +304,7 @@ def bench_crawl_bigbatch_steady(spark) -> tuple[float, dict]:
     from jsonextract_spark.crawl.pipeline import run_crawl
 
     wh = "/tmp/jsx_bench_wh_steady"
-    n = max(int(250_000 * SF), 200)
+    n = max(int(500_000 * SF), 200)
     stats, calibs, dt = [], [], 0.0
     for r in range(1, 4):
         t0 = time.time()

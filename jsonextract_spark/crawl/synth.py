@@ -23,7 +23,12 @@ from typing import Iterable
 
 import pandas as pd
 
-UNIVERSE = 100_000          # pages in the synthetic web
+# pages in the synthetic web — 1M since r9 (the 100k universe put the
+# steady-state and bigbatch benches one round from its exhaustion
+# cliff: 3x50k rounds drained it entirely, so multi-round steady could
+# only run at 25k/round; the r5 phantom-cliff lesson). Same generator,
+# same determinism — only the id space is wider.
+UNIVERSE = 1_000_000
 HOSTS = 50                  # synthetic hosts
 HOT_SHARE_MOD = 5           # i % 5 < 2 -> host 0  (40% of pages: heavy skew)
 LINK_COEFFS = ((7, 1), (7, 2), (13, 5), (31, 11))

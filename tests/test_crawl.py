@@ -1316,10 +1316,18 @@ def test_crawl_default_floor_routes_host_to_single_task(spark, tmp_path):
     """With a politeness floor, every non-hot host's URLs land in ONE
     fetch task (the per-task pacer is then the host's real clock);
     without the floor, a multi-URL host spreads over salted tasks."""
+    from jsonextract_spark.crawl import synth
     from jsonextract_spark.crawl.pipeline import run_crawl
 
+    # craft a seed set with one known multi-URL host: the 1M universe
+    # (r9) spreads synth.seed_urls too thin for any host to exceed the
+    # 8-URL salting threshold organically
+    heavy = [i for i in range(20_000) if synth.host_of(i) == 0][:16]
+    spread = [i for i in range(400) if synth.host_of(i) != 0][:48]
+    seed_list = [synth.url_of(i) for i in heavy + spread]
+
     def parts_per_host(warehouse, **kw):
-        run_crawl(spark, warehouse, rounds=1, n_seeds=64,
+        run_crawl(spark, warehouse, rounds=1, seeds=seed_list,
                   host_budget=64, batch_size=200, **kw)
         fetched = spark.read.parquet(f"{warehouse}/fetched/round=1")
         from pyspark.sql import functions as F
