@@ -849,6 +849,64 @@ def _q_bmp_real(spark, sf_dir):
         (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
 
 
+def _q_webp_real(spark, sf_dir):
+    """The REAL WebP-lossless codec path (datapipe/webp.py, r9 —
+    from-spec VP8L: RIFF container, transforms, meta-Huffman, color
+    cache, LZ77 plane codes): solid-color payloads rotate through SIX
+    encode forms by doc_id (plain literals, subtract-green, predictor
+    mode 2, color-indexing with bundling, color cache, whole-row LZ77
+    backrefs), so every decoder branch routes real bytes before the
+    closed-form features DuckDB recomputes from doc_id can match.
+    Exactness discipline as q_bmp_real: solid color => mean*255 =
+    channel exactly, std 0, aspect w / 2^k float32-exact, full
+    histogram mass in one bin."""
+    import numpy as np
+    import pandas as pd
+
+    from jsonextract_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, decode_features)
+    from jsonextract_spark.datapipe.webp import encode_webp_lossless
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    forms = ({}, {"subtract_green": True}, {"predictor_mode": 2},
+             {"palette": True}, {"cache_bits": 4},
+             {"row_backrefs": True})
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads, ws, hs = [], [], []
+            for i in ids:
+                i = int(i)
+                w, h = 3 + i % 4, (1, 2, 8)[i % 3]
+                rgb = np.array([i % 256, (7 * i) % 256,
+                                (13 * i) % 256], np.uint8)
+                img = np.broadcast_to(rgb, (h, w, 3)).astype(np.uint8)
+                payloads.append(
+                    encode_webp_lossless(img, **forms[i % 6]))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "doc_id": ids, "media_type": "image/webp",
+                "payload": payloads, "width": ws, "height": hs,
+                "n_frames": 1})
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+    feats = decode_features(media, decode_mode="real")
+    bin_r = (F.pmod(F.col("doc_id"), F.lit(256)) / 32).cast("int") + 1
+
+    def chan(idx, name):
+        return F.round(F.element_at("feat", idx).cast("double") * 255,
+                       0).alias(name)
+
+    return feats.select(
+        "doc_id", "ok",
+        chan(25, "chan_r"), chan(26, "chan_g"), chan(27, "chan_b"),
+        F.element_at("feat", 28).cast("double").alias("std_r"),
+        F.element_at("feat", 32).cast("double").alias("aspect"),
+        (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
+
+
 def _q_audio_real(spark, sf_dir):
     """The REAL audio codec path (RIFF/WAVE 16-bit PCM parse + sample
     features): two-sample payloads [a, -a] with a = doc_id % 32768 at
@@ -1396,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gif_real": _q_gif_real,
         "q_gif_frames": _q_gif_frames,
         "q_bmp_real": _q_bmp_real,
+        "q_webp_real": _q_webp_real,
         "q_jpeg_real": _q_jpeg_real,
         "q_audio_real": _q_audio_real,
         "q_langid": _q_langid,
@@ -1755,6 +1814,21 @@ def oracle_sql() -> dict[str, str]:
         # Closed forms for the solid BMP/ICO payloads (real DIB +
         # ICO-container decode on the Spark side; same arithmetic as
         # q_png_real, identical for all four container forms).
+        # Same closed forms as q_bmp_real — the WebP payloads encode
+        # the identical solid images through six VP8L paths; only the
+        # bytes differ, never the pixels.
+        "q_webp_real": """
+            SELECT doc_id, true AS ok,
+                   CAST(doc_id % 256 AS DOUBLE)        AS chan_r,
+                   CAST((doc_id * 7) % 256 AS DOUBLE)  AS chan_g,
+                   CAST((doc_id * 13) % 256 AS DOUBLE) AS chan_b,
+                   CAST(0.0 AS DOUBLE) AS std_r,
+                   CAST(3 + doc_id % 4 AS DOUBLE)
+                       / (CASE doc_id % 3 WHEN 0 THEN 1
+                          WHEN 1 THEN 2 ELSE 8 END)    AS aspect,
+                   true AS hist_solid
+            FROM documents
+        """,
         "q_bmp_real": """
             SELECT doc_id, true AS ok,
                    CAST(doc_id % 256 AS DOUBLE)        AS chan_r,

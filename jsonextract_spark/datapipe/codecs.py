@@ -40,9 +40,15 @@ for them:
   route through the PNG decoder, classic entries are doubled-height
   DIBs).
 
-Remaining compressed formats (video/MP4, WebP/AVIF) still require
-external codecs and surface as NotImplementedError (or a parse
-ValueError) through the stages' err channel.
+* **WebP lossless (VP8L)** (r9, `datapipe/webp.py`) — the RIFF
+  container, all four transforms (predictor/cross-color/
+  subtract-green/color-indexing with bundling), meta-Huffman groups,
+  color cache, LZ77 with the 2D distance plane codes. Lossy `VP8 `
+  and animated files reject to the err channel.
+
+Remaining compressed formats (video/MP4, lossy WebP, AVIF) still
+require external codecs and surface as NotImplementedError (or a
+parse ValueError) through the stages' err channel.
 
 Everything here is pure computation over bytes — safe inside Arrow
 kernels, no I/O, deterministic.
@@ -61,6 +67,7 @@ PNG_TYPES = frozenset({"image/png"})
 JPEG_TYPES = frozenset({"image/jpeg", "image/jpg"})
 GIF_TYPES = frozenset({"image/gif"})
 BMP_TYPES = frozenset({"image/bmp", "image/x-ms-bmp"})
+WEBP_TYPES = frozenset({"image/webp"})
 ICO_TYPES = frozenset({"image/x-icon", "image/vnd.microsoft.icon"})
 
 _WS = b" \t\r\n\x0b\x0c"
@@ -621,6 +628,9 @@ def real_decode_features(payload: bytes, media_type: str) -> np.ndarray:
         return image_features(parse_gif(payload)[0])
     if media_type in BMP_TYPES:
         return image_features(parse_bmp(payload))
+    if media_type in WEBP_TYPES:
+        from jsonextract_spark.datapipe.webp import parse_webp
+        return image_features(parse_webp(payload))
     if media_type in ICO_TYPES:
         return image_features(parse_ico(payload))
     if media_type in WAV_TYPES:

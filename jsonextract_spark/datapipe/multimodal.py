@@ -117,6 +117,12 @@ def resize_media(media: DataFrame, width: int, height: int,
                         img = parse_gif(bytes(payload or b""))[0]
                         outs.append(codecs.encode_ppm(
                             codecs.resize_nearest(img, width, height)))
+                    elif mtype in codecs.WEBP_TYPES:
+                        from jsonextract_spark.datapipe.webp import \
+                            parse_webp
+                        img = parse_webp(bytes(payload or b""))
+                        outs.append(codecs.encode_ppm(
+                            codecs.resize_nearest(img, width, height)))
                     else:
                         raise NotImplementedError(
                             f"no dependency-free resize for {mtype} "
