@@ -1200,6 +1200,38 @@ def _q_sitemap_seed(spark, sf_dir):
                     F.col("priority").cast("double").alias("priority")))
 
 
+def _q_html_text(spark, sf_dir):
+    """WET-style HTML→text extraction (datapipe/html_text.py) against a
+    closed-form oracle: pages are assembled from the documents table
+    with title/h1/p/link structure plus script/style/comment chaff; the
+    extractor must recover exactly the prose lines, decode the &amp;
+    entities, skip the chaff, count the single link, and measure its
+    normalized text mass (link-density boilerplate signal)."""
+    from jsonextract_spark.datapipe.html_text import extract_text
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "), "doc_id",
+            F.lit(" &amp; "), "lang",
+            F.lit("</title><style>p {color: red}</style></head>"
+                  "<body><h1>Doc "), "doc_id",
+            F.lit("</h1><script>var x = {id: "), "doc_id",
+            F.lit("};</script><p>"), F.col("text"),
+            F.lit('</p><div>See <a href="/d/'), "doc_id",
+            F.lit('">doc '), "doc_id",
+            F.lit(" link</a> &amp; more.</div><!-- secret -->"
+                  "</body></html>")).alias("html"))
+    out = extract_text(pages, "html")
+    return out.select(
+        "doc_id", "title",
+        F.col("text").alias("wet_text"),
+        F.col("n_links").cast("bigint").alias("n_links"),
+        F.col("link_chars").cast("bigint").alias("link_chars"),
+        F.col("link_density").cast("double").alias("link_density"))
+
+
 # -- wrapping-64-bit hash oracles in pure DuckDB SQL -------------------------
 #
 # DuckDB integer ops raise on overflow instead of wrapping, which is
@@ -1467,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frontier_state": _q_frontier_state,
         "q_warc": _q_warc,
         "q_sitemap_seed": _q_sitemap_seed,
+        "q_html_text": _q_html_text,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2058,6 +2091,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(arg_max(depth, ev) AS INT) AS depth,
                    arg_max(priority, ev) AS priority
             FROM ev GROUP BY url_hash HAVING max(ev) % 2 = 1
+        """,
+        # Closed-form restatement of the WET extraction spec over the
+        # synthetic page template: documents.text is already
+        # whitespace-normalized (verified for every sf), so the prose
+        # lines, decoded entities, link count, and per-segment link
+        # text mass are all pure string algebra over (doc_id, lang,
+        # text). link_density divides the same two BIGINTs Spark does.
+        "q_html_text": """
+            WITH p AS (
+                SELECT doc_id,
+                       'Doc ' || doc_id || ' & ' || lang AS title,
+                       'Doc ' || doc_id || ' & ' || lang || chr(10) ||
+                       'Doc ' || doc_id || chr(10) ||
+                       text || chr(10) ||
+                       'See doc ' || doc_id || ' link & more.' AS wet_text,
+                       CAST(9 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+                           AS link_chars
+                FROM documents)
+            SELECT doc_id, title, wet_text,
+                   CAST(1 AS BIGINT) AS n_links, link_chars,
+                   link_chars / length(wet_text) AS link_density
+            FROM p
         """,
         # From-scratch murmur3_x64_128 low word over the normalized
         # text, all in SQL (recursive-CTE block loop, HUGEINT wrapping
