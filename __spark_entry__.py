@@ -1232,6 +1232,48 @@ def _q_html_text(spark, sf_dir):
         F.col("link_density").cast("double").alias("link_density"))
 
 
+def _q_warc_extract(spark, sf_dir):
+    """The full corpus-build composition (datapipe/ingest.py):
+    generated HTML pages → write_warc → read_warc → URL identity →
+    WET text + boilerplate signals + langid → documents table. The
+    oracle rebuilds every column closed-form from the generating
+    function — including url_hash through the from-scratch murmur3
+    SQL, so the archive path and the crawl's link gate can never hash
+    the same URL apart."""
+    import shutil
+
+    from jsonextract_spark.crawl import warc as W
+    from jsonextract_spark.datapipe.ingest import warc_to_documents
+
+    out = _warc_dir(sf_dir) + "_ext"
+    shutil.rmtree(out, ignore_errors=True)
+    pages = spark.range(_WARC_N).select(
+        F.concat(F.lit("https://w"), F.col("id") % 7,
+                 F.lit(".example/p/"), "id").alias("url"),
+        F.timestamp_micros(
+            F.lit(_WARC_BASE_US) + F.col("id") * 1000003
+        ).alias("warc_ts"),
+        F.encode(F.concat(
+            F.lit("<html><head><title>Page "), "id",
+            F.lit(" of w"), F.col("id") % 7,
+            F.lit("</title></head><body><p>the content of page "), "id",
+            F.lit('</p><ul><li><a href="/p/'), F.col("id") + 1,
+            F.lit('">next '), F.col("id") + 1,
+            F.lit('</a></li><li><a href="/p/'), "id",
+            F.lit('?x=1">self</a></li></ul>'
+                  "<script>var s = 1;</script></body></html>")),
+            "utf-8").alias("html"))
+    W.write_warc(pages.repartition(4), out).collect()
+    docs = warc_to_documents(spark, out + "/*.warc.gz")
+    return docs.select(
+        "url", "url_hash", "host",
+        F.unix_micros("fetched_at").alias("ts_us"),
+        "n_bytes", "title",
+        F.col("text").alias("wet_text"),
+        "n_chars", "n_tokens", "lang", "n_links", "link_chars",
+        F.col("link_density").cast("double").alias("link_density"))
+
+
 # -- wrapping-64-bit hash oracles in pure DuckDB SQL -------------------------
 #
 # DuckDB integer ops raise on overflow instead of wrapping, which is
@@ -1500,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc": _q_warc,
         "q_sitemap_seed": _q_sitemap_seed,
         "q_html_text": _q_html_text,
+        "q_warc_extract": _q_warc_extract,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2113,6 +2156,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_links, link_chars,
                    link_chars / length(wet_text) AS link_density
             FROM p
+        """,
+        # Every ingest column rebuilt closed-form from the page
+        # generator: url/host/timestamp from the id arithmetic, the
+        # WET text and link signals from the template's string algebra
+        # (12 whitespace tokens per page by construction), n_bytes
+        # from rebuilding the exact HTML, lang from the stopword model
+        # ('the'+'of' → en), and url_hash through the from-scratch
+        # murmur3 SQL over the URL strings (no normalization — the
+        # identity UDF hashes the canonical URL verbatim).
+        "q_warc_extract": f"""
+            WITH g AS (SELECT range AS i FROM range(0, {_WARC_N})),
+            p AS (
+                SELECT i,
+                    'https://w' || (i % 7) || '.example/p/' || i AS url,
+                    'w' || (i % 7) || '.example' AS host,
+                    CAST({_WARC_BASE_US} + i * 1000003 AS BIGINT)
+                        AS ts_us,
+                    'Page ' || i || ' of w' || (i % 7) AS title,
+                    'Page ' || i || ' of w' || (i % 7) || chr(10) ||
+                    'the content of page ' || i || chr(10) ||
+                    'next ' || (i + 1) || chr(10) || 'self' AS wet_text,
+                    CAST(length(
+                        '<html><head><title>Page ' || i || ' of w' ||
+                        (i % 7) ||
+                        '</title></head><body><p>the content of page '
+                        || i || '</p><ul><li><a href="/p/' || (i + 1) ||
+                        '">next ' || (i + 1) ||
+                        '</a></li><li><a href="/p/' || i ||
+                        '?x=1">self</a></li></ul>' ||
+                        '<script>var s = 1;</script></body></html>')
+                        AS BIGINT) AS n_bytes,
+                    CAST(9 + length(CAST(i + 1 AS VARCHAR)) AS BIGINT)
+                        AS link_chars
+                FROM g),
+            h AS ({_murmur3_fp_sql(
+                "SELECT i AS doc_id, "
+                "'https://w' || (i % 7) || '.example/p/' || i AS text "
+                f"FROM (SELECT range AS i FROM range(0, {_WARC_N}))")})
+            SELECT p.url, h.fp AS url_hash, p.host, p.ts_us, p.n_bytes,
+                   p.title, p.wet_text,
+                   CAST(length(p.wet_text) AS BIGINT) AS n_chars,
+                   CAST(12 AS BIGINT) AS n_tokens,
+                   'en' AS lang,
+                   CAST(2 AS BIGINT) AS n_links,
+                   p.link_chars,
+                   p.link_chars / length(p.wet_text) AS link_density
+            FROM p JOIN h ON h.doc_id = p.i
         """,
         # From-scratch murmur3_x64_128 low word over the normalized
         # text, all in SQL (recursive-CTE block loop, HUGEINT wrapping

@@ -222,8 +222,18 @@ _HTML_TEXT_TYPE = StructType([
 
 @F.pandas_udf(_HTML_TEXT_TYPE)
 def html_text_udf(pages: pd.Series) -> pd.DataFrame:
-    rows = [(None, None, None, None) if p is None else html_to_text(p)
-            for p in pages]
+    """Accepts string OR binary pages. Binary decodes as UTF-8 with
+    replacement here, python-side — Spark's own ``decode`` raises
+    [MALFORMED_CHARACTER_CODING] on the first mojibake byte, and a
+    crawl archive always contains some."""
+    def one(p):
+        if p is None:
+            return (None, None, None, None)
+        if isinstance(p, (bytes, bytearray)):
+            p = bytes(p).decode("utf-8", "replace")
+        return html_to_text(p)
+
+    rows = [one(p) for p in pages]
     return pd.DataFrame(rows, columns=["text", "title", "n_links",
                                        "link_chars"])
 
