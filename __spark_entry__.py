@@ -1232,6 +1232,68 @@ def _q_html_text(spark, sf_dir):
         F.col("link_density").cast("double").alias("link_density"))
 
 
+_MP4_LANGS = ["eng", "fre", "deu", "spa", "ita"]
+_MP4_CODECS = ["avc1", "hvc1", "av01"]
+
+
+def _q_mp4_meta(spark, sf_dir):
+    """MP4/ISO BMFF container metadata (datapipe/mp4.py): payloads are
+    assembled per doc_id by the independent builder transcription
+    (video+audio tracks, rotating codecs/languages/dimensions, every
+    7th file wrapped in a 64-bit largesize moov), parsed by
+    extract_mp4_meta into per-track rows; the oracle restates every
+    column closed-form from the doc_id arithmetic — durations are
+    exact (duration/timescale divides to a representable integer),
+    16.16 fixed-point dimensions are exact multiples, keyframe counts
+    are the stss arithmetic (24k samples / every 12th = 2k), and the
+    audio track pins the no-stss ⇒ all-sync spec rule (8.6.2)."""
+    import pandas as pd
+
+    from jsonextract_spark.datapipe.mp4 import build_mp4, extract_mp4_meta
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                k = d % 60 + 1
+                s = 1 + d % 4
+                payloads.append(build_mp4(
+                    brand="mp42", movie_timescale=1000,
+                    movie_duration=1000 * k, wide=(d % 7 == 0),
+                    tracks=[
+                        dict(kind="video", track_id=1, timescale=600,
+                             duration=600 * k,
+                             language=_MP4_LANGS[d % 5],
+                             codec=_MP4_CODECS[d % 3],
+                             n_samples=24 * k,
+                             keyframes=list(range(1, 24 * k + 1, 12)),
+                             width=160 * s, height=90 * s),
+                        dict(kind="audio", track_id=2, timescale=8000,
+                             duration=8000 * k, language="und",
+                             codec="mp4a", n_samples=40 * k,
+                             keyframes=None, channels=1 + d % 2,
+                             sample_rate=8000.0),
+                    ]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    # absent fields (channels on video, sample_rate on video) surface
+    # as NULL from the operator; pin them to 0 here so every output
+    # column is single-typed for the driver's row sort/hash
+    return extract_mp4_meta(media).select(
+        "doc_id", "brand", "movie_duration_sec", "track_id", "handler",
+        "codec", "width", "height",
+        F.coalesce("channels", F.lit(0)).cast("bigint").alias("channels"),
+        F.coalesce("sample_rate", F.lit(0.0)).cast("double")
+         .alias("sample_rate"),
+        "n_samples", "n_keyframes", "track_duration_sec", "language",
+        "ok")
+
+
 def _q_warc_extract(spark, sf_dir):
     """The full corpus-build composition (datapipe/ingest.py):
     generated HTML pages → write_warc → read_warc → URL identity →
@@ -1543,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_seed": _q_sitemap_seed,
         "q_html_text": _q_html_text,
         "q_warc_extract": _q_warc_extract,
+        "q_mp4_meta": _q_mp4_meta,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2156,6 +2219,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_links, link_chars,
                    link_chars / length(wet_text) AS link_density
             FROM p
+        """,
+        # Per-track container metadata restated from the doc_id
+        # arithmetic: exact durations (duration/timescale divides to a
+        # representable integer), exact 16.16 dimensions, stss
+        # keyframe arithmetic, and the no-stss ⇒ all-sync rule on the
+        # audio track. The audio tkhd carries 0x0 presentation
+        # dimensions (the builder's spec-shaped default), not NULL.
+        "q_mp4_meta": """
+            WITH d AS (
+                SELECT doc_id, doc_id % 60 + 1 AS k, 1 + doc_id % 4 AS s
+                FROM documents)
+            SELECT doc_id, 'mp42' AS brand,
+                   CAST(k AS DOUBLE) AS movie_duration_sec,
+                   CAST(1 AS BIGINT) AS track_id, 'vide' AS handler,
+                   ['avc1','hvc1','av01'][CAST(doc_id % 3 AS INTEGER) + 1]
+                       AS codec,
+                   CAST(160 * s AS DOUBLE) AS width,
+                   CAST(90 * s AS DOUBLE) AS height,
+                   CAST(0 AS BIGINT) AS channels,
+                   CAST(0.0 AS DOUBLE) AS sample_rate,
+                   CAST(24 * k AS BIGINT) AS n_samples,
+                   CAST(2 * k AS BIGINT) AS n_keyframes,
+                   CAST(k AS DOUBLE) AS track_duration_sec,
+                   ['eng','fre','deu','spa','ita']
+                       [CAST(doc_id % 5 AS INTEGER) + 1] AS language,
+                   true AS ok
+            FROM d
+            UNION ALL
+            SELECT doc_id, 'mp42', CAST(k AS DOUBLE),
+                   2, 'soun', 'mp4a', 0.0, 0.0,
+                   CAST(1 + doc_id % 2 AS BIGINT), 8000.0,
+                   CAST(40 * k AS BIGINT), CAST(40 * k AS BIGINT),
+                   CAST(k AS DOUBLE), 'und', true
+            FROM d
         """,
         # Every ingest column rebuilt closed-form from the page
         # generator: url/host/timestamp from the id arithmetic, the

@@ -8,13 +8,15 @@ Two decode modes:
 
 * ``decode_mode='fake'`` — deterministic sha256-derived stand-ins, kept
   as the SQL-oracle-checkable path (DuckDB reproduces the digests).
-* ``decode_mode='real'`` — REAL dependency-free codecs
-  (``datapipe/codecs.py``): netpbm P6 images (decode, feature extract,
-  nearest-neighbor resize, multi-image-stream frame sampling) and
-  RIFF/WAVE 16-bit PCM audio (decode + features). Compressed formats
-  (PNG/JPEG/MP4) still need PIL/ffmpeg, which this container doesn't
-  ship — they surface per-row as ok=false with the reason in ``err``,
-  never failing the job.
+* ``decode_mode='real'`` — REAL dependency-free from-spec codecs:
+  netpbm P6, RIFF/WAVE PCM (``codecs.py``), PNG at full baseline
+  (r7), JPEG baseline+progressive (``jpeg.py``, r7), GIF incl.
+  animation (``gif.py``, r8), BMP/ICO (r8), WebP-lossless
+  (``webp.py``, r9). MP4 container METADATA is real too
+  (``mp4.py``, r9 — duration/tracks/codecs/keyframes); decoding its
+  compressed video *frames* (H.264/AV1) needs ffmpeg-class codecs
+  this container doesn't ship, so frame paths surface per-row as
+  ok=false with the reason in ``err``, never failing the job.
 """
 
 from __future__ import annotations
