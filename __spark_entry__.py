@@ -1232,6 +1232,19 @@ def _q_html_text(spark, sf_dir):
         F.col("link_density").cast("double").alias("link_density"))
 
 
+def _q_rare_grams(spark, sf_dir):
+    """Corpus-relative rare-trigram quality signal
+    (textstats.rare_gram_quality): char-trigram corpus frequencies →
+    per-doc rare fraction, all integer counts until the final
+    division, so DuckDB restates it exactly."""
+    from jsonextract_spark.datapipe.textstats import rare_gram_quality
+
+    docs = _docs(spark, sf_dir)
+    out = rare_gram_quality(docs, "text", n=3, rare_max_count=100)
+    return out.select("doc_id", "n_grams", "n_rare",
+                      F.col("rare_frac").cast("double").alias("rare_frac"))
+
+
 _MP4_LANGS = ["eng", "fre", "deu", "spa", "ita"]
 _MP4_CODECS = ["avc1", "hvc1", "av01"]
 
@@ -1606,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_text": _q_html_text,
         "q_warc_extract": _q_warc_extract,
         "q_mp4_meta": _q_mp4_meta,
+        "q_rare_grams": _q_rare_grams,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2219,6 +2233,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_links, link_chars,
                    link_chars / length(wet_text) AS link_density
             FROM p
+        """,
+        # Exact SQL restatement of the rare-trigram signal: same gram
+        # extraction (1-based substr, lowercase a no-op on this
+        # corpus), same corpus count, same inclusive threshold; the
+        # only float is the final BIGINT/BIGINT division, identical
+        # IEEE in both engines.
+        "q_rare_grams": """
+            WITH g AS (
+                SELECT doc_id,
+                       substr(lower(text), CAST(i AS INTEGER), 3) AS gram
+                FROM documents,
+                     UNNEST(range(1, length(text) - 1)) AS t(i)
+                WHERE length(text) >= 3
+            ),
+            freq AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN c <= 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rare,
+                   CAST(sum(CASE WHEN c <= 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) / count(*) AS rare_frac
+            FROM g JOIN freq USING (gram)
+            GROUP BY doc_id
         """,
         # Per-track container metadata restated from the doc_id
         # arithmetic: exact durations (duration/timescale divides to a

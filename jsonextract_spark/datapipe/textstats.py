@@ -42,6 +42,53 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     })
 
 
+def char_ngrams(col: Column, n: int) -> Column:
+    """All character n-grams of a string column as an array — pure
+    JVM (sequence + substr), codegen'd. Strings shorter than ``n``
+    yield an empty array (the guard matters: Spark's ``sequence(1,0)``
+    COUNTS DOWN rather than returning empty)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(col) - (n - 1)),
+        lambda i: col.substr(i, F.lit(n)))
+    return F.when(F.length(col) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def rare_gram_quality(docs, text_col: str = "text", n: int = 3,
+                      rare_max_count: int = 100):
+    """Corpus-relative quality signal (the CCNet idea, integer-exact
+    instead of a float LM): character n-gram corpus frequencies, then
+    per-doc fraction of grams whose corpus count ≤ ``rare_max_count``.
+    High rare_frac = unusual character sequences relative to THIS
+    corpus — mojibake, boilerplate markup residue, exotic
+    transliteration — the cheap first-pass filter before any learned
+    model. Integer counts end-to-end (the only division is the final
+    BIGINT/BIGINT), so the whole operator restates exactly in SQL.
+
+    Plan at scale: the frequency aggregation partial-aggregates
+    map-side (absorbing the Zipf head — 'the'-grams — before the
+    wire), so the only gram-keyed exchange carries ≤ |Σ|^n rows per
+    map task. The gram table is alphabet-bounded, far below broadcast
+    limits for real corpora, so AQE broadcasts it back over the
+    streamed exploded grams — the big side never shuffles on gram at
+    all (verified: BroadcastExchange over the freq agg, zero exchange
+    on the probe side). Past broadcast size both sides hash on the
+    same gram key. Per-doc re-aggregation shuffles on doc_id once."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(char_ngrams(F.lower(F.col(text_col)), n)).alias("gram"))
+    freq = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("corpus_count"))
+    per_doc = (grams.join(freq, "gram")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                    F.sum(F.when(F.col("corpus_count") <= rare_max_count,
+                                 1).otherwise(0))
+                     .cast("bigint").alias("n_rare")))
+    return per_doc.withColumn(
+        "rare_frac", F.col("n_rare") / F.col("n_grams"))
+
+
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
     "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "nicht",

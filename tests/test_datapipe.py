@@ -591,3 +591,49 @@ def test_embedding_dup_hot_bucket_cap(spark):
     assert got == {(200, 201)}
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_char_ngrams_edges(spark):
+    from jsonextract_spark.datapipe.textstats import char_ngrams
+
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, "abc"), (2, "abcd"), (3, None), (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.g for r in df.select(
+        "doc_id", char_ngrams(F.col("text"), 3).alias("g")).collect()}
+    # sequence(1,0) counts DOWN in Spark — the short-string guard is
+    # what keeps these empty instead of garbage
+    assert got == {0: [], 1: ["abc"], 2: ["abc", "bcd"], 3: [], 4: []}
+
+
+def test_rare_gram_quality_hand_computed(spark):
+    from jsonextract_spark.datapipe.textstats import rare_gram_quality
+
+    # corpus trigrams: "aaaa"->aaa x2; "aaab"->aaa,aab; "zzzz"->zzz x2
+    # corpus counts: aaa=4, aab=1, zzz=2
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "aaab"), (2, "zzzz"), (3, "AAAA")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           rare_gram_quality(docs, rare_max_count=2).collect()}
+    # lowercase folds doc 3 into the aaa bucket (count 6 with it)
+    assert (out[0].n_grams, out[0].n_rare) == (2, 0)
+    assert (out[1].n_grams, out[1].n_rare) == (2, 1)   # aab is rare
+    assert (out[2].n_grams, out[2].n_rare) == (2, 2)   # zzz <= 2
+    assert out[1].rare_frac == 0.5
+    assert (out[3].n_grams, out[3].n_rare) == (2, 0)
+
+
+def test_rare_gram_probe_side_never_shuffles_on_gram(spark):
+    """The scale property: the frequency table broadcasts back over
+    the streamed exploded grams — the only gram-keyed Exchange in the
+    plan feeds the aggregation, never the probe side."""
+    from jsonextract_spark.datapipe.textstats import rare_gram_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (rare_gram_quality(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    gram_exchanges = [l for l in plan.splitlines()
+                      if "Exchange hashpartitioning(gram" in l]
+    assert len(gram_exchanges) == 1, plan
+    assert "BroadcastExchange" in plan
