@@ -1245,6 +1245,46 @@ def _q_rare_grams(spark, sf_dir):
                       F.col("rare_frac").cast("double").alias("rare_frac"))
 
 
+_CORPUS_GROUP = 8          # identical-text copies per dedup group
+
+
+def _q_corpus_build(spark, sf_dir):
+    """The end-to-end corpus builder (datapipe/corpus.py) against a
+    closed-form oracle: 400 pages in groups of 8 byte-identical texts
+    at distinct URLs → WARC → build_training_corpus. Filters are set
+    to pass everything (rare_max_count=0 ⇒ rare_frac 0 exactly), so
+    the oracle pins the COMPOSITION's dedup algebra: one survivor per
+    text group with dup_count=8, and the survivor is the group's
+    min-url_hash row — which the oracle decides by computing murmur3
+    over all 400 URLs in SQL and taking the arg_min per group."""
+    import shutil
+
+    from jsonextract_spark.crawl import warc as W
+    from jsonextract_spark.datapipe.corpus import build_training_corpus
+
+    out = _warc_dir(sf_dir) + "_corpus"
+    shutil.rmtree(out, ignore_errors=True)
+    g = (F.col("id") / _CORPUS_GROUP).cast("long")
+    pages = spark.range(_WARC_N).select(
+        F.concat(F.lit("https://w"), F.col("id") % 7,
+                 F.lit(".example/p/"), "id").alias("url"),
+        F.timestamp_micros(
+            F.lit(_WARC_BASE_US) + F.col("id") * 1000003
+        ).alias("warc_ts"),
+        F.encode(F.concat(
+            F.lit("<html><head><title>Group "), g,
+            F.lit("</title></head><body><p>the shared body of group "),
+            g, F.lit(" with plenty of words here</p></body></html>")),
+            "utf-8").alias("html"))
+    W.write_warc(pages.repartition(4), out).collect()
+    corpus, _ = build_training_corpus(
+        spark, out + "/*.warc.gz", min_tokens=4, max_link_density=0.5,
+        max_rare_frac=1.0, rare_max_count=0, n_merges=64)
+    return corpus.select(
+        "url", "host", F.col("dup_count").cast("bigint").alias("dup_count"),
+        "n_tokens", "n_chars", "title")
+
+
 _MP4_LANGS = ["eng", "fre", "deu", "spa", "ita"]
 _MP4_CODECS = ["avc1", "hvc1", "av01"]
 
@@ -1620,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_extract": _q_warc_extract,
         "q_mp4_meta": _q_mp4_meta,
         "q_rare_grams": _q_rare_grams,
+        "q_corpus_build": _q_corpus_build,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2233,6 +2274,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_links, link_chars,
                    link_chars / length(wet_text) AS link_density
             FROM p
+        """,
+        # The corpus builder's dedup algebra: 50 groups of 8
+        # identical texts; one survivor per group with dup_count 8,
+        # and WHICH row survives is decided by recomputing murmur3
+        # over all 400 URLs in SQL and taking the per-group arg_min —
+        # the composition (ingest → filters → exact dedup → rep join)
+        # must agree on every byte.
+        "q_corpus_build": f"""
+            WITH gen AS (SELECT range AS i FROM range(0, {_WARC_N})),
+            u AS (
+                SELECT i, i // {_CORPUS_GROUP} AS grp,
+                       'https://w' || (i % 7) || '.example/p/' || i
+                           AS url,
+                       'w' || (i % 7) || '.example' AS host
+                FROM gen),
+            h AS ({_murmur3_fp_sql(
+                "SELECT i AS doc_id, "
+                "'https://w' || (i % 7) || '.example/p/' || i AS text "
+                f"FROM (SELECT range AS i FROM range(0, {_WARC_N}))")}),
+            j AS (SELECT u.*, h.fp FROM u JOIN h ON h.doc_id = u.i),
+            rep AS (
+                SELECT grp, arg_min(url, fp) AS url,
+                       arg_min(host, fp) AS host
+                FROM j GROUP BY grp)
+            SELECT url, host,
+                   CAST({_CORPUS_GROUP} AS BIGINT) AS dup_count,
+                   CAST(13 AS BIGINT) AS n_tokens,
+                   CAST(length('Group ' || grp) + 1 +
+                        length('the shared body of group ' || grp ||
+                               ' with plenty of words here')
+                        AS BIGINT) AS n_chars,
+                   'Group ' || grp AS title
+            FROM rep
         """,
         # Exact SQL restatement of the rare-trigram signal: same gram
         # extraction (1-based substr, lowercase a no-op on this

@@ -55,7 +55,8 @@ def char_ngrams(col: Column, n: int) -> Column:
 
 
 def rare_gram_quality(docs, text_col: str = "text", n: int = 3,
-                      rare_max_count: int = 100):
+                      rare_max_count: int = 100,
+                      id_col: str = "doc_id"):
     """Corpus-relative quality signal (the CCNet idea, integer-exact
     instead of a float LM): character n-gram corpus frequencies, then
     per-doc fraction of grams whose corpus count ≤ ``rare_max_count``.
@@ -75,12 +76,12 @@ def rare_gram_quality(docs, text_col: str = "text", n: int = 3,
     on the probe side). Past broadcast size both sides hash on the
     same gram key. Per-doc re-aggregation shuffles on doc_id once."""
     grams = docs.select(
-        "doc_id",
+        id_col,
         F.explode(char_ngrams(F.lower(F.col(text_col)), n)).alias("gram"))
     freq = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("corpus_count"))
     per_doc = (grams.join(freq, "gram")
-               .groupBy("doc_id")
+               .groupBy(id_col)
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
                     F.sum(F.when(F.col("corpus_count") <= rare_max_count,
                                  1).otherwise(0))
