@@ -694,6 +694,49 @@ def bench_bpe_encode(spark) -> tuple[float, float]:
     return dt, n_bytes / dt / 1e6
 
 
+def bench_wet_build(spark) -> tuple[float, float, int]:
+    """WET throughput (r9): distributed HTML→text extraction
+    (datapipe/html_text.py) over realistic generated pages — nav-link
+    boilerplate, prose paragraphs, script/style/comment chaff. Pages
+    are generated distributed and cached/materialized before the
+    clock; the timed job is the full extract_text pass aggregated to
+    (chars out, links). Returns (sec, MB/sec of HTML in, n_pages)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jsonextract_spark.datapipe.html_text import extract_text
+
+    n_pages = max(int(120_000 * SF), 1200)
+
+    def gen(batches):
+        for pdf in batches:
+            pages = []
+            for i in pdf["id"]:
+                d = int(i)
+                nav = "".join(
+                    f'<li><a href="/s/{(d * 7 + k) % 97}">sec '
+                    f'{(d * 7 + k) % 97}</a></li>' for k in range(25))
+                paras = "".join(
+                    f"<p>para {d} {k} " + "word " * 110 + "</p>"
+                    for k in range(12))
+                pages.append(
+                    f"<html><head><title>Page {d}</title>"
+                    "<style>" + "p{x:1}" * 120 + "</style>"
+                    "<script>" + "var x=1;" * 240 + "</script></head>"
+                    f"<body><ul>{nav}</ul>{paras}<!-- c --></body></html>")
+            yield pd.DataFrame({"doc_id": pdf["id"], "html": pages})
+
+    pages = (spark.range(n_pages)
+             .mapInPandas(gen, "doc_id long, html string").cache())
+    n_bytes = pages.select(F.sum(F.length("html"))).collect()[0][0] or 0
+    t0 = time.time()
+    out = extract_text(pages, "html")
+    out.select(F.sum(F.length("text")), F.sum("n_links")).collect()
+    dt = time.time() - t0
+    pages.unpersist()
+    return dt, n_bytes / dt / 1e6, n_pages
+
+
 def bench_oracle_suite(spark) -> float:
     import __spark_entry__ as e
 
@@ -930,6 +973,12 @@ def main():
                            calib=spark)
     results["q_bpe_encode"] = round(dt, 3)
     extra["bpe_encode_mb_per_sec"] = round(mb_s, 2)
+    dt, mb_s, n_wet = _median_run(lambda: bench_wet_build(spark),
+                                  key=lambda r: r[0], name="q_wet_build",
+                                  calib=spark)
+    results["q_wet_build"] = round(dt, 3)
+    extra["wet_build"] = {"mb_per_sec": round(mb_s, 2), "pages": n_wet,
+                          "pages_per_sec": round(n_wet / dt, 1)}
     dt, mb_s, n_imgs = _median_run(
         lambda: bench_codec_decode(spark), key=lambda r: r[0],
         name="q_codec_decode", calib=spark)
