@@ -849,6 +849,77 @@ def _q_bmp_real(spark, sf_dir):
         (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
 
 
+def _q_tiff_real(spark, sf_dir):
+    """The REAL TIFF codec path (datapipe/tiff.py, r9): solid-color
+    payloads rotate through four container forms by doc_id — RGB
+    little-endian uncompressed, RGB big-endian PackBits with 1-row
+    strips, WhiteIsZero grayscale PackBits (plane stored inverted so
+    decode returns the closed-form gray), and 8-bit palette — so byte
+    order, strip assembly, PackBits, photometric inversion and the
+    ColorMap high-byte reduction all route through the decoder before
+    the features DuckDB recomputes from doc_id can match. Exactness
+    discipline as q_bmp_real: solid color ⇒ mean*255 = channel, std 0,
+    aspect w / 2^k float32-exact, full histogram mass in one bin."""
+    import numpy as np
+    import pandas as pd
+
+    from jsonextract_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, decode_features)
+    from jsonextract_spark.datapipe.tiff import encode_tiff
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads, ws, hs = [], [], []
+            for i in ids:
+                i = int(i)
+                w, h = 3 + i % 4, (1, 2, 8)[i % 3]
+                g = i % 256
+                rgb = np.array([g, (7 * i) % 256, (13 * i) % 256],
+                               np.uint8)
+                img = np.broadcast_to(rgb, (h, w, 3)).astype(np.uint8)
+                form = i % 4
+                if form == 0:
+                    payloads.append(encode_tiff(img, byte_order="<"))
+                elif form == 1:
+                    payloads.append(encode_tiff(
+                        img, byte_order=">", compression=32773,
+                        rows_per_strip=1))
+                elif form == 2:
+                    inv = np.full((h, w), 255 - g, np.uint8)
+                    payloads.append(encode_tiff(
+                        inv, photometric=0, compression=32773))
+                else:
+                    pal = np.zeros((256, 3), np.uint8)
+                    pal[2] = rgb
+                    idx = np.full((h, w), 2, np.uint8)
+                    payloads.append(encode_tiff(idx, photometric=3,
+                                                palette=pal))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "doc_id": ids, "media_type": "image/tiff",
+                "payload": payloads, "width": ws, "height": hs,
+                "n_frames": 1})
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+    feats = decode_features(media, decode_mode="real")
+    bin_r = (F.pmod(F.col("doc_id"), F.lit(256)) / 32).cast("int") + 1
+
+    def chan(idx, name):
+        return F.round(F.element_at("feat", idx).cast("double") * 255,
+                       0).alias(name)
+
+    return feats.select(
+        "doc_id", "ok",
+        chan(25, "chan_r"), chan(26, "chan_g"), chan(27, "chan_b"),
+        F.element_at("feat", 28).cast("double").alias("std_r"),
+        F.element_at("feat", 32).cast("double").alias("aspect"),
+        (F.element_at("feat", bin_r) == F.lit(1.0)).alias("hist_solid"))
+
+
 def _q_webp_real(spark, sf_dir):
     """The REAL WebP-lossless codec path (datapipe/webp.py, r9 —
     from-spec VP8L: RIFF container, transforms, meta-Huffman, color
@@ -1643,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gif_real": _q_gif_real,
         "q_gif_frames": _q_gif_frames,
         "q_bmp_real": _q_bmp_real,
+        "q_tiff_real": _q_tiff_real,
         "q_webp_real": _q_webp_real,
         "q_jpeg_real": _q_jpeg_real,
         "q_audio_real": _q_audio_real,
@@ -2028,6 +2100,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 256 AS DOUBLE)        AS chan_r,
                    CAST((doc_id * 7) % 256 AS DOUBLE)  AS chan_g,
                    CAST((doc_id * 13) % 256 AS DOUBLE) AS chan_b,
+                   CAST(0.0 AS DOUBLE) AS std_r,
+                   CAST(3 + doc_id % 4 AS DOUBLE)
+                       / (CASE doc_id % 3 WHEN 0 THEN 1
+                          WHEN 1 THEN 2 ELSE 8 END)    AS aspect,
+                   true AS hist_solid
+            FROM documents
+        """,
+        # TIFF closed forms: the gray WhiteIsZero form (doc_id%4==2)
+        # decodes to (g,g,g); the three color forms decode to the RGB
+        # triple — everything else identical to the BMP discipline.
+        "q_tiff_real": """
+            SELECT doc_id, true AS ok,
+                   CAST(doc_id % 256 AS DOUBLE) AS chan_r,
+                   CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 256
+                        ELSE (doc_id * 7) % 256 END AS DOUBLE)
+                       AS chan_g,
+                   CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 256
+                        ELSE (doc_id * 13) % 256 END AS DOUBLE)
+                       AS chan_b,
                    CAST(0.0 AS DOUBLE) AS std_r,
                    CAST(3 + doc_id % 4 AS DOUBLE)
                        / (CASE doc_id % 3 WHEN 0 THEN 1

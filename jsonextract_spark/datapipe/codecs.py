@@ -69,6 +69,7 @@ GIF_TYPES = frozenset({"image/gif"})
 BMP_TYPES = frozenset({"image/bmp", "image/x-ms-bmp"})
 WEBP_TYPES = frozenset({"image/webp"})
 ICO_TYPES = frozenset({"image/x-icon", "image/vnd.microsoft.icon"})
+TIFF_TYPES = frozenset({"image/tiff", "image/tif"})
 
 _WS = b" \t\r\n\x0b\x0c"
 
@@ -633,6 +634,9 @@ def real_decode_features(payload: bytes, media_type: str) -> np.ndarray:
         return image_features(parse_webp(payload))
     if media_type in ICO_TYPES:
         return image_features(parse_ico(payload))
+    if media_type in TIFF_TYPES:
+        from jsonextract_spark.datapipe.tiff import parse_tiff
+        return image_features(parse_tiff(payload))
     if media_type in WAV_TYPES:
         return audio_features(*parse_wav(payload))
     raise NotImplementedError(

@@ -125,6 +125,12 @@ def resize_media(media: DataFrame, width: int, height: int,
                         img = parse_webp(bytes(payload or b""))
                         outs.append(codecs.encode_ppm(
                             codecs.resize_nearest(img, width, height)))
+                    elif mtype in codecs.TIFF_TYPES:
+                        from jsonextract_spark.datapipe.tiff import \
+                            parse_tiff
+                        img = parse_tiff(bytes(payload or b""))
+                        outs.append(codecs.encode_ppm(
+                            codecs.resize_nearest(img, width, height)))
                     else:
                         raise NotImplementedError(
                             f"no dependency-free resize for {mtype} "
