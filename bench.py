@@ -519,14 +519,15 @@ def bench_ann_ivf(spark) -> float:
 
 
 def bench_codec_decode(spark) -> tuple[float, float, int]:
-    """REAL image-codec decode throughput across ALL FOUR from-scratch
-    decoders (r7 shipped PNG+JPEG here; r9 adds GIF, BMP and
-    WebP-lossless so every real decoder has a published rate): N rows
-    of 64x64 payloads — a fifth each PNG (random RGB), baseline JPEG
+    """REAL image-codec decode throughput across the from-scratch
+    decoders (r7 shipped PNG+JPEG here; r9 adds GIF, BMP,
+    WebP-lossless and TIFF so every real decoder has a published
+    rate): N rows of 64x64 payloads — a sixth each PNG (random RGB), baseline JPEG
     (smooth gradient), GIF (run-heavy 128-color, the realistic
-    favicon/thumbnail shape), 24-bit BMP (random RGB), and VP8L WebP
+    favicon/thumbnail shape), 24-bit BMP (random RGB), VP8L WebP
     (subtract-green over a banded image — the transform + entropy
-    path); payloads built once on the driver and
+    path), and PackBits TIFF (random RGB, 16-row strips); payloads
+    built once on the driver and
     replicated, decode cost is what's timed — through the distributed
     decode_features real path (mapInPandas over Arrow binary batches).
     Returns (sec, MB/sec of payload bytes, rows)."""
@@ -560,9 +561,13 @@ def bench_codec_decode(spark) -> tuple[float, float, int]:
         np.tile(((np.arange(64) * a) % 256).astype(np.uint8)
                 .reshape(1, 64, 1), (64, 1, 3)),
         subtract_green=True) for a in range(1, 9)]
+    from jsonextract_spark.datapipe import tiff as tiff_mod
+    tiffs = [tiff_mod.encode_tiff(
+        rng.randint(0, 256, (64, 64, 3), np.uint8),
+        compression=32773, rows_per_strip=16) for _ in range(8)]
     fams = [(pngs, "image/png"), (jpgs, "image/jpeg"),
             (gifs, "image/gif"), (bmps, "image/bmp"),
-            (webps, "image/webp")]
+            (webps, "image/webp"), (tiffs, "image/tiff")]
     n = max(int(40_000 * SF), 400)
     ids = spark.range(n)
 
@@ -571,8 +576,8 @@ def bench_codec_decode(spark) -> tuple[float, float, int]:
             out_ids = pdf["id"]
             payloads, types = [], []
             for i in out_ids:
-                fam, mt = fams[i % 5]
-                payloads.append(fam[(i // 5) % len(fam)])
+                fam, mt = fams[i % 6]
+                payloads.append(fam[(i // 6) % len(fam)])
                 types.append(mt)
             yield pd.DataFrame({
                 "doc_id": out_ids, "media_type": types,
@@ -988,7 +993,7 @@ def main():
                              "images_per_sec": round(n_imgs / dt, 1),
                              # r9: series covers all four real
                              # decoders (was png+jpeg through r8)
-                             "formats": "png+jpeg+gif+bmp+webp"}
+                             "formats": "png+jpeg+gif+bmp+webp+tiff"}
     mp = bench_codec_decode_mp(spark)
     results["q_codec_decode_mp"] = mp["sec"]
     extra["codec_decode_mp"] = mp
