@@ -198,6 +198,11 @@ def sample_frames(media: DataFrame, k: int = 4,
                         from jsonextract_spark.datapipe.gif import \
                             parse_gif
                         imgs = parse_gif(bytes(payload or b""))
+                    elif mtype in codecs.TIFF_TYPES:
+                        # multi-page TIFF (r9): pages of the IFD chain
+                        from jsonextract_spark.datapipe.tiff import \
+                            parse_tiff_frames
+                        imgs = parse_tiff_frames(bytes(payload or b""))
                     else:
                         raise NotImplementedError(
                             f"no dependency-free frame decode for "

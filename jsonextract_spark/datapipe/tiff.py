@@ -2,8 +2,10 @@
 Adobe TIFF 6.0 specification.
 
 Scope (the baseline a crawler meets in scans/faxes/stock dumps):
-both byte orders (II little / MM big), the first IFD, strip-organized
-8-bit images, Compression 1 (none) and 32773 (PackBits), and
+both byte orders (II little / MM big), the full IFD chain (multi-page
+fax/scan bundles — ``parse_tiff_frames``; ``parse_tiff`` is page one),
+strip-organized 8-bit images, Compression 1 (none) and 32773
+(PackBits), and
 PhotometricInterpretation 0/1 (grayscale, with WhiteIsZero inversion),
 2 (RGB — extra samples beyond the first three are dropped), and
 3 (palette via the 16-bit ColorMap, high byte taken, per spec the
@@ -85,9 +87,10 @@ def _unpackbits(src: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def parse_tiff(data: bytes) -> np.ndarray:
-    """TIFF payload -> (h, w, 3) uint8. ValueError on anything outside
-    the supported baseline or malformed."""
+TIFF_MAX_PAGES = 1024
+
+
+def _header(data: bytes) -> tuple[str, int]:
     if len(data) < 8:
         raise ValueError("tiff: too short")
     if data[:2] == b"II":
@@ -98,7 +101,42 @@ def parse_tiff(data: bytes) -> np.ndarray:
         raise ValueError("tiff: bad byte-order mark")
     if _rd(data, 2, 2, bo) != 42:
         raise ValueError("tiff: bad magic")
-    ifd = _rd(data, 4, 4, bo)
+    return bo, _rd(data, 4, 4, bo)
+
+
+def parse_tiff(data: bytes) -> np.ndarray:
+    """First page of a TIFF payload -> (h, w, 3) uint8. ValueError on
+    anything outside the supported baseline or malformed."""
+    bo, ifd = _header(data)
+    img, _next = _parse_ifd(data, bo, ifd)
+    return img
+
+
+def parse_tiff_frames(data: bytes,
+                      pixel_budget: int = TIFF_MAX_PIXELS
+                      ) -> list[np.ndarray]:
+    """Every page of a multi-page TIFF (the IFD chain — fax bundles,
+    scanned documents). The page cap and a TOTAL pixel budget across
+    pages guard the chain the same way the GIF animation path caps
+    full-canvas pixels per frame; an IFD loop (next pointer revisiting
+    an earlier offset) is caught by the page cap."""
+    bo, ifd = _header(data)
+    frames: list[np.ndarray] = []
+    left = pixel_budget
+    while ifd:
+        if len(frames) >= TIFF_MAX_PAGES:
+            raise ValueError("tiff: page count cap exceeded")
+        img, ifd = _parse_ifd(data, bo, ifd)
+        left -= img.shape[0] * img.shape[1]
+        if left < 0:
+            raise ValueError("tiff: multi-page pixel budget exceeded")
+        frames.append(img)
+    return frames
+
+
+def _parse_ifd(data: bytes, bo: str,
+               ifd: int) -> tuple[np.ndarray, int]:
+    """One IFD -> ((h, w, 3) uint8, next-IFD offset or 0)."""
     n_entries = _rd(data, ifd, 2, bo)
     if n_entries == 0 or n_entries > 4096:
         raise ValueError("tiff: bad IFD entry count")
@@ -112,6 +150,7 @@ def parse_tiff(data: bytes) -> np.ndarray:
         count = _rd(data, e + 4, 4, bo)
         if tag in want:
             tags[tag] = _ifd_values(data, bo, typ, count, e + 8)
+    next_ifd = _rd(data, ifd + 2 + 12 * n_entries, 4, bo)
 
     if 322 in tags:
         raise ValueError("tiff: tiled images unsupported")
@@ -166,18 +205,18 @@ def parse_tiff(data: bytes) -> np.ndarray:
         g = px[..., 0]
         if photo == 0:                   # WhiteIsZero
             g = 255 - g
-        return np.repeat(g[..., None], 3, axis=2).copy()
+        return np.repeat(g[..., None], 3, axis=2).copy(), next_ifd
     if photo == 2:
         if spp < 3:
             raise ValueError("tiff: RGB needs >=3 samples")
-        return px[..., :3].copy()
+        return px[..., :3].copy(), next_ifd
     if photo == 3:
         cmap = tags.get(320)
         if not cmap or len(cmap) < 3 * 256:
             raise ValueError("tiff: palette image without full ColorMap")
         lut = (np.array(cmap[:3 * 256], dtype=np.uint16)
                .reshape(3, 256).T >> 8).astype(np.uint8)
-        return lut[px[..., 0]].copy()
+        return lut[px[..., 0]].copy(), next_ifd
     raise ValueError(f"tiff: photometric {photo} unsupported")
 
 
@@ -211,7 +250,42 @@ def encode_tiff(img: np.ndarray, *, byte_order: str = "<",
     """(h, w, 3) uint8 (or (h, w) for gray/palette index) -> TIFF
     bytes. photometric 0/1 take a gray plane, 2 takes RGB, 3 takes an
     index plane + ``palette`` of shape (256, 3)."""
+    return encode_tiff_pages([img], byte_order=byte_order,
+                             photometric=photometric,
+                             compression=compression,
+                             rows_per_strip=rows_per_strip,
+                             palette=palette)
+
+
+def encode_tiff_pages(imgs: list, *, byte_order: str = "<",
+                      photometric: int = 2, compression: int = 1,
+                      rows_per_strip: int | None = None,
+                      palette: np.ndarray | None = None) -> bytes:
+    """Multi-page TIFF: one IFD-chain entry per image, pages laid out
+    sequentially ([IFD, ext, strips] each), every next-IFD pointer
+    computed from the two-pass page layout — never patched."""
     bo = byte_order
+    if not imgs:
+        raise ValueError("encode_tiff_pages: no pages")
+    out = bytearray((b"II" if bo == "<" else b"MM")
+                    + struct.pack(bo + "H", 42)
+                    + struct.pack(bo + "I", 8))
+    pos = 8
+    for k, img in enumerate(imgs):
+        seg = _encode_page(img, bo=bo, photometric=photometric,
+                           compression=compression,
+                           rows_per_strip=rows_per_strip,
+                           palette=palette, ifd_off=pos,
+                           last=(k == len(imgs) - 1))
+        out += seg
+        pos += len(seg)
+    return bytes(out)
+
+
+def _encode_page(img: np.ndarray, *, bo: str, photometric: int,
+                 compression: int, rows_per_strip: int | None,
+                 palette: np.ndarray | None, ifd_off: int,
+                 last: bool) -> bytes:
     h, w = img.shape[:2]
     if photometric == 2:
         plane = img.reshape(h, w * 3).astype(np.uint8)
@@ -250,14 +324,15 @@ def encode_tiff(img: np.ndarray, *, byte_order: str = "<",
     ext_size = sum(_TYPE_SIZE[typ] * len(vals)
                    for _, typ, vals in probe
                    if _TYPE_SIZE[typ] * len(vals) > 4)
-    data_off = 8 + ifd_size + ext_size
+    data_off = ifd_off + ifd_size + ext_size
     strip_offs, pos = [], data_off
     for s in strips:
         strip_offs.append(pos)
         pos += len(s)
+    next_ifd = 0 if last else pos          # next page starts right after
 
     ext = bytearray()
-    ext_base = 8 + ifd_size
+    ext_base = ifd_off + ifd_size
     body = bytearray()
     final = specs(strip_offs)
     body += pk("H", len(final))
@@ -270,6 +345,5 @@ def encode_tiff(img: np.ndarray, *, byte_order: str = "<",
         else:
             body += pk("I", ext_base + len(ext))
             ext += blob
-    body += pk("I", 0)                     # no next IFD
-    return ((b"II" if bo == "<" else b"MM") + pk("H", 42) + pk("I", 8)
-            + bytes(body) + bytes(ext) + b"".join(strips))
+    body += pk("I", next_ifd)
+    return bytes(body) + bytes(ext) + b"".join(strips)

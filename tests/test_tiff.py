@@ -158,3 +158,54 @@ def test_arbitrary_bytes(data):
         T.parse_tiff(data)
     except ValueError:
         pass
+
+
+def test_multipage_roundtrip():
+    imgs = [_RNG.integers(0, 256, (5 + k, 4, 3), dtype=np.uint8)
+            for k in range(4)]
+    data = T.encode_tiff_pages(imgs, byte_order=">",
+                               compression=32773, rows_per_strip=2)
+    back = T.parse_tiff_frames(data)
+    assert len(back) == 4
+    for a, b in zip(back, imgs):
+        assert np.array_equal(a, b)
+    # parse_tiff is page one
+    assert np.array_equal(T.parse_tiff(data), imgs[0])
+
+
+def test_ifd_loop_hits_page_cap():
+    """A next-IFD pointer looping back to the first IFD must stop at
+    the page cap, not spin forever."""
+    data = bytearray(T.encode_tiff(_GRAY, photometric=1))
+    n = int.from_bytes(data[8:10], "little")
+    ptr = 8 + 2 + 12 * n
+    data[ptr:ptr + 4] = (8).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="page count cap"):
+        T.parse_tiff_frames(bytes(data))
+
+
+def test_multipage_pixel_budget():
+    imgs = [np.zeros((8, 8, 3), np.uint8)] * 3
+    with pytest.raises(ValueError, match="budget"):
+        T.parse_tiff_frames(T.encode_tiff_pages(imgs), pixel_budget=100)
+
+
+@pytest.mark.spark
+def test_tiff_frame_sampling(spark):
+    from jsonextract_spark.datapipe.multimodal import sample_frames
+
+    pages = [np.broadcast_to(np.array([v, v, v], np.uint8),
+                             (4, 4, 3)).astype(np.uint8)
+             for v in (10, 60, 200)]
+    rows = [(0, "image/tiff",
+             bytearray(T.encode_tiff_pages(pages)), 4, 4, 3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary,"
+              " width int, height int, n_frames int")
+    out = sample_frames(df, k=3, decode_mode="real").collect()
+    assert [(r.sample_no, r.frame_idx, r.ok) for r in out] == \
+        [(0, 0, True), (1, 1, True), (2, 2, True)]
+    # frames come back as canonical P6 of each PAGE
+    from jsonextract_spark.datapipe import codecs
+    img0, _ = codecs.parse_ppm(bytes(out[0].frame))
+    assert img0[0, 0, 0] == 10
