@@ -1303,6 +1303,22 @@ def _q_html_text(spark, sf_dir):
         F.col("link_density").cast("double").alias("link_density"))
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """The continual-pretraining gate (dedup.exact_dedup_against):
+    a 'historical corpus' is planted holding exactly the texts of
+    every doc_id % 5 == 0 document (at shifted ids); the anti-join on
+    (xxhash64, length) must drop precisely those new docs and keep
+    the rest — text bytes never shuffle."""
+    from jsonextract_spark.datapipe.dedup import exact_dedup_against
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = (docs.filter(F.col("doc_id") % 5 == 0)
+               .select((F.col("doc_id") + 500000).alias("doc_id"),
+                       "text"))
+    kept = exact_dedup_against(docs, old, "text", "doc_id")
+    return kept.select("doc_id")
+
+
 def _q_rare_grams(spark, sf_dir):
     """Corpus-relative rare-trigram quality signal
     (textstats.rare_gram_quality): char-trigram corpus frequencies →
@@ -1733,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mp4_meta": _q_mp4_meta,
         "q_rare_grams": _q_rare_grams,
         "q_corpus_build": _q_corpus_build,
+        "q_dedup_incremental": _q_dedup_incremental,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2398,6 +2415,12 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_chars,
                    'Group ' || grp AS title
             FROM rep
+        """,
+        # The planted history holds exactly the doc_id % 5 == 0 texts,
+        # so the hash anti-join must keep exactly the complement (all
+        # documents texts are distinct at every sf).
+        "q_dedup_incremental": """
+            SELECT doc_id FROM documents WHERE doc_id % 5 <> 0
         """,
         # Exact SQL restatement of the rare-trigram signal: same gram
         # extraction (1-based substr, lowercase a no-op on this

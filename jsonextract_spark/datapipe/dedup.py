@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 N_PERM = 64          # minhash permutations
 N_BANDS = 16         # -> 4 rows per band; s-curve threshold ~0.55
@@ -247,39 +247,107 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
         pairs = minhash_candidate_pairs(df, text_col, id_col)
     texts = df.select(F.col(id_col).alias("id"),
                       F.col(text_col).alias("text"))
+    return _verify_pairs(pairs, texts, texts, threshold)
+
+
+@F.pandas_udf(DoubleType())
+def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+    """Exact char-shingle Jaccard of two text columns.
+
+    Each distinct text is shingled ONCE per batch (a doc in many
+    candidate pairs re-uses its sorted-unique hash array), and the
+    per-pair work is a single C-speed sorted intersection —
+    |A∪B| = |A| + |B| - |A∩B|, so no union materializes. This
+    replaced per-pair Python set algebra that dominated the bench
+    (6.2s of 9.8s at sf0.1, VERDICT r2). Module-level with a DataType
+    return (DDL strings at module scope break on executors)."""
+    cache: dict[str, np.ndarray] = {}
+
+    def sh(t: str) -> np.ndarray:
+        a = cache.get(t)
+        if a is None:
+            a = cache[t] = _shingle_hashes(t)  # sorted unique u64
+        return a
+
+    out = np.empty(len(ta), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(ta, tb)):
+        sa, sb = sh(x), sh(y)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        out[i] = inter / max(sa.size + sb.size - inter, 1)
+    return pd.Series(out)
+
+
+def _verify_pairs(pairs: DataFrame, texts_a: DataFrame,
+                  texts_b: DataFrame, threshold: float) -> DataFrame:
+    """Join candidate (a, b) pairs to their texts and keep those whose
+    exact shingle Jaccard clears the threshold."""
     joined = (pairs
-              .join(texts.withColumnRenamed("id", "a")
-                         .withColumnRenamed("text", "text_a"), "a")
-              .join(texts.withColumnRenamed("id", "b")
-                         .withColumnRenamed("text", "text_b"), "b"))
-
-    @F.pandas_udf("double")
-    def jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        # Each distinct text is shingled ONCE per batch (a doc in many
-        # candidate pairs re-uses its sorted-unique hash array), and the
-        # per-pair work is a single C-speed sorted intersection —
-        # |A∪B| = |A| + |B| - |A∩B|, so no union materializes. This
-        # replaced per-pair Python set algebra that dominated the bench
-        # (6.2s of 9.8s at sf0.1, VERDICT r2).
-        cache: dict[str, np.ndarray] = {}
-
-        def sh(t: str) -> np.ndarray:
-            a = cache.get(t)
-            if a is None:
-                a = cache[t] = _shingle_hashes(t)  # sorted unique u64
-            return a
-
-        out = np.empty(len(ta), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa, sb = sh(x), sh(y)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            out[i] = inter / max(sa.size + sb.size - inter, 1)
-        return pd.Series(out)
-
+              .join(texts_a.withColumnRenamed("id", "a")
+                           .withColumnRenamed("text", "text_a"), "a")
+              .join(texts_b.withColumnRenamed("id", "b")
+                           .withColumnRenamed("text", "text_b"), "b"))
     return (joined
-            .withColumn("jaccard", jaccard("text_a", "text_b"))
+            .withColumn("jaccard", jaccard_udf("text_a", "text_b"))
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
+
+
+# -- incremental (new batch vs historical corpus) ------------------------------
+
+def exact_dedup_against(new: DataFrame, old: DataFrame, text_col: str,
+                        id_col: str, paranoid: bool = False) -> DataFrame:
+    """Rows of ``new`` whose text does not already exist in ``old`` —
+    the continual-pretraining gate (today's crawl batch vs the
+    historical corpus). Anti-join on the same (hash, length[, hash2])
+    keys as :func:`exact_dedup`: text bytes never shuffle, and the
+    historical side reduces to its distinct 16-byte key set — exactly
+    the compact "dedup index" a production corpus persists. Compose
+    with :func:`exact_dedup` afterwards for intra-batch collapse."""
+    def keyed(df):
+        out = (df.withColumn("_fp", F.xxhash64(F.col(text_col)))
+                 .withColumn("_len", F.length(F.col(text_col))))
+        if paranoid:
+            out = out.withColumn(
+                "_fp2", F.xxhash64(F.reverse(F.col(text_col))))
+        return out
+
+    keys = ["_fp", "_len"] + (["_fp2"] if paranoid else [])
+    old_keys = keyed(old).select(*keys).distinct()
+    return (keyed(new).join(old_keys, keys, "left_anti").drop(*keys))
+
+
+def minhash_dedup_against(new: DataFrame, old: DataFrame, text_col: str,
+                          id_col: str, threshold: float = 0.8,
+                          max_docs_per_bucket: int | None =
+                          MAX_DOCS_PER_BUCKET) -> DataFrame:
+    """Verified near-dup pairs ACROSS corpora: (a = new id, b = old
+    id) where the new doc near-duplicates a historical doc. Band
+    tables for each side equi-join on (band, band_hash) — never a
+    self-join, so intra-new and intra-old pairs are not produced and
+    the join volume is collisions only. The hot-bucket cap applies to
+    the OLD side, where boilerplate accumulates over time (same lossy
+    trade as the self-join form; ``None`` disables). Typical use:
+    ``new.join(result.select('a').distinct(), new.id == a,
+    'left_anti')`` to drop the near-dups of history."""
+    new_bands = minhash_bands(new, text_col, id_col)
+    old_bands = minhash_bands(old, text_col, id_col)
+    if max_docs_per_bucket is not None:
+        w = Window.partitionBy("band", "band_hash")
+        old_bands = (old_bands
+                     .withColumn("_bsz", F.count(F.lit(1)).over(w))
+                     .filter(F.col("_bsz") <= max_docs_per_bucket)
+                     .drop("_bsz"))
+    pairs = (new_bands.alias("l")
+             .join(old_bands.alias("r"),
+                   (F.col("l.band") == F.col("r.band")) &
+                   (F.col("l.band_hash") == F.col("r.band_hash")))
+             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+             .distinct())
+    texts_new = new.select(F.col(id_col).alias("id"),
+                           F.col(text_col).alias("text"))
+    texts_old = old.select(F.col(id_col).alias("id"),
+                           F.col(text_col).alias("text"))
+    return _verify_pairs(pairs, texts_new, texts_old, threshold)
 
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str,

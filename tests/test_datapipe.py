@@ -637,3 +637,43 @@ def test_rare_gram_probe_side_never_shuffles_on_gram(spark):
                       if "Exchange hashpartitioning(gram" in l]
     assert len(gram_exchanges) == 1, plan
     assert "BroadcastExchange" in plan
+
+
+def test_exact_dedup_against(spark):
+    from jsonextract_spark.datapipe.dedup import exact_dedup_against
+
+    old = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "gamma delta")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(0, "alpha beta"),          # exact dup of history -> dropped
+         (1, "epsilon zeta"),        # fresh -> kept
+         (2, "gamma delta")],        # dup of history -> dropped
+        "doc_id long, text string")
+    kept = exact_dedup_against(new, old, "text", "doc_id")
+    assert {r.doc_id for r in kept.collect()} == {1}
+    assert kept.columns == ["doc_id", "text"]   # helper keys dropped
+
+
+def test_minhash_dedup_against(spark):
+    from jsonextract_spark.datapipe.dedup import minhash_dedup_against
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight") * 3
+    old = spark.createDataFrame(
+        [(100, base), (101, "entirely different historical text "
+                            "about spark shuffle partitions" * 4)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(0, base.replace("tonight", "today")),   # near-dup of 100
+         (1, "completely novel content on tiff strips and packbits "
+             "runs with no overlap whatsoever" * 4)],
+        "doc_id long, text string")
+    pairs = minhash_dedup_against(new, old, "text", "doc_id",
+                                  threshold=0.7)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert got == {(0, 100)}
+    # the intended anti-join drops exactly the near-dup of history
+    survivors = new.join(pairs.select("a").distinct(),
+                         new.doc_id == F.col("a"), "left_anti")
+    assert {r.doc_id for r in survivors.collect()} == {1}
