@@ -1315,7 +1315,7 @@ def _q_dedup_incremental(spark, sf_dir):
     old = (docs.filter(F.col("doc_id") % 5 == 0)
                .select((F.col("doc_id") + 500000).alias("doc_id"),
                        "text"))
-    kept = exact_dedup_against(docs, old, "text", "doc_id")
+    kept = exact_dedup_against(docs, old, "text")
     return kept.select("doc_id")
 
 

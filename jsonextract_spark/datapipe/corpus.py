@@ -63,10 +63,20 @@ def build_training_corpus(
                        & (F.col("link_density") <= max_link_density))
     rare = rare_gram_quality(kept, "text", rare_max_count=rare_max_count,
                              id_col="url_hash")
-    kept = kept.join(
-        rare.filter(F.col("rare_frac") <= max_rare_frac)
-            .select("url_hash"),
-        "url_hash")
+    # left join: a doc too short to have any n-gram has no rare row —
+    # no grams means no rare grams, not an extra silent filter
+    kept = (kept.join(rare.select("url_hash", "rare_frac"),
+                      "url_hash", "left")
+                .filter(F.coalesce(F.col("rare_frac"), F.lit(0.0))
+                        <= max_rare_frac)
+                .drop("rare_frac"))
+    # the ingest lineage (WARC member walk + three Python UDF stages)
+    # feeds every downstream branch — the dedup rep join, the optional
+    # near-dedup band/verify joins, the BPE trainer's own action, and
+    # the final corpus action. Persist once so it runs once; the
+    # trainer action below materializes it. Callers can release it via
+    # funnel["cleanup"]() once the corpus has been written/collected.
+    kept = kept.persist()
 
     reps = exact_dedup(kept, "text", "url_hash")
     corpus = kept.join(reps, "url_hash")   # keeps min-id rep per text
@@ -94,5 +104,6 @@ def build_training_corpus(
         F.sum("dup_count").alias("collapsed_docs"),
         F.sum("bpe_n_tokens").alias("bpe_tokens"),
         F.sum(F.length("text")).alias("text_chars"))
-    funnel = {"merges": merges, "get": lambda: dict(obs.get)}
+    funnel = {"merges": merges, "get": lambda: dict(obs.get),
+              "cleanup": lambda: kept.unpersist()}
     return corpus, funnel

@@ -295,7 +295,7 @@ def _verify_pairs(pairs: DataFrame, texts_a: DataFrame,
 # -- incremental (new batch vs historical corpus) ------------------------------
 
 def exact_dedup_against(new: DataFrame, old: DataFrame, text_col: str,
-                        id_col: str, paranoid: bool = False) -> DataFrame:
+                        paranoid: bool = False) -> DataFrame:
     """Rows of ``new`` whose text does not already exist in ``old`` —
     the continual-pretraining gate (today's crawl batch vs the
     historical corpus). Anti-join on the same (hash, length[, hash2])

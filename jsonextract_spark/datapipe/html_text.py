@@ -181,8 +181,6 @@ def html_to_text(html: str) -> tuple[str, str, int, int]:
             break                               # unterminated tag: drop rest
         if not closing and name in _RAW_TEXT:
             c = _raw_close(html, gt + 1, name)
-            if name in _BLOCK:
-                flush()
             if c < 0:
                 break
             gt2 = _tag_end(html, c + 2 + len(name))

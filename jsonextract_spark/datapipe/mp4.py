@@ -9,8 +9,10 @@ keyframe density, language, sample counts) before ever spending decode
 cycles. This module parses it for real:
 
 * box walk: 32-bit and 64-bit (``largesize``) boxes, size-0
-  extends-to-end boxes, strict bounds inside the parent, box-count and
-  depth caps enforced BEFORE trusting any length field
+  extends-to-end boxes, strict bounds inside the parent, a box-count
+  cap enforced BEFORE trusting any length field (nesting depth is
+  structurally bounded — the walk is hard-coded moov→trak→mdia→minf→
+  stbl, never recursive over arbitrary containers)
 * ``ftyp`` major brand; ``mvhd`` movie timescale/duration (v0 + v1)
 * per ``trak``: ``tkhd`` (track id, presentation WxH as 16.16 fixed,
   v0 + v1), ``mdhd`` (media timescale/duration, packed ISO-639
@@ -42,10 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 MP4_MAX_BOXES = 65536
-MP4_MAX_DEPTH = 16
 MP4_MAX_TRACKS = 256
-
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 
 def _need(data: bytes, off: int, n: int) -> None:
@@ -104,6 +103,14 @@ def _fullbox(data: bytes, s: int, e: int) -> tuple[int, int]:
     return data[s], s + 4
 
 
+def _fits(end_needed: int, e: int) -> None:
+    """Fixed-offset fields must lie inside THEIR OWN box — checking
+    against the whole payload would let a truncated box silently read
+    sibling-box bytes as metadata."""
+    if end_needed > e:
+        raise ValueError("mp4: box too short for its version layout")
+
+
 def _lang_str(v: int) -> str:
     """Packed ISO-639-2/T: 1 pad bit + three 5-bit chars (+0x60)."""
     chars = [((v >> sh) & 0x1F) + 0x60 for sh in (10, 5, 0)]
@@ -115,8 +122,10 @@ def _lang_str(v: int) -> str:
 def _parse_mvhd(data: bytes, s: int, e: int) -> tuple[int, int]:
     version, b = _fullbox(data, s, e)
     if version == 1:
+        _fits(b + 28, e)
         timescale, duration = _u32(data, b + 16), _u64(data, b + 20)
     elif version == 0:
+        _fits(b + 16, e)
         timescale, duration = _u32(data, b + 8), _u32(data, b + 12)
     else:
         raise ValueError("mp4: bad mvhd version")
@@ -135,6 +144,7 @@ def _parse_tkhd(data: bytes, s: int, e: int) -> tuple[int, float, float]:
         w_off = b + 72
     else:
         raise ValueError("mp4: bad tkhd version")
+    _fits(w_off + 8, e)
     width = _u32(data, w_off) / 65536.0
     height = _u32(data, w_off + 4) / 65536.0
     return track_id, width, height
@@ -143,9 +153,11 @@ def _parse_tkhd(data: bytes, s: int, e: int) -> tuple[int, float, float]:
 def _parse_mdhd(data: bytes, s: int, e: int) -> tuple[int, int, str]:
     version, b = _fullbox(data, s, e)
     if version == 1:
+        _fits(b + 30, e)
         timescale, duration = _u32(data, b + 16), _u64(data, b + 20)
         lang = _u16(data, b + 28)
     elif version == 0:
+        _fits(b + 18, e)
         timescale, duration = _u32(data, b + 8), _u32(data, b + 12)
         lang = _u16(data, b + 16)
     else:
@@ -157,6 +169,7 @@ def _parse_mdhd(data: bytes, s: int, e: int) -> tuple[int, int, str]:
 
 def _parse_stsd(data: bytes, s: int, e: int, handler: str) -> dict:
     _, b = _fullbox(data, s, e)
+    _fits(b + 4, e)
     n_entries = _u32(data, b)
     out: dict = {"codec": None, "se_width": None, "se_height": None,
                  "channels": None, "sample_rate": None}
@@ -187,9 +200,11 @@ def _parse_stbl(data: bytes, s: int, e: int, budget: list,
             info.update(_parse_stsd(data, s2, e2, handler))
         elif typ == b"stsz":
             _, b = _fullbox(data, s2, e2)
+            _fits(b + 8, e2)
             info["n_samples"] = _u32(data, b + 4)
         elif typ == b"stts":
             _, b = _fullbox(data, s2, e2)
+            _fits(b + 4, e2)
             n = _u32(data, b)
             if b + 4 + 8 * n > e2:
                 raise ValueError("mp4: stts entries overrun box")
@@ -197,6 +212,7 @@ def _parse_stbl(data: bytes, s: int, e: int, budget: list,
                              for i in range(n))
         elif typ == b"stss":
             _, b = _fullbox(data, s2, e2)
+            _fits(b + 4, e2)
             n = _u32(data, b)
             if b + 4 + 4 * n > e2:
                 raise ValueError("mp4: stss entries overrun box")
@@ -229,7 +245,7 @@ def _parse_trak(data: bytes, s: int, e: int, budget: list) -> dict:
                      track["language"]) = _parse_mdhd(data, s3, e3)
                 elif t3 == b"hdlr":
                     _, b = _fullbox(data, s3, e3)
-                    _need(data, b + 4, 4)
+                    _fits(b + 8, e3)
                     track["handler"] = data[b + 4:b + 8].decode("latin-1")
                 elif t3 == b"minf":
                     for t4, s4, e4 in _boxes(data, s3, e3, budget):

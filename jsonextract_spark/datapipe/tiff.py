@@ -152,34 +152,47 @@ def _parse_ifd(data: bytes, bo: str,
             tags[tag] = _ifd_values(data, bo, typ, count, e + 8)
     next_ifd = _rd(data, ifd + 2 + 12 * n_entries, 4, bo)
 
+    def one(tag, default=None):
+        """Single-valued tag; an empty value list (count=0 entry) is
+        malformed, never an IndexError (the err-channel contract)."""
+        vals = tags.get(tag)
+        if vals is None:
+            if default is None:
+                raise ValueError(f"tiff: missing required tag {tag}")
+            return default
+        if not vals:
+            raise ValueError(f"tiff: empty value list for tag {tag}")
+        return vals[0]
+
     if 322 in tags:
         raise ValueError("tiff: tiled images unsupported")
-    if tags.get(284, [1])[0] != 1:
+    if one(284, 1) != 1:
         raise ValueError("tiff: planar configuration 2 unsupported")
-    comp = tags.get(259, [1])[0]
+    comp = one(259, 1)
     if comp not in (1, 32773):
         raise ValueError(f"tiff: compression {comp} unsupported "
                          "(baseline: none/PackBits)")
-    try:
-        w = tags[256][0]
-        h = tags[257][0]
-        photo = tags[262][0]
-        offsets = tags[273]
-        counts = tags[279]
-    except KeyError as exc:
-        raise ValueError(f"tiff: missing required tag {exc}") from None
-    spp = tags.get(277, [1])[0]
+    w = one(256)
+    h = one(257)
+    photo = one(262)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if offsets is None or counts is None:
+        raise ValueError("tiff: missing strip offsets/byte counts")
+    spp = one(277, 1)
+    if w <= 0 or h <= 0 or spp <= 0 or spp > 16:
+        raise ValueError("tiff: bad dimensions")
     bits = tags.get(258, [8] * spp)
     if any(b != 8 for b in bits):
         raise ValueError("tiff: only 8-bit samples supported")
-    if w <= 0 or h <= 0 or spp <= 0 or spp > 16:
-        raise ValueError("tiff: bad dimensions")
-    if w * h > TIFF_MAX_PIXELS:
+    # the allocation below is w*h*spp BYTES — bound that, not just the
+    # pixel count (spp up to 16 would under-count the cap 16x)
+    if w * h > TIFF_MAX_PIXELS or w * h * spp > 3 * TIFF_MAX_PIXELS:
         raise ValueError("tiff: pixel count exceeds cap")
     if len(offsets) != len(counts) or not offsets:
         raise ValueError("tiff: strip offsets/counts mismatch")
 
-    rps = tags.get(278, [h])[0]
+    rps = one(278, h)
     if rps <= 0:
         rps = h
     n_strips = (h + rps - 1) // rps
@@ -214,6 +227,11 @@ def _parse_ifd(data: bytes, bo: str,
         cmap = tags.get(320)
         if not cmap or len(cmap) < 3 * 256:
             raise ValueError("tiff: palette image without full ColorMap")
+        if any(v > 0xFFFF for v in cmap[:3 * 256]):
+            # a LONG-typed ColorMap can exceed SHORT range; numpy>=2.0
+            # raises OverflowError on the uint16 cast (escaping the
+            # err channel) where 1.x silently wrapped — reject instead
+            raise ValueError("tiff: ColorMap value out of SHORT range")
         lut = (np.array(cmap[:3 * 256], dtype=np.uint16)
                .reshape(3, 256).T >> 8).astype(np.uint8)
         return lut[px[..., 0]].copy(), next_ifd

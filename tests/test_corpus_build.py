@@ -127,3 +127,26 @@ def test_corpus_build_near_dedup(spark, warc_glob):
     pair = {u for u in urls if u.endswith("/p/18") or u.endswith("/p/19")}
     assert len(pair) == 1
     assert len(rows) == 19
+
+
+def test_short_doc_passes_rare_gate(spark, tmp_path):
+    """r9 review finding: a doc too short to have any n-gram has no
+    rare_gram row; the LEFT join must keep it (no grams = no rare
+    grams), not silently drop it through an inner join."""
+    from jsonextract_spark.datapipe.corpus import build_training_corpus
+
+    blob = b"".join(
+        gzip.compress(W.warc_record(u, datetime(2026, 8, 18, 5, 0, 0, i),
+                                    _page(t)))
+        for i, (u, t) in enumerate([
+            ("https://a.example/one", "ab"),               # no trigram
+            ("https://a.example/two", " ".join(_VOCAB * 3)),
+        ]))
+    (tmp_path / "s.warc.gz").write_bytes(blob)
+    corpus, funnel = build_training_corpus(
+        spark, str(tmp_path / "*.warc.gz"), min_tokens=1,
+        max_link_density=1.0, max_rare_frac=0.5, rare_max_count=0,
+        n_merges=16)
+    urls = {r.url for r in corpus.collect()}
+    funnel["cleanup"]()
+    assert urls == {"https://a.example/one", "https://a.example/two"}

@@ -650,7 +650,7 @@ def test_exact_dedup_against(spark):
          (1, "epsilon zeta"),        # fresh -> kept
          (2, "gamma delta")],        # dup of history -> dropped
         "doc_id long, text string")
-    kept = exact_dedup_against(new, old, "text", "doc_id")
+    kept = exact_dedup_against(new, old, "text")
     assert {r.doc_id for r in kept.collect()} == {1}
     assert kept.columns == ["doc_id", "text"]   # helper keys dropped
 

@@ -172,3 +172,25 @@ def test_arbitrary_bytes(data):
         M.parse_mp4_meta(data)
     except _ALLOWED:
         pass
+
+
+def test_truncated_tkhd_never_reads_sibling_bytes():
+    """r9 review finding (reproduced pre-fix): a tkhd box too short
+    for its version layout must raise, not read width/height out of
+    the NEXT box's bytes and report them ok=true."""
+    stub_tkhd = M._full(b"tkhd", 0, struct.pack(">III", 0, 0, 7))
+    filler = M._box(b"free", b"\xab" * 120)
+    mdia = M._box(b"mdia", M._full(b"mdhd", 0, struct.pack(
+        ">IIIIHH", 0, 0, 600, 600, M._lang_pack("und"), 0)))
+    trak = M._box(b"trak", stub_tkhd + filler + mdia)
+    moov = M._box(b"moov", M._full(b"mvhd", 0, struct.pack(
+        ">IIII", 0, 0, 1000, 1000) + b"\x00" * 80) + trak)
+    data = M._box(b"ftyp", b"isom\x00\x00\x00\x00isom") + moov
+    with pytest.raises(ValueError, match="too short"):
+        M.parse_mp4_meta(data)
+
+
+def test_truncated_mvhd_rejected():
+    moov = M._box(b"moov", M._full(b"mvhd", 0, struct.pack(">II", 0, 0)))
+    with pytest.raises(ValueError, match="too short"):
+        M.parse_mp4_meta(M._box(b"ftyp", b"isomxxxx") + moov)

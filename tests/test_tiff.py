@@ -209,3 +209,36 @@ def test_tiff_frame_sampling(spark):
     from jsonextract_spark.datapipe import codecs
     img0, _ = codecs.parse_ppm(bytes(out[0].frame))
     assert img0[0, 0, 0] == 10
+
+
+def test_count_zero_entry_is_valueerror_not_indexerror():
+    """r9 review finding: a count=0 IFD entry for a read tag must land
+    in the err channel, not escape as IndexError."""
+    base = T.encode_tiff(_RGB)
+    # ImageWidth entry: tag 256, type LONG(4), count 1 -> count 0
+    pat = struct.pack("<HHI", 256, 4, 1)
+    bad = base.replace(pat, struct.pack("<HHI", 256, 4, 0), 1)
+    assert bad != base
+    with pytest.raises(ValueError):
+        T.parse_tiff(bad)
+
+
+def test_byte_bomb_cap_counts_samples(monkeypatch):
+    """r9 review finding: the allocation is w*h*spp BYTES — a 16-sample
+    image must hit the cap 16x earlier than an RGB one."""
+    monkeypatch.setattr(T, "TIFF_MAX_PIXELS", 1 << 10)
+    # craft a 16-spp image header by patching SamplesPerPixel and
+    # BitsPerSample of a gray image whose w*h passes the pixel cap
+    img = np.zeros((16, 16), np.uint8)          # 256 px < 1024 cap
+    base = T.encode_tiff(img, photometric=1)
+    bad = base.replace(struct.pack("<HHI", 277, 3, 1)
+                       + struct.pack("<H", 1) + b"\x00\x00",
+                       struct.pack("<HHI", 277, 3, 1)
+                       + struct.pack("<H", 16) + b"\x00\x00", 1)
+    bad = bad.replace(struct.pack("<HHI", 258, 3, 1)
+                      + struct.pack("<H", 8) + b"\x00\x00",
+                      struct.pack("<HHI", 258, 3, 1)
+                      + struct.pack("<H", 8) + b"\x00\x00", 1)
+    assert bad != base
+    with pytest.raises(ValueError, match="cap"):
+        T.parse_tiff(bad)
