@@ -1333,6 +1333,16 @@ series steps up vs r07 for overhead reasons that shrink at real
 scale. The q_dedup_skew row carries the capped-vs-uncapped
 counterfactual.
 
+SERIES NOTE (r09, late): the r9 full run recorded q_ann samples
+[5.36, 8.15, 0.96] against a FLAT calib (~0.55) — not host drift but
+late-session JVM state (the ANN reps run after ~2,600 accumulated
+bench stages; broadcast-cleanup/GC pauses hit the small crossJoin
+hardest). Adjudicated by a 6-rep isolated probe on identical code
+immediately after the run: [1.454, 1.220, 1.315, 1.285, 1.241,
+1.132] — squarely in the r08 band ([1.13, 1.46, 2.71]). similarity.py
+had ZERO commits this round; read the isolated probe, not the
+in-bench median, for the q_ann cross-round series.
+
 | query | samples (sec) | rel. spread | calib (sec) | normalized |
 |---|---|---|---|---|
 """ + "".join(
