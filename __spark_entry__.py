@@ -1303,6 +1303,37 @@ def _q_html_text(spark, sf_dir):
         F.col("link_density").cast("double").alias("link_density"))
 
 
+_NORM_SUFFIXES = [
+    " ﬁsh",            # ﬁ ligature → fish
+    " x²y",            # superscript two → x2y
+    " Ａ１",        # fullwidth A1 → A1
+    " éclair",        # combining acute → composed é
+    " a\x00b\u200bc",   # NUL (Cc) + zero-width space (Cf) dropped
+    " a\u00adb  c",      # soft hyphen dropped, run collapsed
+]
+
+
+def _q_normalize(spark, sf_dir):
+    """Unicode normalization (textstats.normalize_text_udf): each doc
+    gets a planted suffix whose NFKC + control-strip + whitespace-
+    collapse result is known exactly; the oracle concatenates the
+    closed-form normalized literal instead — compatibility ligatures,
+    fullwidth forms, combining sequences, and invisible Cc/Cf
+    characters all route through the operator."""
+    from jsonextract_spark.datapipe.textstats import normalize_text_udf
+
+    docs = _docs(spark, sf_dir)
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _NORM_SUFFIXES]),
+        (F.col("doc_id") % 6).cast("int") + 1)
+    out = docs.select(
+        "doc_id",
+        normalize_text_udf(F.concat("text", suffix)).alias("norm_text"))
+    return out.select("doc_id", "norm_text",
+                      F.length("norm_text").cast("bigint")
+                      .alias("n_chars_norm"))
+
+
 def _q_dedup_incremental(spark, sf_dir):
     """The continual-pretraining gate (dedup.exact_dedup_against):
     a 'historical corpus' is planted holding exactly the texts of
@@ -1750,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rare_grams": _q_rare_grams,
         "q_corpus_build": _q_corpus_build,
         "q_dedup_incremental": _q_dedup_incremental,
+        "q_normalize": _q_normalize,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2415,6 +2447,25 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_chars,
                    'Group ' || grp AS title
             FROM rep
+        """,
+        # Closed-form normalized literals for each planted suffix
+        # (composed é in case 3 — NFKC composes the combining acute).
+        # The base text is ASCII and already whitespace-normalized at
+        # every sf, so it passes through the operator unchanged.
+        "q_normalize": """
+            SELECT doc_id,
+                   text || CASE CAST(doc_id % 6 AS INTEGER)
+                       WHEN 0 THEN ' fish'
+                       WHEN 1 THEN ' x2y'
+                       WHEN 2 THEN ' A1'
+                       WHEN 3 THEN ' éclair'
+                       WHEN 4 THEN ' abc'
+                       ELSE ' ab c' END AS norm_text,
+                   CAST(length(text) + CASE CAST(doc_id % 6 AS INTEGER)
+                       WHEN 0 THEN 5 WHEN 1 THEN 4 WHEN 2 THEN 3
+                       WHEN 3 THEN 7 WHEN 4 THEN 4 ELSE 5 END
+                       AS BIGINT) AS n_chars_norm
+            FROM documents
         """,
         # The planted history holds exactly the doc_id % 5 == 0 texts,
         # so the hash anti-join must keep exactly the complement (all

@@ -119,6 +119,28 @@ def langid_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: "und" if not t else _langid(t))
 
 
+def _norm_text(t: str) -> str:
+    """NFKC-normalize, drop control/format codepoints (Cc/Cf — NULs,
+    soft hyphens, zero-width junk, bidi controls), collapse all Unicode
+    whitespace runs to single spaces, strip. The standard mojibake/
+    invisible-character cleaning pass a corpus runs before dedup and
+    tokenization — zero-width characters otherwise make visually
+    identical documents hash apart."""
+    import unicodedata as ud
+    n = ud.normalize("NFKC", t)
+    # tab/newline/CR are category Cc too — whitespace controls must
+    # survive to the collapse step (they become separators), only
+    # NON-whitespace Cc/Cf is invisible junk
+    n = "".join(c for c in n
+                if c.isspace() or ud.category(c) not in ("Cc", "Cf"))
+    return " ".join(n.split())
+
+
+@F.pandas_udf(StringType())
+def normalize_text_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: None if t is None else _norm_text(t))
+
+
 @F.pandas_udf(LongType())
 def fingerprint_udf(texts: pd.Series) -> pd.Series:
     """64-bit document fingerprint over whitespace-normalized lowercase

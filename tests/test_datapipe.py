@@ -677,3 +677,24 @@ def test_minhash_dedup_against(spark):
     survivors = new.join(pairs.select("a").distinct(),
                          new.doc_id == F.col("a"), "left_anti")
     assert {r.doc_id for r in survivors.collect()} == {1}
+
+
+def test_normalize_text(spark):
+    from jsonextract_spark.datapipe.textstats import (_norm_text,
+                                                      normalize_text_udf)
+
+    cases = [
+        ("ﬁsh ﬂow", "fish flow"),          # compatibility ligatures
+        ("x² Ａ１", "x2 A1"),  # superscript + fullwidth
+        ("éclair", "éclair"),    # combining -> composed
+        ("a\x00b​c­d", "abcd"),   # Cc/Cf stripped
+        ("  a\t\tb c  ", "a b c"),     # unicode ws collapse
+        ("", ""),
+    ]
+    for raw, want in cases:
+        assert _norm_text(raw) == want, raw
+    df = spark.createDataFrame([(0, cases[0][0]), (1, None)],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r.n for r in df.select(
+        "doc_id", normalize_text_udf("text").alias("n")).collect()}
+    assert rows == {0: "fish flow", 1: None}
