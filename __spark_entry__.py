@@ -1303,6 +1303,37 @@ def _q_html_text(spark, sf_dir):
         F.col("link_density").cast("double").alias("link_density"))
 
 
+def _q_links(spark, sf_dir):
+    """Anchor-text link extraction (html_text.extract_links_udf — the
+    link-graph edge builder): each page carries one relative href (to
+    be resolved against the page URL), one absolute href with a
+    fragment (to be stripped), and two non-navigational links
+    (fragment-only + mailto, to be dropped); the oracle rebuilds the
+    surviving (href, anchor, pos) edges closed-form."""
+    from jsonextract_spark.datapipe.html_text import extract_links_udf
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://w"), F.col("doc_id") % 7,
+                 F.lit(".example/p/"), "doc_id").alias("base"),
+        F.concat(
+            F.lit('<p>intro</p><a href="/d/'), "doc_id",
+            F.lit('">doc '), "doc_id",
+            F.lit(' here</a><a href="#top">skip</a>'
+                  '<a href="https://abs.example/x?q='), "doc_id",
+            F.lit('#frag">abs &amp; '), "doc_id",
+            F.lit('</a><a href="mailto:a@b">skip</a>')).alias("html"))
+    links = pages.select(
+        "doc_id",
+        F.posexplode(extract_links_udf("html", "base"))
+         .alias("pos", "link"))
+    return links.select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"),
+        F.col("link.href").alias("href"),
+        F.col("link.anchor").alias("anchor"))
+
+
 _NORM_SUFFIXES = [
     " ﬁsh",            # ﬁ ligature → fish
     " x²y",            # superscript two → x2y
@@ -1782,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_build": _q_corpus_build,
         "q_dedup_incremental": _q_dedup_incremental,
         "q_normalize": _q_normalize,
+        "q_links": _q_links,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2447,6 +2479,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_chars,
                    'Group ' || grp AS title
             FROM rep
+        """,
+        # The two surviving link edges per page, closed-form: the
+        # relative href resolved against the page URL, the absolute
+        # href with its fragment stripped, anchors entity-decoded;
+        # fragment-only and mailto links never appear.
+        "q_links": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+                   'https://w' || (doc_id % 7) || '.example/d/' ||
+                       doc_id AS href,
+                   'doc ' || doc_id || ' here' AS anchor
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT),
+                   'https://abs.example/x?q=' || doc_id,
+                   'abs & ' || doc_id
+            FROM documents
         """,
         # Closed-form normalized literals for each planted suffix
         # (composed é in case 3 — NFKC composes the combining acute).

@@ -491,13 +491,21 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                               respect_robots: bool = True,
                               user_agent: str | None = None,
                               default_delay_sec: float = DEFAULT_POLITENESS_FLOOR_SEC,
-                              hot_hosts=None):
+                              hot_hosts=None,
+                              discover_hrefs: bool = True):
     """Compose the real HTTP fetcher with extraction + link discovery
     into the pipeline's fused kernel shape (synth.FETCH_EXTRACT_SCHEMA),
     so ``run_crawl(..., fetch_kernel=make_fetch_extract_kernel(...))``
     crawls live HTTP instead of the synthetic corpus. Failed fetches
     yield a row with n_objects=0 and no links (the crawl keeps going;
     the error detail lives in the fetched bytes=0 signal).
+
+    Link discovery (``discover_hrefs``, default ON) is the union of
+    the extracted JSON objects' ``links``/``href`` values (the
+    reference-shaped channel the synthetic corpus uses) and every real
+    ``<a href>`` on the page (datapipe/html_text.extract_links —
+    resolved against the page URL, fragments stripped, non-
+    navigational schemes dropped), order-preserving first-seen dedup.
 
     ``respect_robots`` (default ON) checks each URL against its host's
     robots.txt per-path rules immediately before the GET; disallowed
@@ -560,6 +568,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                    ) -> Iterator[pd.DataFrame]:
             from datetime import datetime, timedelta
 
+            from jsonextract_spark.datapipe.html_text import page_hrefs
             from jsonextract_spark.functions.udfs import (
                 _budget, _links_from_objs)
             from jsonextract_spark.kernel.scanner import extract_objects_str
@@ -620,6 +629,18 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                             microseconds=int(stamps[-1] * 1e6)), body)
                 objs = [extract_objects_str(t, work_budget=_budget(len(t)))
                         for t in texts]
+                if discover_hrefs:
+                    all_links = []
+                    for u, t, o in zip(pdf["url"], texts, objs):
+                        merged = _links_from_objs(o)
+                        seen_l = set(merged)
+                        for h in page_hrefs(t, u):
+                            if h not in seen_l:
+                                seen_l.add(h)
+                                merged.append(h)
+                        all_links.append(merged)
+                else:
+                    all_links = [_links_from_objs(o) for o in objs]
                 yield pd.DataFrame({
                     "url": pdf["url"],
                     # ledger carries the frontier key: the popped rows
@@ -636,7 +657,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                     "batch_id": pdf["batch_id"],
                     "rank": pdf["rank"],
                     "n_objects": [len(o) for o in objs],
-                    "links": [_links_from_objs(o) for o in objs],
+                    "links": all_links,
                     "bytes": sizes,
                     "blocked": blocked,
                     "retry": retry,

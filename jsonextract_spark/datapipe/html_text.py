@@ -49,6 +49,7 @@ from html import unescape
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -114,9 +115,59 @@ def _raw_close(s: str, pos: int, name: str) -> int:
         pos = c + 2
 
 
+def _attr(tag_body: str, name: str) -> str | None:
+    """Value of attribute ``name`` in a tag's attribute text — linear
+    name=value walk, quote-aware, case-insensitive name, entities
+    decoded. None when absent; "" for a valueless attribute."""
+    i, n = 0, len(tag_body)
+    while i < n:
+        while i < n and tag_body[i] in " \t\r\n\f/":
+            i += 1
+        if i >= n:
+            return None
+        a0 = i
+        while i < n and tag_body[i] not in " \t\r\n\f=/":
+            i += 1
+        aname = tag_body[a0:i].lower()
+        while i < n and tag_body[i] in " \t\r\n\f":
+            i += 1
+        val = ""
+        if i < n and tag_body[i] == "=":
+            i += 1
+            while i < n and tag_body[i] in " \t\r\n\f":
+                i += 1
+            if i < n and tag_body[i] in "\"'":
+                q = tag_body[i]
+                j = tag_body.find(q, i + 1)
+                if j < 0:
+                    j = n
+                val = tag_body[i + 1:j]
+                i = j + 1
+            else:
+                v0 = i
+                while i < n and tag_body[i] not in " \t\r\n\f":
+                    i += 1
+                val = tag_body[v0:i]
+        if aname == name:
+            return unescape(val)
+    return None
+
+
 def html_to_text(html: str) -> tuple[str, str, int, int]:
     """One linear pass: (text, title, n_links, link_chars) per the
     module spec. Never raises on any ``str`` input."""
+    text, title, n_links, link_chars, _ = html_to_text_full(html)
+    return text, title, n_links, link_chars
+
+
+def html_to_text_full(html: str, collect_links: bool = False
+                      ) -> tuple[str, str, int, int,
+                                 list[tuple[str, str]]]:
+    """As :func:`html_to_text`, plus (href, anchor_text) pairs for
+    every ``<a href>`` when ``collect_links`` — anchor text is the
+    whitespace-collapsed text between the tag and its close (an
+    opening <a> while one is open implicitly closes it, per the HTML5
+    adoption rule's practical effect)."""
     n = len(html)
     lines: list[str] = []
     cur: list[str] = []
@@ -126,6 +177,17 @@ def html_to_text(html: str) -> tuple[str, str, int, int]:
     n_links = 0
     link_chars = 0
     a_depth = 0
+    links: list[tuple[str, str]] = []
+    a_href: str | None = None
+    anchor_parts: list[str] = []
+
+    def finalize_anchor() -> None:
+        nonlocal a_href
+        if a_href is not None:
+            links.append((a_href,
+                          " ".join("".join(anchor_parts).split())))
+        a_href = None
+        anchor_parts.clear()
 
     def emit(seg: str) -> None:
         nonlocal link_chars
@@ -134,6 +196,8 @@ def html_to_text(html: str) -> tuple[str, str, int, int]:
         decoded = unescape(seg)
         if a_depth > 0:
             link_chars += len(" ".join(decoded.split()))
+            if collect_links:
+                anchor_parts.append(decoded)
         cur.append(decoded)
 
     def flush() -> None:
@@ -191,9 +255,14 @@ def html_to_text(html: str) -> tuple[str, str, int, int]:
         if name == "a":
             if closing:
                 a_depth = max(0, a_depth - 1)
+                if collect_links:
+                    finalize_anchor()
             elif html[gt - 1] != "/":
                 a_depth += 1
                 n_links += 1
+                if collect_links:
+                    finalize_anchor()      # implicit close on re-open
+                    a_href = _attr(html[m:gt], "href")
         if name in _BLOCK:
             flush()
             if name == "title" and not title_done:
@@ -207,7 +276,49 @@ def html_to_text(html: str) -> tuple[str, str, int, int]:
                     title_at = len(lines)
         i = gt + 1
     flush()
-    return "\n".join(lines), title, n_links, link_chars
+    if collect_links:
+        finalize_anchor()
+    return "\n".join(lines), title, n_links, link_chars, links
+
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+def extract_links(html: str, base_url: str | None = None
+                  ) -> list[tuple[str, str]]:
+    """(resolved_href, anchor_text) for every ``<a href>`` — the
+    crawl's real-page link discovery. Relative hrefs resolve against
+    ``base_url``; fragment-only targets, non-navigational schemes
+    (javascript:/mailto:/tel:/data:/about:) and empty hrefs drop;
+    fragments strip; duplicates keep their FIRST anchor text (document
+    order). Linear, never raises."""
+    from urllib.parse import urldefrag, urljoin
+
+    _, _, _, _, raw = html_to_text_full(html, collect_links=True)
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for href, anchor in raw:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        if href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        if base_url is not None:
+            try:
+                href = urljoin(base_url, href)
+            except ValueError:
+                continue
+        href = urldefrag(href)[0]
+        if not href or href in seen:
+            continue
+        seen.add(href)
+        out.append((href, anchor))
+    return out
+
+
+def page_hrefs(html: str, base_url: str | None = None) -> list[str]:
+    """Just the resolved href list (the fetch kernel's shape)."""
+    return [h for h, _ in extract_links(html, base_url)]
 
 
 _HTML_TEXT_TYPE = StructType([
@@ -216,6 +327,26 @@ _HTML_TEXT_TYPE = StructType([
     StructField("n_links", LongType()),
     StructField("link_chars", LongType()),
 ])
+
+_LINKS_TYPE = ArrayType(StructType([
+    StructField("href", StringType()),
+    StructField("anchor", StringType()),
+]))
+
+
+@F.pandas_udf(_LINKS_TYPE)
+def extract_links_udf(pages: pd.Series, bases: pd.Series) -> pd.Series:
+    """(html, base_url) → array<struct<href, anchor>> — the link-graph
+    building block (outlink edges with anchor text). Accepts string or
+    binary pages like html_text_udf."""
+    def one(p, b):
+        if p is None:
+            return None
+        if isinstance(p, (bytes, bytearray)):
+            p = bytes(p).decode("utf-8", "replace")
+        return extract_links(p, None if b is None else b)
+
+    return pd.Series([one(p, b) for p, b in zip(pages, bases)])
 
 
 @F.pandas_udf(_HTML_TEXT_TYPE)

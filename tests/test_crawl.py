@@ -2011,3 +2011,50 @@ def test_parquet_rows_empty_list_is_known_zero(tmp_path):
     assert P._parquet_rows([]) == 0
     assert P._parquet_rows([str(tmp_path / "gone")]) \
         > P.BROADCAST_MAX_EST_ROWS
+
+
+def test_live_crawl_follows_real_anchors(spark, tmp_path):
+    """r9: link discovery is the union of JSON-object links and real
+    <a href> anchors — pages here carry NO JSON links at all, only
+    RELATIVE hrefs, so round 2 fetching the children proves the href
+    extractor + base-URL resolution feed the frontier."""
+    import http.server
+    import threading
+
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel)
+    from jsonextract_spark.crawl.pipeline import run_crawl
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            i = int(self.path.rsplit("/", 1)[-1])
+            kids = "".join(
+                f'<li><a href="/p/{i * 2 + j}">child {j}</a></li>'
+                for j in (1, 2)) if i < 8 else ""
+            body = (f"<html><body><h1>page {i}</h1><ul>{kids}</ul>"
+                    f'<a href="#top">skip</a>'
+                    f'<a href="mailto:x@y">skip</a></body></html>'
+                    ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_port
+        seeds = [f"http://127.0.0.1:{port}/p/1",
+                 f"http://127.0.0.1:{port}/p/2"]
+        stats = run_crawl(spark, str(tmp_path / "whref"), rounds=2,
+                          seeds=seeds, host_budget=100, batch_size=50,
+                          fetch_kernel=make_fetch_extract_kernel())
+        assert stats[0]["fetched"] == 2
+        assert stats[0]["objects"] == 0      # no JSON on these pages
+        assert stats[0]["new"] == 4          # hrefs of pages 1 and 2
+        assert stats[1]["fetched"] == 4      # children followed
+    finally:
+        srv.shutdown()

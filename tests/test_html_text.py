@@ -206,3 +206,54 @@ def test_linear_time(unit):
     _cost(unit * 500)                                   # warm-up
     small, big = _cost(unit * 4000), _cost(unit * 16000)
     assert big < 16 * small + 1.0, (small, big)
+
+
+# -- link extraction -------------------------------------------------------------
+
+LINK_CASES = [
+    ('<a href="/x">go</a>', "https://h.example/p/1",
+     [("https://h.example/x", "go")]),
+    # query kept, fragment stripped, relative resolution
+    ('<a href="q?a=1#frag">q</a>', "https://h.example/d/",
+     [("https://h.example/d/q?a=1", "q")]),
+    # unquoted href; fragment-only and mailto drop
+    ('<a href=bare>b</a> <a href="#top">t</a> <a href="mailto:x@y">m</a>',
+     "https://h.example/", [("https://h.example/bare", "b")]),
+    # first-seen dedup keeps the FIRST anchor text
+    ('<a href="/dup">first</a><a href="/dup">second</a>',
+     "https://h.example/", [("https://h.example/dup", "first")]),
+    # inline markup inside the anchor collapses into its text
+    ('<a href="https://other.example/abs">abs <b>bold</b></a>', None,
+     [("https://other.example/abs", "abs bold")]),
+    # unclosed <a> implicitly closes at the next <a> (practical
+    # adoption-agency effect)
+    ('<a href="/1">one <a href="/2">two</a>', "https://h.example/",
+     [("https://h.example/1", "one"), ("https://h.example/2", "two")]),
+    # entities decode in both href-adjacent text and anchors
+    ('<a href="/e">x &amp; y</a>', "https://h.example/",
+     [("https://h.example/e", "x & y")]),
+    # quoted '>' inside another attribute
+    ('<a href="/u" title="a>b">t</a>', "https://h.example/",
+     [("https://h.example/u", "t")]),
+    # no href / empty href / javascript: all drop
+    ('<a>no href</a><a href>empty</a>', "https://h.example/", []),
+    ('<a href="JavaScript:void(0)">js</a>', None, []),
+]
+
+
+@pytest.mark.parametrize("html,base,want", LINK_CASES)
+def test_extract_links(html, base, want):
+    from jsonextract_spark.datapipe.html_text import extract_links
+    assert extract_links(html, base) == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(n_paras=st.integers(0, 6), n_links=st.integers(0, 5),
+       raw=st.booleans(), ops=_MUT)
+def test_extract_links_never_raises(n_paras, n_links, raw, ops):
+    from jsonextract_spark.datapipe.html_text import extract_links
+    got = extract_links(_mutate(_page(n_paras, n_links, raw), ops),
+                        "https://h.example/base/")
+    for href, anchor in got:
+        assert isinstance(href, str) and isinstance(anchor, str)
+        assert "#" not in href.split("?")[-1] or "#" not in href
