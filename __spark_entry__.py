@@ -1303,6 +1303,52 @@ def _q_html_text(spark, sf_dir):
         F.col("link_density").cast("double").alias("link_density"))
 
 
+_PR_N = 512          # power of two: every rank is an exact dyadic
+_PR_ITERS = 6
+
+
+def _q_pagerank(spark, sf_dir):
+    """Power-iteration PageRank (datapipe/graph.py) over a
+    deterministic 512-node graph (i → 2i+1, 2i+2 mod N; uniform
+    out-degree 2, one self-loop at 511). With damping 0.5 and
+    power-of-two N every intermediate is an exact binary fraction, so
+    Spark's partial-aggregated sums and DuckDB's serial unrolled-CTE
+    sums agree BIT-EXACTLY — a hash oracle over floating point, no
+    tolerance needed."""
+    from jsonextract_spark.datapipe.graph import pagerank
+
+    ids = spark.range(_PR_N)
+    edges = (ids.select(F.col("id").alias("src"),
+                        ((F.col("id") * 2 + 1) % _PR_N).alias("dst"))
+             .union(ids.select(
+                 F.col("id").alias("src"),
+                 ((F.col("id") * 2 + 2) % _PR_N).alias("dst"))))
+    pr = pagerank(edges, n_iter=_PR_ITERS, damping=0.5)
+    return pr.select(F.col("node").cast("bigint").alias("node"),
+                     F.col("rank").cast("double").alias("rank"))
+
+
+def _pagerank_sql(n: int, iters: int) -> str:
+    """Unrolled power iteration as chained CTEs (standard SQL forbids
+    aggregates in a recursive term, so the loop unrolls)."""
+    gen = f"(SELECT range AS i FROM range(0, {n}))"
+    ctes = [
+        f"e AS (SELECT i AS src, (2*i+1) % {n} AS dst FROM {gen} "
+        f"UNION ALL SELECT i, (2*i+2) % {n} FROM {gen})",
+        f"p0 AS (SELECT range AS node, 1.0/{n} AS r FROM range(0, {n}))",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"p{k} AS (SELECT n.node, 0.5/{n} + 0.5*COALESCE(s.c, 0) "
+            f"AS r FROM p{k - 1} n LEFT JOIN ("
+            f"SELECT e.dst, sum(p.r/2) AS c FROM e "
+            f"JOIN p{k - 1} p ON p.node = e.src GROUP BY e.dst) s "
+            f"ON s.dst = n.node)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(node AS BIGINT) AS node, r AS rank "
+              f"FROM p{iters}")
+
+
 def _q_links(spark, sf_dir):
     """Anchor-text link extraction (html_text.extract_links_udf — the
     link-graph edge builder): each page carries one relative href (to
@@ -1814,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": _q_dedup_incremental,
         "q_normalize": _q_normalize,
         "q_links": _q_links,
+        "q_pagerank": _q_pagerank,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2480,6 +2527,10 @@ def oracle_sql() -> dict[str, str]:
                    'Group ' || grp AS title
             FROM rep
         """,
+        # Bit-exact PageRank: unrolled power iteration (see
+        # _pagerank_sql) — dyadic damping + power-of-two N make every
+        # float exact, so the hash compare needs no tolerance.
+        "q_pagerank": _pagerank_sql(_PR_N, _PR_ITERS),
         # The two surviving link edges per page, closed-form: the
         # relative href resolved against the page URL, the absolute
         # href with its fragment stripped, anchors entity-decoded;

@@ -1,0 +1,78 @@
+"""Link-graph analytics over crawl edges.
+
+The crawl produces an edge list — (src url_hash, dst url_hash) from
+``html_text.extract_links`` / the fetch kernel's link discovery — and
+the classic consumer is PageRank-style authority scoring for crawl
+prioritization and corpus weighting.
+
+``pagerank`` is the standard power iteration expressed as DataFrame
+joins (no GraphX/graphframes dependency — plain Catalyst):
+
+    contribs = edges ⋈ ranks on src → groupBy dst → Σ rank/out_deg
+    ranks'   = (1-d)/N + d * contribs      (per node, LEFT join)
+
+Scale shape: the edge table is hash-partitioned ON src ONCE and
+persisted — every iteration's join then reuses that partitioning (the
+rank table, keyed by node, shuffles to meet it; ranks are one row per
+node, orders of magnitude smaller than edges). Each iteration is one
+shuffle-join + one aggregation; the loop materializes the new rank
+table and unpersists the previous one, so lineage stays one iteration
+deep (no exponential plan growth — the classic iterative-algorithm
+trap). Dangling nodes (no out-edges) leak their damped mass, the
+"sink loss" variant — documented, deterministic, and exactly what the
+oracle restates.
+
+Numerics note for testing: with damping a dyadic rational (e.g. 0.5)
+and power-of-two node counts/out-degrees, every intermediate value is
+an exact binary fraction far under 53 significand bits, so floating
+addition is EXACT in any order — Spark's partial aggregation and
+DuckDB's serial sum produce bit-identical ranks. That is what lets
+q_pagerank be a hash-exact oracle rather than a tolerance check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(edges: DataFrame, n_iter: int = 8, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst",
+             partitions: int | None = None) -> DataFrame:
+    """Power-iteration PageRank over an edge DataFrame. Returns
+    (node, rank). Nodes are everything appearing as src OR dst;
+    initial rank 1/N; dangling mass is lost (sink-loss variant)."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    if partitions:
+        e = e.repartition(partitions, "src")
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e = e.join(out_deg, "src").persist()
+
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n = nodes.count()          # materializes both persists
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    ranks.count()
+    for _ in range(n_iter):
+        contribs = (e.join(ranks, e.src == ranks.node)
+                     .select("dst", (F.col("rank")
+                                     / F.col("out_deg")).alias("c"))
+                     .groupBy("dst").agg(F.sum("c").alias("c")))
+        new_ranks = (nodes.join(contribs, nodes.node == contribs.dst,
+                                "left")
+                     .select("node",
+                             (F.lit(teleport) + F.lit(damping)
+                              * F.coalesce("c", F.lit(0.0)))
+                             .alias("rank"))
+                     .persist())
+        new_ranks.count()      # cut lineage at one iteration deep
+        ranks.unpersist()
+        ranks = new_ranks
+    e.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -698,3 +698,33 @@ def test_normalize_text(spark):
     rows = {r.doc_id: r.n for r in df.select(
         "doc_id", normalize_text_udf("text").alias("n")).collect()}
     assert rows == {0: "fish flow", 1: None}
+
+
+def test_pagerank_uniform_cycle(spark):
+    """A directed cycle is perfectly symmetric: every node keeps rank
+    1/N at every iteration, exactly."""
+    from jsonextract_spark.datapipe.graph import pagerank
+
+    n = 8
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"))
+    rows = pagerank(edges, n_iter=4, damping=0.5).collect()
+    assert len(rows) == n
+    assert all(r.rank == 1.0 / n for r in rows)
+
+
+def test_pagerank_authority_and_dangling(spark):
+    """Hub-and-spoke: everyone links to node 0; node 0 links nowhere
+    (dangling — its damped mass leaks, the documented sink-loss
+    variant). Node 0 must outrank the spokes, and the spokes must sit
+    at the teleport floor."""
+    from jsonextract_spark.datapipe.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 4)], "src long, dst long")
+    got = {r.node: r.rank for r in
+           pagerank(edges, n_iter=8, damping=0.5).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    teleport = 0.5 / 4
+    assert got[1] == got[2] == got[3] == teleport
+    assert got[0] == teleport + 0.5 * 3 * teleport
