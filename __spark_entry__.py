@@ -1303,6 +1303,32 @@ def _q_html_text(spark, sf_dir):
         F.col("link_density").cast("double").alias("link_density"))
 
 
+_CC_N = 600
+
+
+def _q_components(spark, sf_dir):
+    """Connected components (datapipe/graph.py) — the transitive
+    cluster resolution near-dedup needs: 5-node chains (i→i+1 unless
+    i%5==4) with every 50th chain bridged to its neighbor (i→i+5 when
+    i%50==0), so components are mostly {5k..5k+4} with min 5k, and
+    the bridged ones are 10-node components whose min must propagate
+    across the bridge. Oracle = undirected transitive closure via a
+    recursive CTE, min reachable node per node — pure integers."""
+    from jsonextract_spark.datapipe.graph import connected_components
+
+    ids = spark.range(_CC_N)
+    chain = (ids.filter(F.col("id") % 5 != 4)
+             .select(F.col("id").alias("src"),
+                     (F.col("id") + 1).alias("dst")))
+    bridge = (ids.filter(F.col("id") % 50 == 0)
+              .select(F.col("id").alias("src"),
+                      (F.col("id") + 5).alias("dst")))
+    cc = connected_components(chain.union(bridge))
+    return cc.select(F.col("node").cast("bigint").alias("node"),
+                     F.col("component").cast("bigint")
+                     .alias("component"))
+
+
 _PR_N = 512          # power of two: every rank is an exact dyadic
 _PR_ITERS = 6
 
@@ -1861,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize": _q_normalize,
         "q_links": _q_links,
         "q_pagerank": _q_pagerank,
+        "q_components": _q_components,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2526,6 +2553,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_chars,
                    'Group ' || grp AS title
             FROM rep
+        """,
+        # Ground-truth components: undirected transitive closure via
+        # a recursive CTE (UNION dedups the frontier), component =
+        # min reachable node. Integer-exact.
+        "q_components": f"""
+            WITH RECURSIVE g AS (SELECT range AS i FROM range(0, {_CC_N})),
+            e AS (
+                SELECT i AS a, i + 1 AS b FROM g WHERE i % 5 <> 4
+                UNION ALL
+                SELECT i, i + 5 FROM g WHERE i % 50 = 0),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            reach AS (
+                SELECT node, node AS r FROM nodes
+                UNION
+                SELECT reach.node, sym.b FROM reach
+                JOIN sym ON sym.a = reach.r)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(r) AS BIGINT) AS component
+            FROM reach GROUP BY node
         """,
         # Bit-exact PageRank: unrolled power iteration (see
         # _pagerank_sql) — dyadic damping + power-of-two N make every

@@ -35,6 +35,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def connected_components(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """(node, component) with component = min node id reachable in the
+    UNDIRECTED closure — the transitive cluster resolution near-dedup
+    needs (pairwise a<b drops under-merge chains: a–b, b–c is ONE
+    cluster, and the representative must be min(a,b,c), not whatever
+    pair order implies).
+
+    Min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors, a driver loop of
+    join+groupBy rounds that stops when an iteration changes nothing
+    (O(diameter) rounds; near-dup clusters have tiny diameters — a
+    chain of template variants, not a web graph). Each round
+    materializes and unpersists like pagerank, so lineage stays one
+    round deep. Convergence is detected with the SAME count() action
+    that materializes the round — no extra job."""
+    sym = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .union(edges.select(F.col(dst_col).alias("a"),
+                               F.col(src_col).alias("b")))
+           .distinct().persist())
+    labels = (sym.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")).persist())
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym.b == labels.node)
+                 .groupBy("a").agg(F.min("component").alias("nc")))
+        new_labels = (labels.join(neigh, labels.node == neigh.a, "left")
+                      .select("node",
+                              F.least("component",
+                                      F.coalesce("nc", F.col("component")))
+                              .alias("component"),
+                              (F.coalesce("nc", F.col("component"))
+                               < F.col("component")).alias("_chg"))
+                      .persist())
+        changed = new_labels.filter("_chg").count()
+        labels.unpersist()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def pagerank(edges: DataFrame, n_iter: int = 8, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              partitions: int | None = None) -> DataFrame:

@@ -728,3 +728,30 @@ def test_pagerank_authority_and_dangling(spark):
     teleport = 0.5 / 4
     assert got[1] == got[2] == got[3] == teleport
     assert got[0] == teleport + 0.5 * 3 * teleport
+
+
+def test_connected_components_chain_merge(spark):
+    from jsonextract_spark.datapipe.graph import connected_components
+
+    # two chains bridged at one end + an isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 10), (50, 51)],
+        "src long, dst long")
+    got = {r.node: r.component for r in
+           connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 50: 50, 51: 50}
+
+
+def test_components_resolve_near_dup_chains(spark):
+    """The reason the operator exists: pairwise a<b near-dup drops
+    under-merge CHAINS — a~b and b~c is one cluster even when (a, c)
+    never collides in a band. Components pick min(a,b,c) as the one
+    representative."""
+    from jsonextract_spark.datapipe.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(100, 200), (200, 300), (500, 600)], "a long, b long")
+    cc = connected_components(pairs, src_col="a", dst_col="b")
+    reps = (cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+            .orderBy("component").collect())
+    assert [(r.component, r.sz) for r in reps] == [(100, 3), (500, 2)]
