@@ -82,12 +82,18 @@ def build_training_corpus(
     corpus = kept.join(reps, "url_hash")   # keeps min-id rep per text
 
     if minhash_near_dedup:
+        from jsonextract_spark.datapipe.graph import connected_components
+
         pairs = minhash_dedup_pairs(corpus, "text", "url_hash",
                                     threshold=jaccard_threshold)
-        # a doc drops if ANY smaller-id verified near-dup exists; the
-        # anti-join keeps cluster minima (and singletons) only
-        losers = (pairs.select(F.greatest("a", "b").alias("url_hash"))
-                  .distinct())
+        # transitive cluster resolution: ONE survivor (the min id) per
+        # connected component of verified pairs — a pairwise
+        # greatest-drop keeps every local minimum, i.e. can keep TWO
+        # docs of one cluster when the pair between them never
+        # band-collided (edges (1,5),(3,5) keep both 1 and 3)
+        cc = connected_components(pairs, src_col="a", dst_col="b")
+        losers = (cc.filter(F.col("node") != F.col("component"))
+                  .select(F.col("node").alias("url_hash")))
         corpus = corpus.join(losers, "url_hash", "left_anti")
 
     merges = learn_merges_distributed(corpus, "text", n_merges=n_merges)
