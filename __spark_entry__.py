@@ -1303,6 +1303,45 @@ def _q_html_text(spark, sf_dir):
         F.col("link_density").cast("double").alias("link_density"))
 
 
+_DIRECTIVE_HEADS = [
+    '<meta name="robots" content="noindex, nofollow">',
+    '<META NAME="ROBOTS" CONTENT="NOINDEX">',
+    "<meta name=robots content=none>",
+    '<meta name="robots" content="index, follow">',
+    "",                                   # canonical appended below
+]
+
+
+def _q_directives(spark, sf_dir):
+    """Page compliance directives (html_text.page_directives_udf):
+    each page plants one robots-meta variant (or a rel=canonical
+    link) plus a script-string decoy that must NOT count; the oracle
+    is the closed-form CASE over doc_id."""
+    from jsonextract_spark.datapipe.html_text import page_directives_udf
+
+    docs = _docs(spark, sf_dir)
+    head = F.element_at(
+        F.array(*[F.lit(h) for h in _DIRECTIVE_HEADS]),
+        (F.col("doc_id") % 5).cast("int") + 1)
+    canon = F.when(
+        F.col("doc_id") % 5 == 4,
+        F.concat(F.lit('<link rel="canonical" href="https://c.example/d/'),
+                 "doc_id", F.lit('">'))).otherwise(F.lit(""))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head>"), head, canon,
+            F.lit('<script>var s = \'<meta name="robots" '
+                  'content="noindex">\';</script></head><body><p>'),
+            F.col("text"), F.lit("</p></body></html>")).alias("html"))
+    d = pages.select("doc_id",
+                     page_directives_udf("html").alias("d"))
+    return d.select("doc_id",
+                    F.col("d.noindex").alias("noindex"),
+                    F.col("d.nofollow").alias("nofollow"),
+                    F.col("d.canonical").alias("canonical"))
+
+
 _CC_N = 600
 
 
@@ -1888,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_links": _q_links,
         "q_pagerank": _q_pagerank,
         "q_components": _q_components,
+        "q_directives": _q_directives,
         # oracled since r7 via HUGEINT wrapping arithmetic (see the
         # hash-oracle SQL generator section above):
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2553,6 +2593,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_chars,
                    'Group ' || grp AS title
             FROM rep
+        """,
+        # Directive truth table per planted head (case-insensitive
+        # names, none = noindex+nofollow, script decoys never count).
+        "q_directives": """
+            SELECT doc_id,
+                   CAST(doc_id % 5 IN (0, 1, 2) AS BOOLEAN) AS noindex,
+                   CAST(doc_id % 5 IN (0, 2) AS BOOLEAN) AS nofollow,
+                   CASE WHEN doc_id % 5 = 4
+                        THEN 'https://c.example/d/' || doc_id
+                        ELSE '' END AS canonical
+            FROM documents
         """,
         # Ground-truth components: undirected transitive closure via
         # a recursive CTE (UNION dedups the frontier), component =

@@ -50,6 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -281,6 +282,71 @@ def html_to_text_full(html: str, collect_links: bool = False
     return "\n".join(lines), title, n_links, link_chars, links
 
 
+def page_directives(html: str) -> tuple[bool, bool, str]:
+    """(noindex, nofollow, canonical) — the page's robots <meta>
+    directives and its rel=canonical target, the compliance signals a
+    training corpus filters on (a noindex page asked to stay out of
+    indexes; canonical is the publisher's own dedup hint). Same linear
+    tag walk as the tokenizer (comments/raw-text skipped, so a <meta>
+    inside a script string never counts); 'robots' and 'none' both
+    read per the de-facto standard (none = noindex,nofollow). Never
+    raises."""
+    n = len(html)
+    noindex = nofollow = False
+    canonical = ""
+    i = 0
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            break
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt in ("!", "?"):
+            end = html.find(">", lt + 2)
+            i = n if end < 0 else end + 1
+            continue
+        closing = nxt == "/"
+        k = lt + (2 if closing else 1)
+        if k >= n or html[k] not in _ASCII_LETTERS:
+            i = lt + 1
+            continue
+        m = k + 1
+        while m < n and html[m] in _NAME_CHARS:
+            m += 1
+        name = html[k:m].lower()
+        gt = _tag_end(html, m)
+        if gt < 0:
+            break
+        if not closing and name in _RAW_TEXT:
+            c = _raw_close(html, gt + 1, name)
+            if c < 0:
+                break
+            gt2 = _tag_end(html, c + 2 + len(name))
+            if gt2 < 0:
+                break
+            i = gt2 + 1
+            continue
+        if not closing and name == "meta":
+            body = html[m:gt]
+            if (_attr(body, "name") or "").strip().lower() == "robots":
+                content = (_attr(body, "content") or "").lower()
+                toks = {t.strip() for t in content.split(",")}
+                if "none" in toks:
+                    toks |= {"noindex", "nofollow"}
+                noindex = noindex or "noindex" in toks
+                nofollow = nofollow or "nofollow" in toks
+        elif not closing and name == "link" and not canonical:
+            body = html[m:gt]
+            rels = (_attr(body, "rel") or "").lower().split()
+            if "canonical" in rels:
+                canonical = (_attr(body, "href") or "").strip()
+        i = gt + 1
+    return noindex, nofollow, canonical
+
+
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
 
 
@@ -332,6 +398,26 @@ _LINKS_TYPE = ArrayType(StructType([
     StructField("href", StringType()),
     StructField("anchor", StringType()),
 ]))
+
+
+_DIRECTIVES_TYPE = StructType([
+    StructField("noindex", BooleanType()),
+    StructField("nofollow", BooleanType()),
+    StructField("canonical", StringType()),
+])
+
+
+@F.pandas_udf(_DIRECTIVES_TYPE)
+def page_directives_udf(pages: pd.Series) -> pd.DataFrame:
+    def one(p):
+        if p is None:
+            return (None, None, None)
+        if isinstance(p, (bytes, bytearray)):
+            p = bytes(p).decode("utf-8", "replace")
+        return page_directives(p)
+
+    return pd.DataFrame([one(p) for p in pages],
+                        columns=["noindex", "nofollow", "canonical"])
 
 
 @F.pandas_udf(_LINKS_TYPE)

@@ -257,3 +257,40 @@ def test_extract_links_never_raises(n_paras, n_links, raw, ops):
     for href, anchor in got:
         assert isinstance(href, str) and isinstance(anchor, str)
         assert "#" not in href.split("?")[-1] or "#" not in href
+
+
+# -- robots directives -----------------------------------------------------------
+
+DIRECTIVE_CASES = [
+    ('<meta name="robots" content="noindex, nofollow">', (True, True, "")),
+    ('<meta name="ROBOTS" content="NOINDEX">', (True, False, "")),
+    ('<meta name=robots content=none>', (True, True, "")),   # de-facto
+    ('<meta name="robots" content="index, follow">', (False, False, "")),
+    ('<meta name="description" content="noindex">', (False, False, "")),
+    ('<link rel="canonical" href="https://c.example/x">',
+     (False, False, "https://c.example/x")),
+    ('<link rel="stylesheet canonical" href="/y">', (False, False, "/y")),
+    # first canonical wins
+    ('<link rel="canonical" href="/1"><link rel="canonical" href="/2">',
+     (False, False, "/1")),
+    # meta inside a script string / a comment never counts
+    ('<script>var s = \'<meta name="robots" content="noindex">\';'
+     "</script>", (False, False, "")),
+    ('<!-- <meta name="robots" content="noindex"> -->', (False, False, "")),
+    ("", (False, False, "")),
+    ('<meta name="robots"', (False, False, "")),   # truncated: drop
+]
+
+
+@pytest.mark.parametrize("html,want", DIRECTIVE_CASES)
+def test_page_directives(html, want):
+    from jsonextract_spark.datapipe.html_text import page_directives
+    assert page_directives(html) == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(s=st.text(max_size=2048))
+def test_page_directives_never_raises(s):
+    from jsonextract_spark.datapipe.html_text import page_directives
+    noindex, nofollow, canonical = page_directives(s)
+    assert isinstance(noindex, bool) and isinstance(canonical, str)
