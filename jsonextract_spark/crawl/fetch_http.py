@@ -34,25 +34,29 @@ _HEADERS = {
 }
 
 
-def _fetch_one(url: str, timeout_sec: float,
-               max_bytes: int) -> tuple[int, bytes, str | None]:
+def _fetch_one(url: str, timeout_sec: float, max_bytes: int
+               ) -> tuple[int, bytes, str | None, str]:
     """One isolated GET shared by both fetch stages: returns
-    (status, body, err); failures never raise. HTTP error statuses
-    (4xx/5xx) return their REAL code — robots handling must tell
-    'no robots.txt' (4xx -> allow) from 'server broken' (5xx ->
+    (status, body, err, final_url); failures never raise. HTTP error
+    statuses (4xx/5xx) return their REAL code — robots handling must
+    tell 'no robots.txt' (4xx -> allow) from 'server broken' (5xx ->
     temporary disallow, RFC 9309); status 0 means no HTTP response at
-    all (network/DNS/timeout)."""
+    all (network/DNS/timeout). ``final_url`` is the POST-REDIRECT
+    address (urlopen follows redirects) — relative links on a
+    redirected page must resolve against it, not the requested URL,
+    or every such link lands in the frontier wrong."""
     from urllib.error import HTTPError
     from urllib.request import Request, urlopen
 
     try:
         req = Request(url, headers=_HEADERS)
         with urlopen(req, timeout=timeout_sec) as resp:
-            return resp.status, resp.read(max_bytes), None
+            return (resp.status, resp.read(max_bytes), None,
+                    resp.geturl() or url)
     except HTTPError as e:
-        return e.code, b"", f"HTTPError: {e.code}"
+        return e.code, b"", f"HTTPError: {e.code}", url
     except Exception as e:  # noqa: BLE001 — per-url isolation
-        return 0, b"", f"{type(e).__name__}: {e}"
+        return 0, b"", f"{type(e).__name__}: {e}", url
 
 
 # -- robots.txt --------------------------------------------------------------
@@ -149,7 +153,7 @@ def _robots_for(origin: str, timeout_sec: float = 10.0):
                else _ROBOTS_ERR_TTL_SEC)
         if now - hit.fetched_at < ttl:
             return hit.rp, hit.definitive
-    status, body, _err = _fetch_one(origin + "/robots.txt", timeout_sec,
+    status, body, _err, _furl = _fetch_one(origin + "/robots.txt", timeout_sec,
                                     1 << 20)
     if status == 200:
         out = (_parse_robots(body.decode("utf-8", "replace")), True)
@@ -582,7 +586,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                 if not len(pdf):
                     continue
                 texts, stamps, sizes = [], [], []
-                blocked, retry = [], []
+                blocked, retry, bases = [], [], []
                 if "eff_delay" in pdf.columns:
                     scheds = [None if pd.isna(v) else float(v)
                               for v in pdf["eff_delay"]]
@@ -596,6 +600,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                                            else (True, True))
                     if not allowed:
                         body = b""
+                        bases.append(url)
                         blocked.append(True)
                         # non-definitive disallow (robots.txt 5xx /
                         # unreachable) is TEMPORARY: mark the row for
@@ -608,8 +613,11 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                         # or the politeness floor when robots is silent —
                         # between consecutive requests to it
                         pace(host, _ask_for(url, host, sched))
-                        _status, body, _err = _fetch_one(url, timeout_sec,
-                                                         max_bytes)
+                        _status, body, _err, _furl = _fetch_one(
+                            url, timeout_sec, max_bytes)
+                        # relative links on a redirected page resolve
+                        # against the POST-redirect address
+                        bases.append(_furl)
                         blocked.append(False)
                         # transient fetch failures (5xx / no response) are
                         # retried like temporary robots blocks — the
@@ -631,7 +639,7 @@ def make_fetch_extract_kernel(timeout_sec: float = 30.0,
                         for t in texts]
                 if discover_hrefs:
                     all_links = []
-                    for u, t, o in zip(pdf["url"], texts, objs):
+                    for u, t, o in zip(bases, texts, objs):
                         merged = _links_from_objs(o)
                         seen_l = set(merged)
                         for h in page_hrefs(t, u):
@@ -722,7 +730,7 @@ def make_fetcher(timeout_sec: float = 60.0, delay_sec: float = 0.0,
                             and default_delay_sec > 0):
                         ask = default_delay_sec
                     pace(org, ask)
-                    status, body, err = _fetch_one(url, timeout_sec,
+                    status, body, err, _furl = _fetch_one(url, timeout_sec,
                                                    max_bytes)
                 rows["url"].append(url)
                 rows["status"].append(status)

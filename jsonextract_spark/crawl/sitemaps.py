@@ -143,7 +143,7 @@ def make_sitemap_source(timeout_sec: float = 10.0,
                 if not m:
                     continue
                 origin = m.group(1)
-                status, body, _err = _fetch_one(
+                status, body, _err, _furl = _fetch_one(
                     origin + "/robots.txt", timeout_sec, max_bytes)
                 roots = sitemap_urls_from_robots(
                     body if status == 200 else b"", origin)
@@ -156,7 +156,7 @@ def make_sitemap_source(timeout_sec: float = 10.0,
                         max_children_per_index:
                     sm_url, is_root = queue.pop(0)
                     fetched += 1
-                    status, body, _err = _fetch_one(
+                    status, body, _err, _furl = _fetch_one(
                         sm_url, timeout_sec, max_bytes)
                     if status != 200:
                         continue

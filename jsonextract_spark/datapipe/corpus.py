@@ -77,6 +77,7 @@ def build_training_corpus(
     # trainer action below materializes it. Callers can release it via
     # funnel["cleanup"]() once the corpus has been written/collected.
     kept = kept.persist()
+    persisted = [kept]        # funnel["cleanup"] releases all of these
 
     reps = exact_dedup(kept, "text", "url_hash")
     corpus = kept.join(reps, "url_hash")   # keeps min-id rep per text
@@ -111,5 +112,5 @@ def build_training_corpus(
         F.sum("bpe_n_tokens").alias("bpe_tokens"),
         F.sum(F.length("text")).alias("text_chars"))
     funnel = {"merges": merges, "get": lambda: dict(obs.get),
-              "cleanup": lambda: kept.unpersist()}
+              "cleanup": lambda: [d.unpersist() for d in persisted]}
     return corpus, funnel

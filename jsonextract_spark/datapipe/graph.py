@@ -48,10 +48,19 @@ def connected_components(edges: DataFrame, src_col: str = "src",
     label among itself and its neighbors, a driver loop of
     join+groupBy rounds that stops when an iteration changes nothing
     (O(diameter) rounds; near-dup clusters have tiny diameters — a
-    chain of template variants, not a web graph). Each round
-    materializes and unpersists like pagerank, so lineage stays one
-    round deep. Convergence is detected with the SAME count() action
-    that materializes the round — no extra job."""
+    chain of template variants, not a web graph). Every round ends in
+    ``localCheckpoint(eager=True)``: the label table is referenced
+    TWICE per round (join probe + neighbor aggregate), so merely
+    persisting leaves the LOGICAL plan doubling per round — at ~20
+    rounds the plan tree alone OOMs the driver (reproduced: java heap
+    exhausted rendering the plan string). Checkpointing truncates the
+    plan; the executor-local blocks are GC-cleaned when unreferenced.
+    (On a real cluster localCheckpoint trades executor-failure
+    tolerance for speed — use a checkpoint dir where that matters.)
+    Exhausting ``max_iter`` without converging RAISES: silently
+    returning split labels would reintroduce exactly the under-merge
+    bug this operator exists to fix (raise ``max_iter`` for
+    huge-diameter graphs)."""
     sym = (edges.select(F.col(src_col).alias("a"),
                         F.col(dst_col).alias("b"))
            .union(edges.select(F.col(dst_col).alias("a"),
@@ -59,8 +68,9 @@ def connected_components(edges: DataFrame, src_col: str = "src",
            .distinct().persist())
     labels = (sym.select(F.col("a").alias("node"))
               .distinct()
-              .withColumn("component", F.col("node")).persist())
-    labels.count()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.b == labels.node)
                  .groupBy("a").agg(F.min("component").alias("nc")))
@@ -71,13 +81,17 @@ def connected_components(edges: DataFrame, src_col: str = "src",
                               .alias("component"),
                               (F.coalesce("nc", F.col("component"))
                                < F.col("component")).alias("_chg"))
-                      .persist())
+                      .localCheckpoint(eager=True))
         changed = new_labels.filter("_chg").count()
-        labels.unpersist()
         labels = new_labels.drop("_chg")
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise ValueError(
+            f"connected_components: not converged after {max_iter} "
+            f"rounds (component diameter exceeds max_iter — raise it)")
     return labels
 
 
@@ -86,7 +100,12 @@ def pagerank(edges: DataFrame, n_iter: int = 8, damping: float = 0.85,
              partitions: int | None = None) -> DataFrame:
     """Power-iteration PageRank over an edge DataFrame. Returns
     (node, rank). Nodes are everything appearing as src OR dst;
-    initial rank 1/N; dangling mass is lost (sink-loss variant)."""
+    initial rank 1/N; dangling mass is lost (sink-loss variant).
+    Each iteration ends in ``localCheckpoint(eager=True)`` — the plan
+    would otherwise grow with the iteration count (see
+    connected_components for the exponential variant of that trap) and
+    persisted results would leak CacheManager entries no caller
+    unpersists."""
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"))
     if partitions:
@@ -102,23 +121,20 @@ def pagerank(edges: DataFrame, n_iter: int = 8, damping: float = 0.85,
         return nodes.withColumn("rank", F.lit(0.0))
 
     teleport = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
-    ranks.count()
+    ranks = (nodes.withColumn("rank", F.lit(1.0 / n))
+             .localCheckpoint(eager=True))
     for _ in range(n_iter):
         contribs = (e.join(ranks, e.src == ranks.node)
                      .select("dst", (F.col("rank")
                                      / F.col("out_deg")).alias("c"))
                      .groupBy("dst").agg(F.sum("c").alias("c")))
-        new_ranks = (nodes.join(contribs, nodes.node == contribs.dst,
-                                "left")
-                     .select("node",
-                             (F.lit(teleport) + F.lit(damping)
-                              * F.coalesce("c", F.lit(0.0)))
-                             .alias("rank"))
-                     .persist())
-        new_ranks.count()      # cut lineage at one iteration deep
-        ranks.unpersist()
-        ranks = new_ranks
+        ranks = (nodes.join(contribs, nodes.node == contribs.dst,
+                            "left")
+                 .select("node",
+                         (F.lit(teleport) + F.lit(damping)
+                          * F.coalesce("c", F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
     e.unpersist()
     nodes.unpersist()
     return ranks

@@ -161,14 +161,19 @@ def html_to_text(html: str) -> tuple[str, str, int, int]:
     return text, title, n_links, link_chars
 
 
-def html_to_text_full(html: str, collect_links: bool = False
+def html_to_text_full(html: str, collect_links: bool = False,
+                      assemble_text: bool = True
                       ) -> tuple[str, str, int, int,
                                  list[tuple[str, str]]]:
     """As :func:`html_to_text`, plus (href, anchor_text) pairs for
     every ``<a href>`` when ``collect_links`` — anchor text is the
     whitespace-collapsed text between the tag and its close (an
     opening <a> while one is open implicitly closes it, per the HTML5
-    adoption rule's practical effect)."""
+    adoption rule's practical effect; block tags and <br> inside the
+    anchor act as word separators, matching the prose pass).
+    ``assemble_text=False`` skips the prose/title assembly entirely —
+    the links-only mode the fetch kernel uses per page, which avoids
+    entity-decoding the non-anchor text it would throw away."""
     n = len(html)
     lines: list[str] = []
     cur: list[str] = []
@@ -194,12 +199,15 @@ def html_to_text_full(html: str, collect_links: bool = False
         nonlocal link_chars
         if not seg:
             return
+        if a_depth <= 0 and not assemble_text:
+            return                      # links-only mode: dead text
         decoded = unescape(seg)
         if a_depth > 0:
             link_chars += len(" ".join(decoded.split()))
             if collect_links:
                 anchor_parts.append(decoded)
-        cur.append(decoded)
+        if assemble_text:
+            cur.append(decoded)
 
     def flush() -> None:
         line = " ".join("".join(cur).split())
@@ -266,6 +274,11 @@ def html_to_text_full(html: str, collect_links: bool = False
                     a_href = _attr(html[m:gt], "href")
         if name in _BLOCK:
             flush()
+            if collect_links and a_depth > 0:
+                # a block break inside an anchor separates its words
+                # (matches the prose pass: <a>Read<br>more</a> is
+                # "Read more", never "Readmore")
+                anchor_parts.append(" ")
             if name == "title" and not title_done:
                 if closing:
                     # content produced exactly one line iff non-empty
@@ -290,7 +303,14 @@ def page_directives(html: str) -> tuple[bool, bool, str]:
     tag walk as the tokenizer (comments/raw-text skipped, so a <meta>
     inside a script string never counts); 'robots' and 'none' both
     read per the de-facto standard (none = noindex,nofollow). Never
-    raises."""
+    raises.
+
+    This is a second copy of the tokenizer's tag walk, kept separate
+    DELIBERATELY: a shared per-token generator would tax the hot WET
+    path (html_to_text_full runs per fetched page) with generator
+    dispatch for every text segment; the skip rules below must stay
+    in lockstep with html_to_text_full's (the CDATA consistency test
+    pins the one divergence a review found)."""
     n = len(html)
     noindex = nofollow = False
     canonical = ""
@@ -301,6 +321,10 @@ def page_directives(html: str) -> tuple[bool, bool, str]:
             break
         if html.startswith("<!--", lt):
             end = html.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        if html.startswith("<![CDATA[", lt):
+            end = html.find("]]>", lt + 9)
             i = n if end < 0 else end + 3
             continue
         nxt = html[lt + 1] if lt + 1 < n else ""
@@ -360,7 +384,8 @@ def extract_links(html: str, base_url: str | None = None
     order). Linear, never raises."""
     from urllib.parse import urldefrag, urljoin
 
-    _, _, _, _, raw = html_to_text_full(html, collect_links=True)
+    _, _, _, _, raw = html_to_text_full(html, collect_links=True,
+                                        assemble_text=False)
     out: list[tuple[str, str]] = []
     seen: set[str] = set()
     for href, anchor in raw:

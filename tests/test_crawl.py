@@ -2058,3 +2058,60 @@ def test_live_crawl_follows_real_anchors(spark, tmp_path):
         assert stats[1]["fetched"] == 4      # children followed
     finally:
         srv.shutdown()
+
+
+def test_live_crawl_resolves_links_after_redirect(spark, tmp_path):
+    """r9 review finding: relative links on a REDIRECTED page must
+    resolve against the post-redirect URL (urlopen follows the 301;
+    resolving against the requested URL feeds wrong frontier URLs)."""
+    import http.server
+    import threading
+
+    from jsonextract_spark.crawl.fetch_http import (
+        make_fetch_extract_kernel)
+    from jsonextract_spark.crawl.pipeline import run_crawl
+    from jsonextract_spark.crawl.tables import Warehouse
+
+    hits = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            if self.path == "/start":
+                self.send_response(301)
+                self.send_header("Location", "/blog/post/")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if self.path == "/blog/post/":
+                body = b'<html><body><a href="next">n</a></body></html>'
+            elif self.path == "/blog/post/next":
+                body = b"<html><body>leaf</body></html>"
+            else:
+                body = b"nothing here"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_port
+        run_crawl(spark, str(tmp_path / "wredir"), rounds=2,
+                  seeds=[f"http://127.0.0.1:{port}/start"],
+                  host_budget=10, batch_size=10,
+                  fetch_kernel=make_fetch_extract_kernel())
+        # the child GET went to /blog/post/next (post-redirect base),
+        # NOT to /next (the requested URL's root)
+        assert "/blog/post/next" in hits
+        assert "/next" not in hits
+        wh = Warehouse(str(tmp_path / "wredir"))
+        fetched = spark.read.parquet(f"{wh.root}/fetched").collect()
+        urls = {r.url for r in fetched}
+        assert any(u.endswith("/blog/post/next") for u in urls)
+    finally:
+        srv.shutdown()

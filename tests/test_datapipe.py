@@ -755,3 +755,18 @@ def test_components_resolve_near_dup_chains(spark):
     reps = (cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
             .orderBy("component").collect())
     assert [(r.component, r.sz) for r in reps] == [(100, 3), (500, 2)]
+
+
+def test_components_raise_on_non_convergence(spark):
+    """Review finding: exhausting max_iter must RAISE, not silently
+    return split labels (that re-opens the under-merge bug)."""
+    from jsonextract_spark.datapipe.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long")
+    with pytest.raises(ValueError, match="not converged"):
+        connected_components(chain, max_iter=3)
+    # and with enough rounds the same chain resolves fine
+    cc = connected_components(chain, max_iter=20)
+    assert all(r.component == 0 for r in cc.collect())
+    cc.unpersist()

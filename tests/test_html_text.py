@@ -238,6 +238,10 @@ LINK_CASES = [
     # no href / empty href / javascript: all drop
     ('<a>no href</a><a href>empty</a>', "https://h.example/", []),
     ('<a href="JavaScript:void(0)">js</a>', None, []),
+    # block tags / <br> inside the anchor separate words (review
+    # finding: ""-join merged them into 'foobar')
+    ('<a href="/x">foo<br>bar</a>', None, [("/x", "foo bar")]),
+    ('<a href="/x">Read<p>more</p></a>', None, [("/x", "Read more")]),
 ]
 
 
@@ -277,6 +281,11 @@ DIRECTIVE_CASES = [
     ('<script>var s = \'<meta name="robots" content="noindex">\';'
      "</script>", (False, False, "")),
     ('<!-- <meta name="robots" content="noindex"> -->', (False, False, "")),
+    # CDATA content is skipped like the prose pass does (review
+    # finding: the bogus-comment path leaked the tail after the
+    # first '>' back into the tag walk)
+    ('<![CDATA[ x> <meta name="robots" content="noindex"> ]]>ok',
+     (False, False, "")),
     ("", (False, False, "")),
     ('<meta name="robots"', (False, False, "")),   # truncated: drop
 ]
