@@ -21,14 +21,14 @@ import shutil
 import time
 
 from pyspark.sql import (DataFrame, Observation, SparkSession,
-                         functions as F)
+                         functions as F, types as T)
 
 from jsonextract_spark.crawl import seen as seen_mod
 from jsonextract_spark.crawl import synth
 from jsonextract_spark.crawl.scheduler import (
     AUTO_HOT_MIN_PENDING, DEFAULT_POLITENESS_FLOOR_SEC, pop_batch,
     priority_of)
-from jsonextract_spark.crawl.tables import Warehouse
+from jsonextract_spark.crawl.tables import FRONTIER_SCHEMA, Warehouse
 from jsonextract_spark.functions.udfs import url_identity_udf
 
 DEFAULT_HOST_BUDGET = 5
@@ -318,8 +318,7 @@ def maybe_compact_host_stats(spark: SparkSession, wh: Warehouse,
     agg = load_host_stats(spark, wh, round_no)
     if agg is None:
         return False
-    wh.save(agg, "host_stats_compact", round_no,
-            partitions=max(spark.sparkContext.defaultParallelism // 8, 1))
+    wh.save(agg, "host_stats_compact", round_no, rebalance=True)
     return True
 
 
@@ -559,37 +558,48 @@ def load_frontier(spark: SparkSession, wh: Warehouse,
         return (spark.read.option("basePath", wh._path(table))
                 .parquet(*paths))
 
+    row_t = T.StructType([f for f in FRONTIER_SCHEMA.fields])
     adds = (_ranged(add_paths, "frontier_delta")
             .withColumn("_ev", F.col("round").cast("long") * 2 + 1)
-            .select(*_FRONTIER_COLS, "_ev")
+            .select("url_hash", "_ev",
+                    F.struct(*_FRONTIER_COLS).alias("_row"))
             if add_paths else None)
     rms = (_ranged(rm_paths, "fetched")
            .select("url_hash",
-                   (F.col("round").cast("long") * 2).alias("_ev"))
+                   (F.col("round").cast("long") * 2).alias("_ev"),
+                   F.lit(None).cast(row_t).alias("_row"))
            if rm_paths else None)
     events = None
-    for part in (None if adds is None else adds.select("url_hash", "_ev"),
-                 rms):
+    for part in (adds, rms):
         if part is not None:
             events = part if events is None else events.unionByName(part)
-    last = events.groupBy("url_hash").agg(F.max("_ev").alias("_last_ev"))
-    # Both replay joins hint-broadcast the event window only when the
-    # parquet footers prove it small (≤ BROADCAST_MAX_EST_ROWS events
-    # since the last base) — then neither the base nor the adds are
-    # shuffled by reconstruction. Past the threshold (production-scale
-    # rounds: 10^6-10^7 adds × up to COMPACT_EVERY rounds is a GB-scale
-    # build side that must not be forced onto the driver) the hint is
-    # dropped: the joins plan as shuffles on url_hash — the two last-
-    # side exchanges are identical subplans (ReusedExchange) — and AQE
-    # still converts to broadcast at runtime if the actual window is
-    # small. Equality of both paths is test-pinned.
+    # ONE aggregation resolves the whole replay (r10: the previous
+    # agg + semi-join + anti-join form paid three sub-plans and two
+    # broadcast builds per round): the newest event per url_hash is
+    # picked with max_by — odd _ev (an addition) means the row is
+    # alive and max_by carries its full frontier row; even _ev (a
+    # removal) means dead. _ev values are unique per url_hash by
+    # construction (a round's fresh/deferred slices are disjoint and a
+    # url_hash is popped at most once per round), so max_by has no
+    # ties. The base then only needs an anti-join against the touched
+    # key set, which reuses this same aggregate.
+    last = (events.groupBy("url_hash")
+            .agg(F.max("_ev").alias("_last_ev"),
+                 F.max_by("_row", "_ev").alias("_row")))
+    # The anti-join hint-broadcasts the touched key set only when the
+    # ledger/footers prove the event window small (≤
+    # BROADCAST_MAX_EST_ROWS events since the last base) — then the
+    # base is never shuffled by reconstruction. Past the threshold
+    # (production-scale rounds: 10^6-10^7 adds × up to COMPACT_EVERY
+    # rounds is a GB-scale build side that must not be forced onto the
+    # driver) the hint is dropped: the join plans as a shuffle on
+    # url_hash and AQE still converts it to broadcast at runtime if
+    # the actual window is small. Equality of both paths is
+    # test-pinned.
     est_events = _est_replay_events(wh, base_round, upto_round,
                                     add_paths, rm_paths)
-    alive = (adds.join(_hint_small(last, est_events),
-                       (adds["url_hash"] == last["url_hash"])
-                       & (adds["_ev"] == last["_last_ev"]),
-                       "left_semi")
-             .select(*_FRONTIER_COLS)
+    alive = (last.filter(F.col("_last_ev") % 2 == 1)
+             .select("_row.*")
              if adds is not None else None)
     out = base.join(_hint_small(last.select("url_hash"), est_events),
                     "url_hash", "left_anti").select(*_FRONTIER_COLS)
@@ -611,7 +621,8 @@ def maybe_compact_frontier(spark: SparkSession, wh: Warehouse,
     _drop_stale_compact(wh, "frontier", round_no)
     view = (load_frontier(spark, wh, round_no)
             .withColumn("is_new", F.lit(0)))
-    wh.save(view, "frontier", round_no, partition_by="is_new")
+    wh.save(view, "frontier", round_no, partition_by="is_new",
+            rebalance=True)
     return True
 
 
@@ -628,7 +639,7 @@ def maybe_compact_seen(spark: SparkSession, wh: Warehouse, round_no: int):
     # the first attempt's seen set over the re-run's
     _drop_stale_compact(wh, "seen_compact", round_no)
     wh.save(load_seen(spark, wh, round_no), "seen_compact", round_no,
-            partitions=max(spark.sparkContext.defaultParallelism, 4))
+            rebalance=True)
     return True
 
 
@@ -653,7 +664,8 @@ def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
                 .withColumn("priority", priority_of(F.lit(0)))
                 .withColumn("attempts", F.lit(0))
                 .withColumn("is_new", F.lit(1)))
-    wh.save(frontier, "frontier", 0, partition_by="is_new")
+    wh.save(frontier, "frontier", 0, partition_by="is_new",
+            rebalance=True)
     import os
 
     if os.path.exists(_seen_delta_path(wh, 0)):
@@ -837,11 +849,21 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                 .withColumn("partition_id", F.spark_partition_id())
                 .cache())
 
+    # The repartition coalesces the ledger write from one-file-per-
+    # fetch-task (32+) to a parallelism-scaled handful — every later
+    # round's replay scans this round range, and its task count is
+    # pure file count (guide §6; r10 profile). It must sit BELOW the
+    # observation: AQE's empty-relation propagation removes a
+    # CollectMetrics node that ends up under a materialized-empty
+    # exchange, so an observation below an added exchange loses its
+    # row (or silently reads 0) on empty rounds — measured on this
+    # Spark; the observe node must stay in the final write stage.
     fetched = enriched.select(
         "batch_id", "rank", "url", "url_hash", "host", "depth",
         "warc_ts",
         "n_objects", F.size("links").alias("n_links"), "bytes",
-        "partition_id", "blocked", "retry")
+        "partition_id", "blocked", "retry").repartition(
+            max(spark.sparkContext.defaultParallelism // 8, 1))
     # ONE job runs pop + politeness + fetch + extract and writes the
     # ledger; batch counts ride the write itself as a CollectMetrics
     # observation (aggregated executor-side during the write — no
@@ -949,7 +971,6 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # row's priority column already carries pop_batch's host-budget
     # discount, and decaying that value would compound the discount
     # into the decay on every retry.
-    obs_defer = Observation(f"deferred-r{round_no}")
     deferred = (enriched.filter("retry").select("url")
                 .join(batch.select("url", "url_hash", "host", "depth",
                                    "attempts"), "url")
@@ -958,15 +979,25 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                         (priority_of(F.col("depth"))
                          * F.pow(F.lit(DEFER_PRIORITY_DECAY),
                                  F.col("attempts") + 1)).alias("priority"),
-                        (F.col("attempts") + 1).alias("attempts"))
-                # n_deferred = URLs actually RE-FRONTIERED (retry rows
-                # past the attempts cap are consumed, not deferred —
-                # counting every retry-marked ledger row would report a
-                # URL as deferred on the very round it is dropped);
-                # rides the frontier write action below
-                .observe(obs_defer, F.count(F.lit(1)).alias("n")))
+                        (F.col("attempts") + 1).alias("attempts")))
+    # The repartition coalesces the delta write from one file per
+    # union-branch task (64+ tiny files, re-listed and re-scanned by
+    # every later replay — the r10 profile measured the replay's event
+    # scan as a 56-task stage driven purely by file count) to a
+    # parallelism-scaled handful. Both round metrics (n_new = fresh
+    # rows, n_deferred = URLs actually RE-FRONTIERED, i.e. retry rows
+    # under the attempts cap — counting every retry-marked ledger row
+    # would report a URL as deferred on the very round it is dropped)
+    # ride this one write as a single CollectMetrics over the is_new
+    # column, placed ABOVE the repartition: AQE's empty-relation
+    # propagation removes observation nodes that sit under a
+    # materialized-empty exchange (measured: the all-blocked round
+    # then loses its n_new/n_deferred row), so the observe must stay
+    # in the final write stage.
     frontier_delta = (deferred.withColumn("is_new", F.lit(0))
-                      .unionByName(fresh.withColumn("is_new", F.lit(1))))
+                      .unionByName(fresh.withColumn("is_new", F.lit(1)))
+                      .repartition(max(
+                          spark.sparkContext.defaultParallelism // 8, 1)))
 
     # per-host fetch counts + newest fetch timestamp drive next
     # round's budget scoring and crawl-delay gate. This is a grouped
@@ -1001,8 +1032,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     def _save_host_stats():
         try:
             wh.save(host_delta, "host_stats_delta", round_no,
-                    partitions=max(
-                        spark.sparkContext.defaultParallelism // 8, 1))
+                    rebalance=True)
             # amortized checkpoint fold (reads the just-written delta
             # from disk, so it must follow the save)
             if maybe_compact_host_stats(spark, wh, round_no):
@@ -1021,48 +1051,82 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     # frontier; n_new and n_deferred ride the SAME action as
     # CollectMetrics observations (no separate materializing count(),
     # no driver re-read of the written is_new=1 partition). ``fresh``
-    # stays cached: the write job populates the cache and the filter
-    # merge below reuses it. try/finally: a failed frontier/filter
-    # write must not leak the still-running background host_stats
-    # write for a round that will never commit, nor the round's cached
-    # RDD blocks — the thread is joined and the caches dropped on the
-    # error path before the exception propagates.
+    # stays cached: both the frontier write and the filter merge read
+    # it, and since r10 they run CONCURRENTLY — the filter merge
+    # depends only on ``fresh``, whose cache blocks are computed once
+    # whichever job asks first (per-block cache locks make the other
+    # job wait for, then reuse, the same block; the gate's internal
+    # shuffle stages are shared across the two jobs because both plans
+    # reference the same InMemoryRelation lineage). The round's wall
+    # clock then pays max(frontier write, filter merge), not their
+    # sum. try/finally: a failed write must not leak still-running
+    # background writes for a round that will never commit, nor the
+    # round's cached RDD blocks — every side thread is joined and the
+    # caches dropped on the error path before the exception
+    # propagates.
+    side_err: list[BaseException] = []
+    side_threads: list = []
+    side_actions: list[int] = []
+
+    def _spawn(fn, name):
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # re-raised on the round thread
+                side_err.append(e)
+        th = InheritableThread(target=run, name=name)
+        side_threads.append(th)
+        th.start()
+
     try:
         obs_front = Observation(f"frontier-r{round_no}")
         frontier_delta = frontier_delta.observe(
             obs_front,
-            F.coalesce(F.sum("is_new"), F.lit(0)).alias("n_new"))
+            F.coalesce(F.sum("is_new"), F.lit(0)).alias("n_new"),
+            F.coalesce(F.sum((F.col("is_new") == 0).cast("long")),
+                       F.lit(0)).alias("n_deferred"))
+        if filters is not None:
+            # Incremental OR-merge: touches only buckets that gained
+            # keys. Independent of the frontier write (same ``fresh``
+            # cache, different output table) — runs alongside it.
+            _spawn(lambda: wh.save(
+                seen_mod.merge_filters(filters, fresh,
+                                       kind=filter_kind),
+                "seen_filter", round_no), f"filter-merge-r{round_no}")
+            n_actions += 1
         wh.save(frontier_delta, "frontier_delta", round_no,
                 partition_by="is_new")
         n_actions += 1
         n_new = int(obs_front.get["n_new"])
-        n_deferred = int(obs_defer.get["n"])
+        n_deferred = int(obs_front.get["n_deferred"])
         t_frontier = time.time()
 
-        if filters is not None:
-            # Incremental OR-merge: touches only buckets that gained
-            # keys.
-            wh.save(seen_mod.merge_filters(filters, fresh,
-                                           kind=filter_kind),
-                    "seen_filter", round_no)
-            n_actions += 1
-        # base re-materialization must follow the delta write (the
-        # reconstructed view includes this round's events)
-        if maybe_compact_frontier(spark, wh, round_no):
-            n_actions += 1
-        if maybe_compact_seen(spark, wh, round_no):
-            n_actions += 1
+        # base re-materializations must follow the delta write (the
+        # reconstructed views include this round's events); the seen
+        # and frontier compactions read/write disjoint tables, so on
+        # compact rounds they run concurrently with each other (and
+        # with the still-running filter merge / host_stats threads)
+        if round_no > 0 and round_no % COMPACT_EVERY == 0:
+            _spawn(lambda: side_actions.append(
+                1 if maybe_compact_seen(spark, wh, round_no) else 0),
+                f"seen-compact-r{round_no}")
+            if maybe_compact_frontier(spark, wh, round_no):
+                n_actions += 1
     finally:
-        # host_stats must be on disk before the ledger commit makes
-        # the round visible (resume loads it for the next round's
-        # gate)
+        # all side writes (host_stats, filter merge, compactions) must
+        # be on disk before the ledger commit makes the round visible
+        # (resume loads them for the next round's gate)
         host_thread.join()
+        for th in side_threads:
+            th.join()
         batch.unpersist()
         enriched.unpersist()
         fresh.unpersist()
     if host_err:
         raise host_err[0]
-    n_actions += sum(host_extra_actions)
+    if side_err:
+        raise side_err[0]
+    n_actions += sum(host_extra_actions) + sum(side_actions)
     t_filter = time.time()
 
     n_jobs = len(sc.statusTracker().getJobIdsForGroup(job_group))

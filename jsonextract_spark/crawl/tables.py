@@ -156,17 +156,32 @@ class Warehouse:
 
     def save(self, df: DataFrame, table: str, round_no: int | None = None,
              partitions: int | None = None,
-             partition_by: str | None = None):
+             partition_by: str | None = None,
+             rebalance: bool = False):
         """Write to a temp dir then atomically rename into place, so a
         killed job never leaves a half-visible partition (Iceberg gives
         this for free; parquet needs the rename dance).
 
         ``partition_by`` hive-partitions the output on one column — used
         to carve a table into sub-tables in a single write job (e.g. the
-        frontier's ``is_new`` split doubles as the seen-set delta)."""
+        frontier's ``is_new`` split doubles as the seen-set delta).
+
+        ``rebalance`` inserts an AQE REBALANCE exchange before the
+        write, sizing output files adaptively (advisory partition size)
+        instead of inheriting the plan's task count: a delta table
+        written from a 32-64-task union otherwise lands as 32-64 tiny
+        files whose listing + open cost is paid by EVERY later replay
+        read of the round range (guide §6: small files hurt twice; the
+        r10 profile measured the replay's event scan as a 56-task stage
+        whose task count was pure file count). Scale-adaptive by
+        construction — at production sizes AQE splits the exchange into
+        advisory-sized files rather than coalescing to one."""
         final = self._path(table, round_no)
         tmp = _tmp_dir_name(final)
-        w = df if partitions is None else df.repartition(partitions)
+        if rebalance:
+            w = df.hint("rebalance")
+        else:
+            w = df if partitions is None else df.repartition(partitions)
         writer = w.write.mode("overwrite")
         if partition_by is not None:
             writer = writer.partitionBy(partition_by)
