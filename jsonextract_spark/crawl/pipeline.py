@@ -88,6 +88,43 @@ def _with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
             .drop("_uid"))
 
 
+_CAND_SCHEMA = "url string, url_hash long, host string, depth int"
+
+
+def _candidate_identity_kernel(batches):
+    """Fused link-candidate identity + per-task pre-dedup (r10): one
+    mapInPandas pass canonicalizes/hashes the exploded hrefs
+    (url_identity_frame — the same vectorized body as
+    url_identity_udf) and folds them into a running per-task min
+    (url, host, depth) per url_hash. The previous chain paid a
+    separate ArrowEvalPython node plus a url_hash Exchange + aggregate
+    before the bucket-cogroup prune; here the global aggregate moves
+    into the prune's own cogroup (seen.gate_new_urls) and this kernel
+    keeps the map-side reduction the removed partial aggregate
+    provided. Memory is O(distinct candidates per task) — the same
+    envelope as the hash-aggregate buffer it replaces. Depth is
+    already the CANDIDATE depth (parent + 1): min(parent)+1 ==
+    min(parent+1)."""
+    import pandas as pd
+
+    from jsonextract_spark.crawl.seen import min_by_url_hash
+    from jsonextract_spark.functions.udfs import url_identity_frame
+
+    acc = None
+    for pdf in batches:
+        idf = url_identity_frame(pdf["raw_url"])
+        idf["depth"] = (pdf["depth"] + 1).to_numpy()
+        idf = idf[idf["url"].notna()]
+        if len(idf) == 0:
+            continue
+        if acc is not None:
+            idf = pd.concat((acc, idf), ignore_index=True)
+        acc = min_by_url_hash(idf)
+    if acc is not None:
+        yield acc[["url", "url_hash", "host", "depth"]].astype(
+            {"depth": "int32"})
+
+
 def _seen_delta_path(wh: Warehouse, round_no: int) -> str:
     """The per-round seen delta IS the ``is_new=1`` partition of the
     round's frontier DELTA — written in the same job as the frontier
@@ -581,11 +618,16 @@ def load_frontier(spark: SparkSession, wh: Warehouse,
     # removal) means dead. _ev values are unique per url_hash by
     # construction (a round's fresh/deferred slices are disjoint and a
     # url_hash is popped at most once per round), so max_by has no
-    # ties. The base then only needs an anti-join against the touched
-    # key set, which reuses this same aggregate.
-    last = (events.groupBy("url_hash")
-            .agg(F.max("_ev").alias("_last_ev"),
-                 F.max_by("_row", "_ev").alias("_row")))
+    # ties. The base's anti-join needs only the TOUCHED key set, for
+    # which the raw (non-distinct) event hashes are equivalent — an
+    # anti-join build side needs no dedup — so the aggregate is
+    # computed exactly once, for the alive rows.
+    alive = ((events.groupBy("url_hash")
+              .agg(F.max("_ev").alias("_last_ev"),
+                   F.max_by("_row", "_ev").alias("_row")))
+             .filter(F.col("_last_ev") % 2 == 1)
+             .select("_row.*")
+             if adds is not None else None)
     # The anti-join hint-broadcasts the touched key set only when the
     # ledger/footers prove the event window small (≤
     # BROADCAST_MAX_EST_ROWS events since the last base) — then the
@@ -598,10 +640,7 @@ def load_frontier(spark: SparkSession, wh: Warehouse,
     # test-pinned.
     est_events = _est_replay_events(wh, base_round, upto_round,
                                     add_paths, rm_paths)
-    alive = (last.filter(F.col("_last_ev") % 2 == 1)
-             .select("_row.*")
-             if adds is not None else None)
-    out = base.join(_hint_small(last.select("url_hash"), est_events),
+    out = base.join(_hint_small(events.select("url_hash"), est_events),
                     "url_hash", "left_anti").select(*_FRONTIER_COLS)
     return out if alive is None else out.unionByName(alive)
 
@@ -663,20 +702,36 @@ def init_state(spark: SparkSession, wh: Warehouse, n_seeds: int,
                 .withColumn("depth", F.lit(0))
                 .withColumn("priority", priority_of(F.lit(0)))
                 .withColumn("attempts", F.lit(0))
-                .withColumn("is_new", F.lit(1)))
-    wh.save(frontier, "frontier", 0, partition_by="is_new",
-            rebalance=True)
-    import os
+                .withColumn("is_new", F.lit(1))
+                .cache())
+    # The filter build reads the SAME rows the frontier write persists
+    # (at init every frontier row is is_new=1, i.e. the whole table IS
+    # the round-0 seen delta), so both writes run concurrently off one
+    # cached plan instead of the filter build waiting to re-read the
+    # just-written parquet (r10; same overlap pattern as run_round's
+    # side writes).
+    from pyspark import InheritableThread
 
-    if os.path.exists(_seen_delta_path(wh, 0)):
-        delta = spark.read.parquet(_seen_delta_path(wh, 0))
-    else:
-        # explicitly-empty seed list: the empty partitioned write left
-        # no is_new=1 partition — seed the filters from an empty set
-        delta = spark.createDataFrame([], "url_hash long")
-    wh.save(seen_mod.build_filters(delta.select("url_hash"),
-                                   kind=filter_kind),
-            "seen_filter", 0)
+    errs: list[BaseException] = []
+
+    def _save_frontier():
+        try:
+            wh.save(frontier, "frontier", 0, partition_by="is_new",
+                    rebalance=True)
+        except BaseException as e:
+            errs.append(e)
+
+    th = InheritableThread(target=_save_frontier, name="init-frontier")
+    th.start()
+    try:
+        wh.save(seen_mod.build_filters(frontier.select("url_hash"),
+                                       kind=filter_kind),
+                "seen_filter", 0)
+    finally:
+        th.join()
+        frontier.unpersist()
+    if errs:
+        raise errs[0]
     wh.commit_round(0, {"phase": "init", "seeds": len(urls),
                         "filter_kind": filter_kind})
 
@@ -887,6 +942,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
                          .cast("long")), F.lit(0)).alias("n_blocked"),
         F.coalesce(F.sum(F.col("retry").cast("long")),
                    F.lit(0)).alias("n_retry_marked"))
+    sc.setJobDescription(f"r{round_no} A1 ledger: pop+fetch+extract")
     wh.save(fetched, "fetched", round_no)
     n_actions = 1
     om = obs_fetch.get
@@ -925,15 +981,16 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
         return {"fetched": 0, "new": 0, "blocked": 0, "deferred": 0,
                 "retry_marked": 0, "sec": time.time() - t0}
 
-    # 5. link discovery -> candidate identity
+    # 5. link discovery -> candidate identity: one fused mapInPandas
+    #    pass (canonicalize + hash + host + per-task pre-dedup, see
+    #    _candidate_identity_kernel); the global per-hash min rides
+    #    the gate's bucket cogroup below (seen.gate_new_urls), so the
+    #    r9 chain's separate ArrowEvalPython node and url_hash
+    #    Exchange + aggregate are gone.
     discovered = (enriched
                   .select("depth", F.explode("links").alias("raw_url")))
-    cand = (_with_url_identity(discovered, "raw_url")
-            .drop("raw_url")
-            .groupBy("url_hash")
-            .agg(F.min("url").alias("url"),
-                 F.min("host").alias("host"),
-                 (F.min("depth") + 1).alias("depth")))
+    cand = discovered.mapInPandas(_candidate_identity_kernel,
+                                  _CAND_SCHEMA)
 
     # 6. seen-set gate: bloom prune + exact anti-join backstop. The
     #    gate ALSO excludes URLs already pending in the frontier, for
@@ -945,7 +1002,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
     #    against the full frontier here — provably a no-op by the same
     #    argument, and an O(frontier) scan per round at the design
     #    point.
-    fresh = seen_mod.new_urls(cand, seen, filters)
+    fresh = seen_mod.gate_new_urls(cand, seen, filters)
     fresh = (fresh.withColumn("priority", priority_of(F.col("depth")))
                   .withColumn("attempts", F.lit(0))
                   .select("url", "url_hash", "host", "depth", "priority",
@@ -1031,6 +1088,7 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
 
     def _save_host_stats():
         try:
+            sc.setJobDescription(f"r{round_no} A3 host_stats delta")
             wh.save(host_delta, "host_stats_delta", round_no,
                     rebalance=True)
             # amortized checkpoint fold (reads the just-written delta
@@ -1089,11 +1147,14 @@ def run_round(spark: SparkSession, wh: Warehouse, round_no: int,
             # Incremental OR-merge: touches only buckets that gained
             # keys. Independent of the frontier write (same ``fresh``
             # cache, different output table) — runs alongside it.
-            _spawn(lambda: wh.save(
-                seen_mod.merge_filters(filters, fresh,
-                                       kind=filter_kind),
-                "seen_filter", round_no), f"filter-merge-r{round_no}")
+            def _merge_filters():
+                sc.setJobDescription(f"r{round_no} A4 filter merge")
+                wh.save(seen_mod.merge_filters(filters, fresh,
+                                               kind=filter_kind),
+                        "seen_filter", round_no)
+            _spawn(_merge_filters, f"filter-merge-r{round_no}")
             n_actions += 1
+        sc.setJobDescription(f"r{round_no} A2 gate+frontier delta")
         wh.save(frontier_delta, "frontier_delta", round_no,
                 partition_by="is_new")
         n_actions += 1

@@ -110,6 +110,11 @@ def merge_filters(filters: DataFrame, fresh: DataFrame,
     shuffle on bucket — never rescans the historical seen set (at 10^10
     keys a full rebuild per round would dominate the whole crawl).
 
+    One COGROUP joins each bucket's filter row with its fresh keys
+    (r10: the previous form first packed the keys via a separate
+    groupBy-applyInPandas stage and re-grouped the union — a whole
+    extra Python stage + exchange per round for the same result).
+
     ``kind`` decides the codec for buckets that appear for the first time
     in this merge (existing buckets keep their own codec). Callers pass
     their configured filter kind — inferring it from the filter table
@@ -117,58 +122,47 @@ def merge_filters(filters: DataFrame, fresh: DataFrame,
     delta = (fresh.select("url_hash")
              .withColumn("bucket", bucket_col(F.col("url_hash"))))
 
-    def build(key, pdf):
-        hashes = pdf["url_hash"].to_numpy()
-        return pd.DataFrame({
-            "bucket": [int(key[0])], "kind": ["delta"],
-            "bits": [hashes.astype(np.int64).tobytes()],
-            "m": [0], "k": [0], "n": [len(hashes)],
-        })
-
-    partial = delta.groupBy("bucket").applyInPandas(build, _FILTER_SCHEMA)
-    both = filters.unionByName(partial)
-
-    def merge(key, pdf):
-        base = pdf[pdf["kind"] != "delta"]
-        deltas = pdf[pdf["kind"] == "delta"]
-        fresh = (np.concatenate([
-            np.frombuffer(b, dtype=np.int64) for b in deltas["bits"]])
-            if len(deltas) else np.array([], dtype=np.int64))
-        if len(base) == 0:
+    def merge(key, filt_pdf: pd.DataFrame,
+              delta_pdf: pd.DataFrame) -> pd.DataFrame:
+        fresh_h = (delta_pdf["url_hash"].to_numpy().astype(np.int64)
+                   if len(delta_pdf) else np.array([], dtype=np.int64))
+        if len(filt_pdf) == 0:
             # bucket had no filter yet: build from the delta alone
             if kind == "cuckoo":
-                bits, nb, overflow, n = _build_cuckoo(fresh)
+                bits, nb, overflow, n = _build_cuckoo(fresh_h)
                 return pd.DataFrame({
                     "bucket": [int(key[0])], "kind": ["cuckoo"],
                     "bits": [bits], "m": [nb], "k": [overflow],
                     "n": [n]})
             return pd.DataFrame({
                 "bucket": [int(key[0])], "kind": ["bloom"],
-                "bits": [_build_bits(fresh, m, k)],
-                "m": [m], "k": [k], "n": [len(fresh)]})
-        row = base.iloc[0]
+                "bits": [_build_bits(fresh_h, m, k)],
+                "m": [m], "k": [k], "n": [len(fresh_h)]})
+        row = filt_pdf.iloc[0]
         if row["kind"] == "cuckoo":
             from jsonextract_spark.crawl import cuckoo
 
             f = cuckoo.CuckooFilter.from_bytes(bytes(row["bits"]),
                                                int(row["n"]))
-            overflow = int(row["k"]) + f.insert_many(fresh)
+            overflow = int(row["k"]) + f.insert_many(fresh_h)
             return pd.DataFrame({
                 "bucket": [int(key[0])], "kind": ["cuckoo"],
                 "bits": [f.to_bytes()], "m": [f.nb], "k": [overflow],
                 "n": [f.n]})
         acc = np.frombuffer(row["bits"], dtype=np.uint8).copy()
-        if len(fresh):
+        if len(fresh_h):
             add = np.frombuffer(
-                _build_bits(fresh, int(row["m"]), int(row["k"])),
+                _build_bits(fresh_h, int(row["m"]), int(row["k"])),
                 dtype=np.uint8)
             acc |= add
         return pd.DataFrame({
             "bucket": [int(key[0])], "kind": ["bloom"],
             "bits": [acc.tobytes()], "m": [int(row["m"])],
-            "k": [int(row["k"])], "n": [int(row["n"]) + len(fresh)]})
+            "k": [int(row["k"])], "n": [int(row["n"]) + len(fresh_h)]})
 
-    return both.groupBy("bucket").applyInPandas(merge, _FILTER_SCHEMA)
+    return (filters.groupBy("bucket")
+            .cogroup(delta.groupBy("bucket"))
+            .applyInPandas(merge, _FILTER_SCHEMA))
 
 
 def delete_from_filters(filters: DataFrame,
@@ -276,6 +270,94 @@ def new_urls(candidates: DataFrame, seen: DataFrame,
     if filters is None:
         return candidates.join(seen, "url_hash", "left_anti")
     flagged = prune_candidates(candidates, filters)
+    fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    survived = maybe.join(seen, "url_hash", "left_anti")
+    return fresh.unionByName(survived)
+
+
+def min_by_url_hash(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-url_hash independent mins of (url, host, depth), fully
+    vectorized. pandas ``groupby.agg(min)`` over OBJECT (string)
+    columns falls back to a per-group Python reduction — measured 19 s
+    for 200k rows, which made the r10 fused gate slower than the JVM
+    aggregate it replaced — while sort + drop_duplicates("first") is
+    the same min in C (~0.5 s at 200k). Mins are taken per column
+    independently (exactly the previous Spark ``min(url), min(host),
+    min(depth)`` aggregate, which matters only under a murmur3
+    collision where a hash group holds two distinct urls)."""
+    o = pdf.sort_values(["url_hash", "url"], kind="mergesort")
+    urls = o.drop_duplicates("url_hash")[["url_hash", "url"]]
+    o2 = pdf.sort_values(["url_hash", "host"], kind="mergesort")
+    hosts = o2.drop_duplicates("url_hash")[["url_hash", "host"]]
+    depths = pdf.groupby("url_hash", as_index=False)["depth"].min()
+    return (urls.merge(hosts, on="url_hash")
+            .merge(depths, on="url_hash")
+            [["url", "url_hash", "host", "depth"]])
+
+
+_GATE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("maybe_seen", T.BooleanType()),
+])
+
+
+def gate_new_urls(candidates: DataFrame, seen: DataFrame,
+                  filters: DataFrame | None) -> DataFrame:
+    """The crawl gate's fused dedup + prune (r10): ``candidates``
+    (url, url_hash, host, depth) may repeat a ``url_hash`` (the fetch
+    side pre-dedups only per task), and the global per-hash resolution
+    — min url, min host, min depth, the same aggregate the gate
+    previously paid a separate url_hash Exchange for — happens INSIDE
+    the bucket cogroup, riding the prune's own exchange: every copy of
+    a url_hash lands in the same bucket partition because bucket is a
+    function of url_hash, and a pandas groupby min is associative over
+    the per-task pre-dedup. One exchange + one Python stage replaces
+    the previous exchange(url_hash) + agg + exchange(bucket) + cogroup
+    chain; output and semantics are identical to
+    ``new_urls(exact-dedup(candidates), seen, filters)``."""
+    if filters is None:
+        agg = (candidates.groupBy("url_hash")
+               .agg(F.min("url").alias("url"),
+                    F.min("host").alias("host"),
+                    F.min("depth").alias("depth"))
+               .select("url", "url_hash", "host", "depth"))
+        return agg.join(seen, "url_hash", "left_anti")
+
+    cand = candidates.withColumn("bucket", bucket_col(F.col("url_hash")))
+
+    def test(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            out = cand_pdf[["url", "url_hash", "host", "depth"]].copy()
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        out = min_by_url_hash(cand_pdf)
+        if len(filt_pdf) == 0 or filt_pdf["bits"].iloc[0] is None:
+            out["maybe_seen"] = False
+            return out
+        row = filt_pdf.iloc[0]
+        hashes = out["url_hash"].to_numpy()
+        if row["kind"] == "cuckoo":
+            from jsonextract_spark.crawl import cuckoo
+
+            if int(row["k"]) > 0:
+                # saturated bucket: degrade to no pruning (stay exact)
+                out["maybe_seen"] = True
+                return out
+            f = cuckoo.CuckooFilter.from_bytes(bytes(row["bits"]))
+            out["maybe_seen"] = f.contains_many(hashes)
+            return out
+        bits = np.frombuffer(row["bits"], dtype=np.uint8)
+        out["maybe_seen"] = _test_bits(bits, hashes,
+                                       int(row["m"]), int(row["k"]))
+        return out
+
+    flagged = (cand.groupBy("bucket")
+               .cogroup(filters.groupBy("bucket"))
+               .applyInPandas(test, _GATE_SCHEMA))
     fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     survived = maybe.join(seen, "url_hash", "left_anti")

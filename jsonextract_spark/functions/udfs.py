@@ -192,17 +192,13 @@ _URL_IDENTITY_TYPE = StructType([
 ])
 
 
-@F.pandas_udf(_URL_IDENTITY_TYPE)
-def _url_identity(urls: pd.Series) -> pd.DataFrame:
-    """Fused canonicalize + murmur3 + host in ONE Python crossing.
-
-    The link gate needs all three per candidate URL every round; as
-    three chained scalar UDFs they are three ArrowEvalPython round
-    trips (dependent UDFs cannot fuse). One struct-returning UDF makes
-    it a single round trip: vectorized already-canonical screen, per-
-    row urlsplit only for irregular rows, batch murmur3 over the
-    canonical strings. url=NULL marks non-crawlable input (callers
-    filter), matching canonicalize_url's contract."""
+def url_identity_frame(urls: pd.Series) -> pd.DataFrame:
+    """Vectorized canonicalize + murmur3 + host over a URL batch — the
+    shared body of ``url_identity_udf`` and the crawl's fused candidate
+    kernel (pipeline._candidate_identity_kernel): vectorized already-
+    canonical screen, per-row urlsplit only for irregular rows, batch
+    murmur3 over the canonical strings. url=NULL marks non-crawlable
+    input (callers filter), matching canonicalize_url's contract."""
     fast, ext = _fast_url_parts(urls)
     canon = urls.where(fast)
     host = ext[1].where(fast)
@@ -217,6 +213,17 @@ def _url_identity(urls: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"url": canon,
                          "url_hash": _murmur3_series(canon),
                          "host": host})
+
+
+@F.pandas_udf(_URL_IDENTITY_TYPE)
+def _url_identity(urls: pd.Series) -> pd.DataFrame:
+    """Fused canonicalize + murmur3 + host in ONE Python crossing.
+
+    The link gate needs all three per candidate URL every round; as
+    three chained scalar UDFs they are three ArrowEvalPython round
+    trips (dependent UDFs cannot fuse). One struct-returning UDF makes
+    it a single round trip (body shared as ``url_identity_frame``)."""
+    return url_identity_frame(urls)
 
 
 # The function IS deterministic — the nondeterministic mark is purely
