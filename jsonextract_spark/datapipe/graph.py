@@ -61,11 +61,19 @@ def connected_components(edges: DataFrame, src_col: str = "src",
     returning split labels would reintroduce exactly the under-merge
     bug this operator exists to fix (raise ``max_iter`` for
     huge-diameter graphs)."""
+    # Persisted HASH-PARTITIONED ON b, the per-iteration join key (r10;
+    # the same discipline pagerank already applies to its edge table):
+    # distinct() leaves sym partitioned on (a, b), so every label-
+    # propagation round would re-shuffle the FULL edge table to meet
+    # the join's b-distribution — O(edges) exchange × O(diameter)
+    # rounds. Repartitioned once on b, each round's join moves only
+    # the small label table; the groupBy("a") result is the only other
+    # per-round exchange and is O(nodes).
     sym = (edges.select(F.col(src_col).alias("a"),
                         F.col(dst_col).alias("b"))
            .union(edges.select(F.col(dst_col).alias("a"),
                                F.col(src_col).alias("b")))
-           .distinct().persist())
+           .distinct().repartition("b").persist())
     labels = (sym.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("component", F.col("node"))

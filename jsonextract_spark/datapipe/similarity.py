@@ -31,13 +31,24 @@ N_TABLES = 4      # OR-amplified tables
 DIM = 64
 
 
-def _cosine_expr(a, b):
+def _norm_expr(a):
+    return F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def _cosine_expr(a, b, na=None, nb=None):
+    """Cosine of two vector columns. ``na``/``nb`` take PRE-COMPUTED
+    norm columns (r10): inside a candidate join every corpus/query
+    vector appears in many pairs, and inlining the norms made each
+    pair pay two O(dim) folds that are a per-ROW quantity — hoisting
+    them to columns computed once per side before the join removes
+    two thirds of the scoring arithmetic with bit-identical results
+    (same fold expression over the same values, same multiply/divide
+    shape)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, v: acc + v))
+    na = _norm_expr(a) if na is None else na
+    nb = _norm_expr(b) if nb is None else nb
     return dot / (na * nb)
 
 
@@ -50,12 +61,15 @@ def brute_topk(corpus: DataFrame, queries: DataFrame, k: int,
     by construction; the corpus side streams through one stage.
     Returns (query_id, neighbor_id, cosine, rank).
     """
-    q = queries.select(F.col(qid_col),
-                       F.col(vec_col).cast("array<double>").alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("cv"))
+    q = (queries.select(F.col(qid_col),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("_qn", _norm_expr(F.col("qv"))))
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("cv"))
+         .withColumn("_cn", _norm_expr(F.col("cv"))))
     scored = (c.crossJoin(F.broadcast(q))
-               .withColumn("cosine", _cosine_expr(F.col("cv"), F.col("qv")))
+               .withColumn("cosine", _cosine_expr(F.col("cv"), F.col("qv"),
+                                                  F.col("_cn"), F.col("_qn")))
                .select(qid_col, "neighbor_id", "cosine"))
     order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
     return (salted_top_k_per_group(scored, [qid_col], order, k,
@@ -206,13 +220,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
 
     c = (corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).cast("array<double>").alias("cv"))
+         .withColumn("_cn", _norm_expr(F.col("cv")))
          .withColumn("cell", F.element_at(assign_udf(F.col("cv")), 1)))
     q = (queries.select(F.col(qid_col),
                         F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("_qn", _norm_expr(F.col("qv")))
          .withColumn("cell", F.explode(probe_udf(F.col("qv")))))
-    cand = c.join(q, "cell").select(qid_col, "neighbor_id", "cv", "qv")
+    cand = c.join(q, "cell").select(qid_col, "neighbor_id", "cv", "qv",
+                                    "_cn", "_qn")
     scored = (cand.withColumn("cosine",
-                              _cosine_expr(F.col("cv"), F.col("qv")))
+                              _cosine_expr(F.col("cv"), F.col("qv"),
+                                           F.col("_cn"), F.col("_qn")))
                   .select(qid_col, "neighbor_id", "cosine"))
     order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
     return (salted_top_k_per_group(scored, [qid_col], order, k,
@@ -259,8 +277,9 @@ def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     sig = make_signature_udf(n_tables=n_tables)
     e = (df.select(F.col(id_col).alias("id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
+           .withColumn("_n", _norm_expr(F.col("v")))
            .withColumn("sigs", sig(F.col("v")))
-           .select("id", "v",
+           .select("id", "v", "_n",
                    F.posexplode("sigs").alias("table", "bucket")))
     if max_docs_per_bucket is not None:
         w = Window.partitionBy("table", "bucket")
@@ -277,9 +296,11 @@ def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                       (F.col("l.bucket") == F.col("r.bucket")) &
                       (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-                    F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+                    F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
+                    F.col("l._n").alias("_na"), F.col("r._n").alias("_nb"))
             .dropDuplicates(["a", "b"]))
-    return (cand.withColumn("cos", _cosine_expr(F.col("va"), F.col("vb")))
+    return (cand.withColumn("cos", _cosine_expr(F.col("va"), F.col("vb"),
+                                                F.col("_na"), F.col("_nb")))
                 .filter(F.col("cos") >= threshold)
                 .select("a", "b", "cos"))
 
@@ -297,18 +318,22 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
     sig = make_signature_udf(n_tables=n_tables)
     c = (corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).cast("array<double>").alias("cv"))
+         .withColumn("_cn", _norm_expr(F.col("cv")))
          .withColumn("sigs", sig(F.col("cv")))
-         .select("neighbor_id", "cv",
+         .select("neighbor_id", "cv", "_cn",
                  F.posexplode("sigs").alias("table", "bucket")))
     q = (queries.select(F.col(qid_col),
                         F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("_qn", _norm_expr(F.col("qv")))
          .withColumn("sigs", sig(F.col("qv")))
-         .select(qid_col, "qv", F.posexplode("sigs").alias("table", "bucket")))
+         .select(qid_col, "qv", "_qn",
+                 F.posexplode("sigs").alias("table", "bucket")))
     cand = (c.join(q, ["table", "bucket"])
-            .select(qid_col, "neighbor_id", "cv", "qv")
+            .select(qid_col, "neighbor_id", "cv", "qv", "_cn", "_qn")
             .dropDuplicates([qid_col, "neighbor_id"]))
     scored = (cand.withColumn("cosine",
-                              _cosine_expr(F.col("cv"), F.col("qv")))
+                              _cosine_expr(F.col("cv"), F.col("qv"),
+                                           F.col("_cn"), F.col("_qn")))
                   .select(qid_col, "neighbor_id", "cosine"))
     order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
     return (salted_top_k_per_group(scored, [qid_col], order, k,

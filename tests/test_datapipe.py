@@ -757,6 +757,44 @@ def test_components_resolve_near_dup_chains(spark):
     assert [(r.component, r.sz) for r in reps] == [(100, 3), (500, 2)]
 
 
+def test_components_edge_table_not_reshuffled_per_iteration(spark):
+    """r10 (VERDICT r9 'weak' item): the symmetrized edge table is
+    persisted HASH-PARTITIONED ON b, the per-iteration join key, so a
+    label-propagation round shuffles only the small label table — the
+    pre-fix layout ((a, b)-partitioned from distinct()) re-shuffled
+    the full O(edges) table every round. Pin: in the iteration join's
+    consumer-side plan (everything above the InMemoryRelation
+    expansion) there is NO Exchange on b — the cached partitioning is
+    consumed as-is."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(64).select(
+        F.col("id").alias("src"), ((F.col("id") * 7) % 64).alias("dst"))
+    sym = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+           .union(edges.select(F.col("dst").alias("a"),
+                               F.col("src").alias("b")))
+           .distinct().repartition("b").persist())
+    sym.count()
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        neigh = (sym.join(labels, sym.b == labels.node)
+                 .groupBy("a").agg(F.min("component").alias("nc")))
+        plan = neigh._jdf.queryExecution().sparkPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        sym.unpersist()
+    consumer = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in consumer, plan
+    # the only exchanges above the cache may be on node (labels side)
+    # or on a (the aggregate); b's partitioning must come from the
+    # cached table itself
+    assert "Exchange hashpartitioning(b#" not in consumer, plan
+
+
 def test_components_raise_on_non_convergence(spark):
     """Review finding: exhausting max_iter must RAISE, not silently
     return split labels (that re-opens the under-merge bug)."""
