@@ -1284,16 +1284,31 @@ def run_crawl(spark: SparkSession, warehouse: str, rounds: int,
         round0 = [r for r in wh.ledger()["rounds"] if r["round"] == 0]
         if round0 and round0[0].get("filter_kind"):
             filter_kind = round0[0]["filter_kind"]
+    static_robots = None
+    if robots_provider is None and rounds > start + 1:
+        # The synthetic robots table is static per crawl — build (and
+        # cache) it once instead of re-running createDataFrame + a
+        # fresh broadcast-build job every round (r10; a live
+        # robots_provider is per-round by design: its verdicts depend
+        # on the round's frontier hosts).
+        static_robots = make_robots(spark).cache()
+        robots_provider = lambda _s, _f: static_robots  # noqa: E731
     stats = []
-    for r in range(start + 1, rounds + 1):
-        s = run_round(spark, wh, r, host_budget, batch_size, use_bloom,
-                      filter_kind=filter_kind, fetch_kernel=fetch_kernel,
-                      robots_provider=robots_provider,
-                      default_delay_sec=default_delay_sec,
-                      hot_hosts=hot_hosts,
-                      auto_hot_min_pending=auto_hot_min_pending,
-                      archive_warc=archive_warc)
-        stats.append({"round": r, **s})
+    try:
+        for r in range(start + 1, rounds + 1):
+            s = run_round(spark, wh, r, host_budget, batch_size,
+                          use_bloom,
+                          filter_kind=filter_kind,
+                          fetch_kernel=fetch_kernel,
+                          robots_provider=robots_provider,
+                          default_delay_sec=default_delay_sec,
+                          hot_hosts=hot_hosts,
+                          auto_hot_min_pending=auto_hot_min_pending,
+                          archive_warc=archive_warc)
+            stats.append({"round": r, **s})
+    finally:
+        if static_robots is not None:
+            static_robots.unpersist()
     return stats
 
 

@@ -107,18 +107,29 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     flat = [tok.encode("utf-8") for toks in tok_lists for tok in toks]
     acc = np.zeros((n_docs, 64), dtype=np.int64)
     if flat:
-        uniq, inv = np.unique(np.array(flat, dtype=object),
-                              return_inverse=True)
-        hashes = _token_hashes(list(uniq))[inv]
-        signs = (((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-                 .astype(np.int8) * 2 - 1)          # (n_tokens, 64)
+        # factorize (hash-based) instead of np.unique (object sort),
+        # and — the r10 hot-spot fix — expand the ±1 bit matrix over
+        # the UNIQUE hashes only, then fancy-index it out to token
+        # rows: the uint64 shift/broadcast over every token was 4.7 s
+        # per 150k-token batch vs ~0.05 s over the distinct tokens,
+        # with bit-identical results (signs[inv] IS the per-token
+        # matrix the old code built directly).
+        inv, uniq = pd.factorize(pd.Series(flat))
+        uhashes = _token_hashes(list(uniq))
+        usignsT = (((uhashes[None, :] >> np.arange(64, dtype=np.uint64)
+                     [:, None]) & 1).astype(np.int8) * 2 - 1)
+        # (64, n_tokens) — row-major so the segmented sum below walks
+        # contiguous memory: reduceat over axis 0 of the (n_tokens,
+        # 64) layout strides column-wise and measured 18x slower
+        signsT = usignsT[:, inv]
         offsets = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
         nonzero = counts > 0
         # reduceat over only the non-empty docs' offsets still yields one
         # segment per non-empty doc (empty docs contribute no rows, so
         # consecutive non-empty offsets bound exactly one doc's tokens)
-        acc[nonzero] = np.add.reduceat(signs, offsets[nonzero], axis=0)
+        acc[nonzero] = np.add.reduceat(signsT, offsets[nonzero],
+                                       axis=1).T
     bits = (acc > 0).astype(np.uint64)
     packed = (bits << np.arange(64, dtype=np.uint64)).sum(
         axis=1, dtype=np.uint64)
