@@ -233,6 +233,13 @@ def load_host_stats(spark: SparkSession, wh: Warehouse,
                      .select("host", "crawled", "last_fetch_ts"))
     if not parts:
         return None
+    if len(parts) == 1 and len(delta_paths) <= 1:
+        # single source = a checkpoint, a legacy cumulative table, or
+        # ONE round's delta — all written host-distinct (their writers
+        # aggregate) — so the re-aggregation would be a no-op exchange
+        # + agg per round (r10: this is every round immediately after
+        # a compaction, and the first fetching round of a crawl)
+        return parts[0]
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
