@@ -153,7 +153,12 @@ def schedule_recrawl(spark, wh, after_round: int, max_age_sec: float,
     # the merged frontier is written as a NEW FULL BASE (is_new=0
     # everywhere — recrawl re-opens URLs, it never forgets them), so
     # load_frontier's event replay restarts from this round
-    wh.save(merged, "frontier", rn, partition_by="is_new")
+    # rebalance: this base is re-read by EVERY later round's replay —
+    # without it the write inherits the union's task fan-out as tiny
+    # files (guide §6; no observation rides this write, so the AQE
+    # REBALANCE form is safe here)
+    wh.save(merged, "frontier", rn, partition_by="is_new",
+            rebalance=True)
     if wh.exists("seen_filter", after_round):
         # filters carry forward UNCHANGED: reopened URLs stay in the
         # prune layer because they stay in the exact seen set — a

@@ -244,7 +244,12 @@ def seed_from_sitemaps(spark, wh, after_round: int,
         _drop_stale_compact(wh, tbl, rn)
     merged = (frontier.withColumn("is_new", F.lit(0))
               .unionByName(fresh.withColumn("is_new", F.lit(1))))
-    wh.save(merged, "frontier", rn, partition_by="is_new")
+    # rebalance: this base is re-read by EVERY later round's replay —
+    # without it the write inherits the union's task fan-out as tiny
+    # files (guide §6; no observation rides this write, so the AQE
+    # REBALANCE form is safe here)
+    wh.save(merged, "frontier", rn, partition_by="is_new",
+            rebalance=True)
     if wh.exists("seen_filter", after_round):
         # the new urls are now in the exact seen set, so they MUST
         # also enter the prune filter: a filter miss short-circuits
