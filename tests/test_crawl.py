@@ -16,6 +16,34 @@ pytestmark = pytest.mark.spark
 
 # -- seen-set ----------------------------------------------------------------
 
+def test_min_by_url_hash_matches_groupby_agg():
+    """r10 unit pin: the vectorized sort+drop_duplicates min
+    (seen.min_by_url_hash) equals pandas groupby independent mins —
+    including a planted hash collision where min(url) and min(host)
+    come from DIFFERENT rows."""
+    import pandas as pd
+
+    from jsonextract_spark.crawl.seen import min_by_url_hash
+
+    pdf = pd.DataFrame({
+        "url_hash": [1, 1, 2, 2, 2, 3],
+        "url": ["b", "a", "z", "x", "y", "q"],
+        "host": ["hb", "hz", "h3", "h9", "h1", "hq"],
+        "depth": [5, 7, 4, 2, 9, 1],
+    })
+    ref = (pdf.groupby("url_hash", as_index=False)
+           .agg(url=("url", "min"), host=("host", "min"),
+                depth=("depth", "min"))
+           [["url", "url_hash", "host", "depth"]])
+    got = (min_by_url_hash(pdf).sort_values("url_hash")
+           .reset_index(drop=True))
+    assert got.equals(ref.sort_values("url_hash")
+                      .reset_index(drop=True))
+    # collision row: url min 'a' pairs with host min 'hb' (row-mixed)
+    r = got[got.url_hash == 1].iloc[0]
+    assert (r["url"], r["host"], r["depth"]) == ("a", "hb", 5)
+
+
 def test_bloom_no_false_negatives_and_exactness(spark):
     from jsonextract_spark.crawl import seen as sm
 
@@ -40,6 +68,51 @@ def test_bloom_no_false_negatives_and_exactness(spark):
     n_maybe = flagged.filter("maybe_seen").count()
     assert n_maybe >= 1000            # all truly-seen are flagged
     assert n_maybe <= 1000 + 0.05 * len(cand_new)  # few false positives
+
+
+def test_gate_new_urls_fused_dedup_equals_reference(spark):
+    """r10: the fused gate (gate_new_urls — per-url_hash min resolved
+    INSIDE the bucket cogroup over possibly-duplicated candidates)
+    must equal the reference form: exact per-hash min aggregate first,
+    then new_urls. Exercises duplicated hashes with differing url/
+    host/depth (independent per-column mins), bloom false-positive
+    survivors, empty buckets, and the filters=None path."""
+    from pyspark.sql import functions as F
+
+    from jsonextract_spark.crawl import seen as sm
+
+    rng = np.random.default_rng(11)
+    seen_hashes = rng.integers(-2**62, 2**62, size=4000).tolist()
+    cand_new = rng.integers(-2**62, 2**62, size=2000).tolist()
+    rows = []
+    for i, h in enumerate(seen_hashes[:500] + cand_new):
+        # two copies per hash with different url/host/depth so the
+        # independent mins matter
+        rows.append((int(h), f"u{i:06d}b", f"h{i % 7}x", 3))
+        rows.append((int(h), f"u{i:06d}a", f"h{i % 7}w", 2 + (i % 3)))
+    cand = spark.createDataFrame(
+        rows, "url_hash long, url string, host string, depth int")
+    seen_df = spark.createDataFrame([(int(h),) for h in seen_hashes],
+                                    "url_hash long")
+    filters = sm.build_filters(seen_df)
+
+    ref_dedup = (cand.groupBy("url_hash")
+                 .agg(F.min("url").alias("url"),
+                      F.min("host").alias("host"),
+                      F.min("depth").alias("depth"))
+                 .select("url", "url_hash", "host", "depth"))
+
+    def rowset(df):
+        return {(r["url_hash"], r["url"], r["host"], r["depth"])
+                for r in df.collect()}
+
+    want = rowset(sm.new_urls(ref_dedup, seen_df, filters))
+    got = rowset(sm.gate_new_urls(cand, seen_df, filters))
+    assert got == want and len(got) == len(set(cand_new))
+
+    # filters=None path (pure aggregate + anti-join)
+    got_nf = rowset(sm.gate_new_urls(cand, seen_df, None))
+    assert got_nf == want
 
 
 # -- scheduler ----------------------------------------------------------------
