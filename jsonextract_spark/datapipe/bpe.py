@@ -148,7 +148,11 @@ class BpeTokenizer:
         return b"".join(self.vocab[i] for i in ids).decode("utf-8")
 
     def n_tokens(self, text: str) -> int:
-        return len(self.encode(text))
+        # sum of cached per-word lengths — same value as
+        # len(encode(text)) without materializing the ids list (r10;
+        # the count UDF is the bench's hot path and the cache hit rate
+        # is Zipf-high, so the extend/copy was most of its work)
+        return sum(len(self._bpe_word(p)) for p in _pretokenize(text))
 
 
 def learn_merges_from_df(df, text_col: str, n_merges: int = 4096,
