@@ -261,22 +261,37 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     return _verify_pairs(pairs, texts, texts, threshold)
 
 
+# Per-WORKER shingle cache for the verify UDF (r10: the cache used to
+# live inside the UDF body, i.e. was rebuilt per Arrow batch — a doc
+# appearing in candidate pairs across batches/tasks re-shingled every
+# 2048 rows). Worker reuse keeps module globals across tasks (the
+# module is importable on executors), so each distinct text is
+# shingled once per worker process. Bounded: cleared at the cap so a
+# worker never holds more than ~8k shingle arrays (~50 MB at
+# web-page sizes) — at 100 TB the candidate stream is unbounded and
+# an uncapped memo would be a worker OOM.
+_JACCARD_CACHE: dict[str, np.ndarray] = {}
+_JACCARD_CACHE_CAP = 8192
+
+
 @F.pandas_udf(DoubleType())
 def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
     """Exact char-shingle Jaccard of two text columns.
 
-    Each distinct text is shingled ONCE per batch (a doc in many
+    Each distinct text is shingled ONCE per worker (a doc in many
     candidate pairs re-uses its sorted-unique hash array), and the
     per-pair work is a single C-speed sorted intersection —
     |A∪B| = |A| + |B| - |A∩B|, so no union materializes. This
     replaced per-pair Python set algebra that dominated the bench
     (6.2s of 9.8s at sf0.1, VERDICT r2). Module-level with a DataType
     return (DDL strings at module scope break on executors)."""
-    cache: dict[str, np.ndarray] = {}
+    cache = _JACCARD_CACHE
 
     def sh(t: str) -> np.ndarray:
         a = cache.get(t)
         if a is None:
+            if len(cache) >= _JACCARD_CACHE_CAP:
+                cache.clear()
             a = cache[t] = _shingle_hashes(t)  # sorted unique u64
         return a
 
