@@ -566,9 +566,17 @@ def image_features(img: np.ndarray) -> np.ndarray:
         # interleaved (N, 3) view runs ~40x slower than the same
         # reduction over a contiguous channel (measured 0.65s vs
         # 0.015s per megapixel, r8) — at one var per image per row
-        # that dominated the distributed decode stage
-        ch = np.ascontiguousarray(img[..., c], dtype=np.float64)
-        hist, _ = np.histogram(ch, bins=8, range=(0, 256))
+        # that dominated the distributed decode stage.
+        # r10: the copy stays uint8 and the 8-bin histogram is a
+        # bincount of v >> 5 — bit-identical to the previous float64
+        # np.histogram(range=(0, 256)) formulation: bin edges are
+        # multiples of 32 so floor(v/32) == v >> 5 for every uint8
+        # value, and mean/std accumulate in float64 either way (uint8
+        # values are exact in float64, so the sums are the same
+        # numbers in the same pairwise order). ~2.5x per image,
+        # 0.10 -> 0.04 s on a megapixel frame.
+        ch = np.ascontiguousarray(img[..., c])
+        hist = np.bincount(ch.reshape(-1) >> 5, minlength=8)
         out[c * 8:(c + 1) * 8] = hist / n
         out[24 + c] = ch.mean() / 255.0
         out[27 + c] = ch.std() / 255.0

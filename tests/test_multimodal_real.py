@@ -64,6 +64,40 @@ def test_image_features_hand_computed():
     assert feat[31] == pytest.approx(2.0)         # w/h aspect
 
 
+def test_image_features_bincount_matches_float_histogram():
+    # r10: the 8-bin channel histogram is a bincount of v >> 5 and the
+    # mean/std reductions run over the uint8 copy. Pin BIT-equality
+    # against the pre-r10 formulation (float64 copy + np.histogram
+    # over range=(0, 256)) — the oracle hashes of every *_real query
+    # depend on these exact float32 values.
+    def old_features(img):
+        out = np.zeros(codecs.FEAT_DIM, dtype=np.float64)
+        n = max(img.shape[0] * img.shape[1], 1)
+        for c in range(3):
+            ch = np.ascontiguousarray(img[..., c], dtype=np.float64)
+            hist, _ = np.histogram(ch, bins=8, range=(0, 256))
+            out[c * 8:(c + 1) * 8] = hist / n
+            out[24 + c] = ch.mean() / 255.0
+            out[27 + c] = ch.std() / 255.0
+        h, w = img.shape[:2]
+        out[30] = np.log1p(h * w) / 20.0
+        out[31] = w / h
+        return out.astype(np.float32)
+
+    rng = np.random.default_rng(7)
+    cases = [rng.integers(0, 256, (int(rng.integers(1, 96)),
+                                   int(rng.integers(1, 96)), 3),
+                          dtype=np.int64).astype(np.uint8)
+             for _ in range(40)]
+    cases.append(np.zeros((3, 5, 3), np.uint8))          # all bin 0
+    cases.append(np.full((4, 4, 3), 255, np.uint8))      # top edge
+    cases.append(np.arange(256, dtype=np.uint8)
+                 .repeat(3).reshape(16, 16, 3))          # every value
+    for img in cases:
+        a, b = codecs.image_features(img), old_features(img)
+        assert a.tobytes() == b.tobytes()
+
+
 def test_wav_parse_and_features():
     x, rate = codecs.parse_wav(wav([0, 16384, -16384, 0], rate=8000))
     assert rate == 8000
